@@ -1,0 +1,227 @@
+"""Word-graph composition with offline epsilon closure.
+
+The reference flattens a layered word graph into one state list with
+explicit non-emitting states (NES) and a dense transition matrix
+(``build_state_sequences``,
+``/root/reference/sr/recognition/continuous_speech.py:13-53``); its
+decoder then special-cases NES transitions to consume no frame
+(``decode.py:108-114``) — a same-column sequential dependency that does
+not map onto a ``lax.scan``.
+
+Here NES states are eliminated at composition time (SURVEY.md §7 hard
+part 1): every NES-mediated path between emitting states is min-plus
+closed into a same-column ``eps_trans`` matrix, the initial NES becomes
+an ``init_cost`` vector, and NES survive only as backtrace metadata —
+the per-state ``slot`` labels recover word boundaries that the
+reference reads off NES path entries (``main.py:65``).
+
+Emitting states index into the shared :class:`HMMBank` via
+``bank_state`` (= model * S + state), so emission costs are computed
+once per utterance against the whole bank (one GEMM) and gathered per
+graph — no per-graph Gaussian evaluation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Sequence
+
+import numpy as np
+
+from speech_recognition_tpu.utils.numerics import POS_INF
+
+__all__ = ["WordGraph", "build_word_graph", "pad_graphs"]
+
+
+@dataclasses.dataclass
+class WordGraph:
+    """Epsilon-free composed decoding graph (host-side numpy)."""
+
+    trans: np.ndarray  # [S, S] frame-edge costs, T[to, from]
+    eps_trans: np.ndarray  # [S, S] same-column costs (NES chains closed)
+    init_cost: np.ndarray  # [S]
+    end_states: np.ndarray  # [E] emitting final states (last layer word ends)
+    bank_state: np.ndarray  # [S] index into HMMBank flat states (model*S + j)
+    slot: np.ndarray  # [S] word-slot id (layer-major, unique per word copy)
+    slot_label: np.ndarray  # [n_slots] model id of each slot
+    slot_layer: np.ndarray  # [n_slots] layer of each slot
+    state_in_word: np.ndarray  # [S] position within the word model
+    eps_depth: int  # same-column relaxation passes needed
+
+    @property
+    def n_states(self) -> int:
+        return self.trans.shape[0]
+
+
+def _close_nes(nes_cost: np.ndarray) -> np.ndarray:
+    """Min-plus transitive closure over NES-only edges (tiny matrices)."""
+    n = nes_cost.shape[0]
+    c = nes_cost.copy()
+    np.fill_diagonal(c, 0.0)
+    for k in range(n):
+        c = np.minimum(c, c[:, [k]] + c[[k], :])
+    return c
+
+
+def build_word_graph(
+    model_trans: Sequence[np.ndarray],
+    label_matrix: List[List[int]],
+) -> WordGraph:
+    """Compose a layered word graph.
+
+    Args:
+      model_trans: per-model ``[S, S]`` frame-edge transition costs
+        (T[to, from], inf/POS_INF where absent).
+      label_matrix: ``label_matrix[layer]`` lists the model ids allowed in
+        that layer — ``[[l] for l in labels]`` gives the linear
+        forced-alignment graph of one transcript
+        (``continuous_speech.py:80``); ``[[0..10]] * 7`` gives the
+        7-slot connected-digit sausage (``main.py:35``).
+
+    Topology matches the reference exactly: an NES before layer 0, one
+    after every layer; NES -> word-start and word-end -> NES edges cost 0
+    (``continuous_speech.py:43-51``).
+    """
+    n_states_per_word = [np.asarray(model_trans[l]).shape[0] for l in label_matrix[0]]
+    # Enumerate emitting states layer-major, preserving reference order.
+    states_model = []  # model id per emitting state
+    states_slot = []
+    states_j = []  # position within word
+    slot_label, slot_layer = [], []
+    word_start, word_end = [], []  # per slot: emitting-state indices
+    for layer, labels in enumerate(label_matrix):
+        for l in labels:
+            s = np.asarray(model_trans[l]).shape[0]
+            slot_id = len(slot_label)
+            start = len(states_model)
+            states_model += [l] * s
+            states_slot += [slot_id] * s
+            states_j += list(range(s))
+            slot_label.append(l)
+            slot_layer.append(layer)
+            word_start.append(start)
+            word_end.append(start + s - 1)
+
+    n_emit = len(states_model)
+    n_layers = len(label_matrix)
+    trans = np.full((n_emit, n_emit), POS_INF, dtype=np.float32)
+    for slot_id in range(len(slot_label)):
+        l = slot_label[slot_id]
+        s0 = word_start[slot_id]
+        t = np.asarray(model_trans[l], dtype=np.float32)
+        s = t.shape[0]
+        blk = np.where(np.isfinite(t), t, POS_INF)
+        trans[s0 : s0 + s, s0 : s0 + s] = blk
+
+    # NES graph: NES_0 .. NES_{n_layers}.  Edges (all cost 0, ref
+    # continuous_speech.py:43-51): NES_l -> starts(layer l);
+    # ends(layer l) -> NES_{l+1}.  No NES->NES edges exist in the
+    # reference, but closure handles them if a caller adds any.
+    n_nes = n_layers + 1
+    nes_nes = np.full((n_nes, n_nes), POS_INF)
+    nes_closure = _close_nes(nes_nes)
+
+    # emitting -> NES and NES -> emitting cost tables.
+    emit_to_nes = np.full((n_nes, n_emit), POS_INF)
+    nes_to_emit = np.full((n_emit, n_nes), POS_INF)
+    for slot_id in range(len(slot_label)):
+        layer = slot_layer[slot_id]
+        emit_to_nes[layer + 1, word_end[slot_id]] = 0.0
+        nes_to_emit[word_start[slot_id], layer] = 0.0
+
+    # eps_trans[v, u] = min over NES chains u -> ... -> v.
+    a = _min_plus(nes_to_emit, nes_closure)  # [n_emit, n_nes]
+    eps_trans = _min_plus(a, emit_to_nes).astype(np.float32)  # [n_emit, n_emit]
+
+    # Initial NES (index 0): init_cost[v] = closure(NES_0 -> v).
+    init_cost = a[:, 0].astype(np.float32)
+
+    end_states = np.array([word_end[s] for s in range(len(slot_label))
+                           if slot_layer[s] == n_layers - 1], dtype=np.int32)
+
+    # eps_depth: longest chain in the emitting-level eps DAG.
+    eps_depth = _eps_depth(eps_trans)
+
+    n_states_ref = [np.asarray(model_trans[l]).shape[0] for l in slot_label]
+    bank_s = max(n_states_ref)
+    bank_state = np.array(
+        [states_model[i] * bank_s + states_j[i] for i in range(n_emit)],
+        dtype=np.int32,
+    )
+    return WordGraph(
+        trans=trans,
+        eps_trans=eps_trans,
+        init_cost=init_cost,
+        end_states=end_states,
+        bank_state=bank_state,
+        slot=np.asarray(states_slot, dtype=np.int32),
+        slot_label=np.asarray(slot_label, dtype=np.int32),
+        slot_layer=np.asarray(slot_layer, dtype=np.int32),
+        state_in_word=np.asarray(states_j, dtype=np.int32),
+        eps_depth=eps_depth,
+    )
+
+
+def _min_plus(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(A min+ B)[i, j] = min_k A[i, k] + B[k, j], inf-safe."""
+    out = np.min(a[:, :, None] + b[None, :, :], axis=1)
+    return np.minimum(out, POS_INF)
+
+
+def _eps_depth(eps_trans: np.ndarray) -> int:
+    """Longest path (in edges) through the emitting eps graph; each edge
+    is one same-column relaxation pass.  Standard word graphs (words with
+    >= 2 states) have no chains -> depth 1."""
+    n = eps_trans.shape[0]
+    adj = eps_trans < POS_INF / 2
+    depth = np.zeros(n, dtype=np.int64)
+    # DAG longest path by repeated relaxation; bail if cyclic.
+    for it in range(n + 1):
+        new = depth.copy()
+        srcs, dsts = np.nonzero(adj.T)  # edge u -> v: adj[v, u]
+        for u, v in zip(srcs, dsts):
+            new[v] = max(new[v], depth[u] + 1)
+        if np.array_equal(new, depth):
+            return max(1, int(depth.max()))
+        depth = new
+    raise ValueError("epsilon cycle in word graph")
+
+
+def pad_graphs(graphs: List[WordGraph]):
+    """Pad a batch of graphs to common state count for vmapped decoding.
+
+    Padding states are unreachable (POS_INF in/out, POS_INF init) and
+    their bank_state points at entry 0 (harmless — gathered emissions are
+    never on a path).  Returns dict of stacked arrays + the common
+    eps_depth.
+    """
+    smax = max(g.n_states for g in graphs)
+    emax = max(len(g.end_states) for g in graphs)
+    depth = max(g.eps_depth for g in graphs)
+
+    def pad_mat(m, fill):
+        out = np.full((smax, smax), fill, dtype=np.float32)
+        s = m.shape[0]
+        out[:s, :s] = m
+        return out
+
+    def pad_vec(v, fill, n, dtype=np.float32):
+        out = np.full((n,), fill, dtype=dtype)
+        out[: len(v)] = v
+        return out
+
+    batch = {
+        "trans": np.stack([pad_mat(g.trans, POS_INF) for g in graphs]),
+        "eps_trans": np.stack([pad_mat(g.eps_trans, POS_INF) for g in graphs]),
+        "init_cost": np.stack([pad_vec(g.init_cost, POS_INF, smax) for g in graphs]),
+        # pad end-state lists by repeating the first end state
+        "end_states": np.stack(
+            [pad_vec(g.end_states, g.end_states[0], emax, np.int32) for g in graphs]
+        ),
+        "bank_state": np.stack(
+            [pad_vec(g.bank_state, 0, smax, np.int32) for g in graphs]
+        ),
+        "slot": np.stack([pad_vec(g.slot, -1, smax, np.int32) for g in graphs]),
+        "n_states": np.array([g.n_states for g in graphs], dtype=np.int32),
+    }
+    return batch, depth

@@ -1,0 +1,14 @@
+from speech_recognition_tpu.ops.frontend import (
+    mfcc,
+    mfcc39,
+    padded_length,
+    max_frames,
+    delta_feature,
+    standardize,
+)
+from speech_recognition_tpu.ops.gmm import (
+    gmm_neg_log_lik,
+    gmm_emission_weights,
+    mahalanobis,
+)
+from speech_recognition_tpu.ops.viterbi import viterbi, viterbi_backtrace

@@ -1,0 +1,311 @@
+"""MFCC feature frontend, TPU-first.
+
+Replaces the reference's two feature paths with batched, statically
+shaped JAX — every stage is a GEMM or a fused elementwise op, so the
+whole chain (framing -> window -> DFT -> mel -> log -> DCT -> lifter ->
+deltas -> standardize) maps onto the MXU/VPU with no FFT op and no
+host round-trips:
+
+* ``variant='psf'`` — the production path: semantics of
+  ``python_speech_features.mfcc(nfilt=40, preemph=0.95,
+  appendEnergy=False, winfunc=np.hamming)`` exactly as invoked at
+  ``/root/reference/sr/core.py:34-45`` (13 ceps *including* c0,
+  sinusoidal lifter L=22, natural-log filterbanks, lowfreq 0).
+* ``variant='scratch'`` — the reference's from-scratch implementation
+  ``/root/reference/sr/feature/feature.py:43-83`` (preemph 0.97, frame
+  count ``ceil(len/160)``, centre-zero-pad to 512 then a 512-point
+  Hamming window, lowfreq 80, log10 filterbanks, ceps 1..13, no lifter).
+
+The DFT is computed as two real matmuls against precomputed
+cos/sin bases ([frame_len, n_fft//2+1]) — the GEMM-native NDFT
+formulation — because a 400x257 GEMM tiles perfectly onto the MXU
+whereas an FFT does not.  ``jnp.fft.rfft`` remains available behind
+``dft_as_gemm=False`` for cross-checking.
+
+Variable-length utterances are handled with static max shapes plus
+frame masks; masked frames are exact zeros and never contribute to the
+per-utterance standardization (``/root/reference/sr/feature/feature.py:85-88``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from speech_recognition_tpu.config import FrontendConfig
+
+__all__ = [
+    "padded_length",
+    "max_frames",
+    "mfcc",
+    "mfcc39",
+    "delta_feature",
+    "standardize",
+]
+
+
+# ---------------------------------------------------------------------------
+# Host-side constant builders (numpy float64, cached per config)
+# ---------------------------------------------------------------------------
+
+
+def _hz2mel(hz):
+    return 2595.0 * np.log10(1.0 + np.asarray(hz, dtype=np.float64) / 700.0)
+
+
+def _mel2hz(mel):
+    return 700.0 * (10.0 ** (np.asarray(mel, dtype=np.float64) / 2595.0) - 1.0)
+
+
+def _mel_filterbank(
+    n_mels: int, n_fft: int, sample_rate: int, low_freq: float, high_freq: float
+) -> np.ndarray:
+    """Triangular mel filterbank [n_mels, n_fft//2+1] with integral bin
+    boundaries, matching both reference implementations
+    (``/root/reference/sr/feature/feature.py:58-76`` and psf
+    ``get_filterbanks``): bins are ``floor((n_fft+1) * hz / rate)`` and the
+    triangles are evaluated at integer FFT bins against the *floored*
+    boundary values."""
+    low_mel, high_mel = _hz2mel(low_freq), _hz2mel(high_freq)
+    mel_points = np.linspace(low_mel, high_mel, n_mels + 2)
+    hz_points = _mel2hz(mel_points)
+    bins = np.floor((n_fft + 1) * hz_points / sample_rate)
+
+    fbank = np.zeros((n_mels, n_fft // 2 + 1), dtype=np.float64)
+    for m in range(1, n_mels + 1):
+        f_lo, f_c, f_hi = int(bins[m - 1]), int(bins[m]), int(bins[m + 1])
+        for k in range(f_lo, f_c):
+            fbank[m - 1, k] = (k - bins[m - 1]) / (bins[m] - bins[m - 1])
+        for k in range(f_c, f_hi):
+            fbank[m - 1, k] = (bins[m + 1] - k) / (bins[m + 1] - bins[m])
+    return fbank
+
+
+def _dct2_ortho_matrix(n_in: int, n_out: int) -> np.ndarray:
+    """[n_in, n_out] matrix computing scipy ``dct(x, type=2, norm='ortho')``
+    truncated to the first ``n_out`` coefficients, as a right-multiply."""
+    n = np.arange(n_in, dtype=np.float64)
+    k = np.arange(n_out, dtype=np.float64)
+    basis = 2.0 * np.cos(np.pi * k[None, :] * (2.0 * n[:, None] + 1.0) / (2.0 * n_in))
+    scale = np.where(k == 0, np.sqrt(1.0 / (4.0 * n_in)), np.sqrt(1.0 / (2.0 * n_in)))
+    return basis * scale[None, :]
+
+
+def _dft_power_bases(window: np.ndarray, n_fft: int) -> Tuple[np.ndarray, np.ndarray]:
+    """cos/sin DFT bases with the analysis window folded in.
+
+    Returns ``(C, S)`` each ``[frame_len, n_fft//2+1]`` such that for a
+    frame ``f`` (un-windowed), ``re = f @ C`` and ``im = f @ S`` satisfy
+    ``re**2 + im**2 == |rfft(f * window, n_fft)|**2``.
+    """
+    frame_len = window.shape[0]
+    n_bins = n_fft // 2 + 1
+    n = np.arange(frame_len, dtype=np.float64)
+    k = np.arange(n_bins, dtype=np.float64)
+    phase = 2.0 * np.pi * np.outer(n, k) / n_fft
+    c = np.cos(phase) * window[:, None]
+    s = np.sin(phase) * window[:, None]
+    return c, s
+
+
+@functools.lru_cache(maxsize=8)
+def _frontend_constants(cfg: FrontendConfig):
+    """All constant matrices for one config, as float32 numpy arrays."""
+    rate = cfg.sample_rate
+    high = cfg.high_freq if cfg.high_freq is not None else rate / 2.0
+    if cfg.variant == "psf":
+        window = np.hamming(cfg.frame_len)
+        fbank = _mel_filterbank(cfg.n_mels, cfg.n_fft, rate, cfg.low_freq, high)
+        lift_n = np.arange(cfg.n_ceps, dtype=np.float64)
+        lifter = (
+            1.0 + (cfg.cep_lifter / 2.0) * np.sin(np.pi * lift_n / cfg.cep_lifter)
+            if cfg.cep_lifter > 0
+            else np.ones(cfg.n_ceps)
+        )
+        dct_m = _dct2_ortho_matrix(cfg.n_mels, cfg.n_ceps)
+    elif cfg.variant == "scratch":
+        # The scratch path centre-zero-pads 400-sample frames to 512 and
+        # applies a 512-point Hamming window
+        # (/root/reference/sr/feature/feature.py:25-52); the effective
+        # window on the original samples is the centre slice, and the
+        # zero-pad placement only shifts DFT phase, which the power
+        # spectrum discards.
+        pad_left = (cfg.n_fft - cfg.frame_len) // 2
+        window = np.hamming(cfg.n_fft)[pad_left : pad_left + cfg.frame_len]
+        low = cfg.low_freq if cfg.low_freq else 80.0
+        fbank = _mel_filterbank(cfg.n_mels, cfg.n_fft, rate, low, high)
+        lifter = np.ones(cfg.n_ceps)
+        # log10 fbanks + DCT keeping coefficients 1..n_ceps (drops c0),
+        # /root/reference/sr/feature/feature.py:78-82.
+        dct_m = _dct2_ortho_matrix(cfg.n_mels, cfg.n_ceps + 1)[:, 1:]
+    else:
+        raise ValueError(f"unknown frontend variant {cfg.variant!r}")
+
+    dft_cos, dft_sin = _dft_power_bases(window, cfg.n_fft)
+    # Stored float64; cast to the compute dtype at trace time.
+    return {
+        "window": window,
+        "dft_cos": dft_cos,
+        "dft_sin": dft_sin,
+        "mel_w": fbank.T.copy(),  # [n_bins, n_mels]
+        "dct_m": dct_m,  # [n_mels, n_ceps]
+        "lifter": lifter,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Shape helpers
+# ---------------------------------------------------------------------------
+
+
+def max_frames(cfg: FrontendConfig, max_signal_len: int) -> int:
+    """Static frame capacity for signals up to ``max_signal_len`` samples."""
+    fl, fs = cfg.frame_len, cfg.frame_step
+    if cfg.variant == "psf":
+        if max_signal_len <= fl:
+            return 1
+        return 1 + int(np.ceil((max_signal_len - fl) / fs))
+    # scratch: num_frames = ceil(len / step) (feature.py:11-13)
+    return int(np.ceil(max_signal_len / fs))
+
+
+def padded_length(cfg: FrontendConfig, max_signal_len: int) -> int:
+    """Buffer length needed so every frame slice is in bounds."""
+    nf = max_frames(cfg, max_signal_len)
+    return (nf - 1) * cfg.frame_step + cfg.frame_len
+
+
+# ---------------------------------------------------------------------------
+# Core jnp pipeline
+# ---------------------------------------------------------------------------
+
+
+def _num_frames(cfg: FrontendConfig, length):
+    fl, fs = cfg.frame_len, cfg.frame_step
+    if cfg.variant == "psf":
+        # psf framesig: 1 frame if slen <= frame_len else 1+ceil((slen-fl)/fs)
+        extra = jnp.maximum(length - fl, 0)
+        return jnp.where(length <= fl, 1, 1 + (extra + fs - 1) // fs)
+    # scratch segment(): ceil(slen / fs) — the reference compares slen
+    # against the *float seconds* frame length so the 1-frame branch never
+    # triggers for real audio (feature.py:11-13).
+    return (length + fs - 1) // fs
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_frames_cap"))
+def mfcc(signal, length, cfg: FrontendConfig = FrontendConfig(), n_frames_cap: int = None):
+    """MFCC for one utterance.
+
+    Args:
+      signal: float32 ``[L]`` sample buffer, zero-padded past ``length``.
+        ``L`` must be at least ``padded_length(cfg, length)``.
+      length: int32 true sample count.
+      cfg: frontend configuration (static).
+      n_frames_cap: optional static cap on output frames (defaults to the
+        capacity implied by ``L``).
+
+    Returns:
+      ``(ceps [F, n_ceps], n_frames int32)`` where ``F`` is static and
+      frames >= n_frames are exact zeros.
+    """
+    fl, fs = cfg.frame_len, cfg.frame_step
+    L = signal.shape[0]
+    F = n_frames_cap or (1 + max(0, (L - fl) // fs))
+
+    if not jnp.issubdtype(signal.dtype, jnp.floating):
+        signal = signal.astype(jnp.float32)
+    dt = signal.dtype
+    consts = {k: jnp.asarray(v, dtype=dt) for k, v in _frontend_constants(cfg).items()}
+    # Pre-emphasis then re-zero the padding: the reference pre-emphasizes
+    # before padding (psf sigproc / feature.py:45-46), so padded samples
+    # must be exact zeros, not -preemph * last_sample.
+    emph = jnp.concatenate([signal[:1], signal[1:] - cfg.preemph * signal[:-1]])
+    idx = jnp.arange(L)
+    emph = jnp.where(idx < length, emph, 0.0)
+
+    # Framing as a gather: [F, frame_len]
+    frame_idx = jnp.arange(F)[:, None] * fs + jnp.arange(fl)[None, :]
+    frames = emph[jnp.clip(frame_idx, 0, L - 1)]
+    frames = jnp.where(frame_idx < L, frames, 0.0)
+
+    nf = _num_frames(cfg, length)
+    frame_mask = jnp.arange(F) < nf
+
+    # Windowed power spectrum.
+    if cfg.dft_as_gemm:
+        re = frames @ consts["dft_cos"]
+        im = frames @ consts["dft_sin"]
+        power = (re * re + im * im) * (1.0 / cfg.n_fft)
+    else:
+        spec = jnp.fft.rfft(frames * consts["window"][None, :], cfg.n_fft)
+        power = (jnp.abs(spec) ** 2) * (1.0 / cfg.n_fft)
+
+    # Mel energies -> log -> DCT -> lifter.
+    mel = power @ consts["mel_w"]
+    # reference floors exact zeros to float64 eps (cast so f32 stays f32)
+    eps = jnp.asarray(np.finfo(np.float64).eps, dtype=dt)
+    mel = jnp.where(mel <= 0.0, eps, mel)
+    log_mel = jnp.log(mel) if cfg.variant == "psf" else jnp.log10(mel)
+    ceps = (log_mel @ consts["dct_m"]) * consts["lifter"][None, :]
+    ceps = jnp.where(frame_mask[:, None], ceps, 0.0)
+    return ceps, nf
+
+
+def delta_feature(feat, n_frames):
+    """Symmetric +-1-frame difference with one-sided ends, masked.
+
+    Matches ``/root/reference/sr/core.py:13-22``: ``d[0]=f[1]-f[0]``,
+    ``d[n-1]=f[n-1]-f[n-2]``, else ``d[i]=f[i+1]-f[i-1]`` — implemented as
+    a clipped-index gather so the true (dynamic) boundary frames get the
+    one-sided forms.
+    """
+    F = feat.shape[0]
+    i = jnp.arange(F)
+    nxt = jnp.clip(i + 1, 0, n_frames - 1)
+    prv = jnp.clip(i - 1, 0, None)
+    delta = feat[nxt] - feat[prv]
+    return jnp.where(i[:, None] < n_frames, delta, 0.0)
+
+
+def standardize(feat, n_frames):
+    """Per-utterance mean/variance normalization over valid frames.
+
+    Matches ``/root/reference/sr/feature/feature.py:85-88`` (population
+    std, per-dimension) restricted to the true frames.
+    """
+    F = feat.shape[0]
+    mask = (jnp.arange(F) < n_frames)[:, None]
+    denom = jnp.maximum(n_frames, 1).astype(feat.dtype)
+    mean = jnp.sum(jnp.where(mask, feat, 0.0), axis=0) / denom
+    centered = jnp.where(mask, feat - mean[None, :], 0.0)
+    var = jnp.sum(centered * centered, axis=0) / denom
+    out = centered / jnp.sqrt(jnp.maximum(var, 1e-20))[None, :]
+    return jnp.where(mask, out, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_frames_cap"))
+def mfcc39(signal, length, cfg: FrontendConfig = FrontendConfig(), n_frames_cap: int = None):
+    """Full production feature path: [mfcc, delta, delta-delta], standardized.
+
+    The reference's ``load_wav_as_mfcc`` (``/root/reference/sr/core.py:34-45``)
+    for ``variant='psf'``; ``load_wav_as_mfcc1`` (``sr/core.py:25-31``) for
+    ``variant='scratch'``.
+
+    Returns ``(features [F, 3*n_ceps], n_frames)``.
+    """
+    ceps, nf = mfcc(signal, length, cfg, n_frames_cap)
+    d1 = delta_feature(ceps, nf)
+    d2 = delta_feature(d1, nf)
+    feats = jnp.concatenate([ceps, d1, d2], axis=1)
+    return standardize(feats, nf), nf
+
+
+# Batched variants: vmap over the leading axis.
+mfcc39_batch = jax.jit(
+    jax.vmap(mfcc39, in_axes=(0, 0, None, None)),
+    static_argnames=("cfg", "n_frames_cap"),
+)

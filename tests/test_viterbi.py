@@ -1,0 +1,170 @@
+"""DP kernel parity vs the numpy reference-semantics oracle (SURVEY.md §4:
+property tests for DP kernels against the obvious O(T*S^2) oracle)."""
+
+import numpy as np
+import pytest
+
+from speech_recognition_tpu.models.graph import build_word_graph
+from speech_recognition_tpu.models.hmm import linear_init_cost
+from speech_recognition_tpu.ops.viterbi import (
+    viterbi,
+    viterbi_backtrace,
+    viterbi_path_cost,
+)
+from speech_recognition_tpu.utils.numerics import POS_INF, to_cost_matrix
+from tests.oracles.dp_ref import decode_hmm_states_oracle, dtw_oracle
+
+
+def left_to_right_trans(S, rng, skip=True):
+    t = np.full((S, S), np.inf)
+    for i in range(S):
+        t[i, i] = rng.uniform(0.1, 1.0)
+        if i + 1 < S:
+            t[i + 1, i] = rng.uniform(0.1, 1.0)
+        if skip and i + 2 < S:
+            t[i + 2, i] = rng.uniform(0.5, 2.0)
+    return t
+
+
+@pytest.mark.parametrize("T,S", [(20, 5), (37, 8), (5, 5)])
+def test_linear_viterbi_matches_dtw_oracle(rng, T, S):
+    emis = rng.uniform(0.0, 5.0, size=(T, S))
+    trans = left_to_right_trans(S, rng)
+    ref_costs, ref_path = dtw_oracle(emis, trans)
+
+    res = viterbi(
+        emis.astype(np.float32),
+        to_cost_matrix(trans),
+        linear_init_cost(S),
+        np.int32(T),
+    )
+    np.testing.assert_allclose(res.final_cost[-1], ref_costs[-1, -1], rtol=1e-5)
+
+    # per-frame state occupancy: oracle path covers frames 0..T-2 plus the
+    # forced endpoint (S-1, T-1)
+    states = np.asarray(
+        viterbi_backtrace(res.bp, res.eps_bp, np.int32(S - 1), np.int32(T))
+    )
+    ref_states = np.zeros(T, dtype=np.int64)
+    ref_states[T - 1] = S - 1
+    for i, j in ref_path:
+        ref_states[j] = i
+    np.testing.assert_array_equal(states, ref_states)
+
+
+def test_masked_frames_ignored(rng):
+    T, S, true_t = 30, 6, 19
+    emis = rng.uniform(0.0, 5.0, size=(T, S)).astype(np.float32)
+    trans = to_cost_matrix(left_to_right_trans(S, rng))
+    full = viterbi(emis[:true_t], trans, linear_init_cost(S), np.int32(true_t))
+    padded = viterbi(emis, trans, linear_init_cost(S), np.int32(true_t))
+    np.testing.assert_allclose(full.final_cost, padded.final_cost, rtol=1e-6)
+    s_full = viterbi_backtrace(full.bp, full.eps_bp, np.int32(S - 1), np.int32(true_t))
+    s_pad = viterbi_backtrace(padded.bp, padded.eps_bp, np.int32(S - 1), np.int32(true_t))
+    np.testing.assert_array_equal(np.asarray(s_full), np.asarray(s_pad)[:true_t])
+
+
+def _sausage_fixture(rng, n_layers=3, n_words=2, S=3):
+    """Small word sausage + the equivalent explicit-NES reference arrays."""
+    model_trans = [left_to_right_trans(S, rng, skip=False) for _ in range(n_words)]
+    label_matrix = [list(range(n_words)) for _ in range(n_layers)]
+    g = build_word_graph(model_trans, label_matrix)
+
+    # reference layout: NES0, layer0 words, NES1, layer1 words, ...
+    n_ref = 1 + n_layers * (n_words * S + 1)
+    ref_trans = np.full((n_ref, n_ref), np.inf)
+    is_nes = np.zeros(n_ref, dtype=bool)
+    is_nes[0] = True
+    idx = 1
+    nes_idx = [0]
+    starts, ends = [], []
+    emit_map = []  # ref emitting index -> graph emitting index
+    for layer in range(n_layers):
+        for w in range(n_words):
+            starts.append((layer, idx))
+            ends.append((layer, idx + S - 1))
+            ref_trans[idx : idx + S, idx : idx + S] = model_trans[w]
+            emit_map += list(range(idx, idx + S))
+            idx += S
+        is_nes[idx] = True
+        nes_idx.append(idx)
+        idx += 1
+    for layer, s in starts:
+        ref_trans[s, nes_idx[layer]] = 0.0
+    for layer, e in ends:
+        ref_trans[nes_idx[layer + 1], e] = 0.0
+    end_points = [[e, -1] for layer, e in ends if layer == n_layers - 1]
+    return g, ref_trans, is_nes, np.array(emit_map), end_points
+
+
+def test_sausage_graph_matches_nes_oracle(rng):
+    g, ref_trans, is_nes, emit_map, end_points = _sausage_fixture(rng)
+    T = 25
+    emis_graph = rng.uniform(0.0, 5.0, size=(T, g.n_states))
+    emis_ref = np.zeros((T, ref_trans.shape[0]))
+    emis_ref[:, emit_map] = emis_graph
+
+    ref_costs, ref_path, ref_best = decode_hmm_states_oracle(
+        emis_ref, ref_trans, is_nes, end_points
+    )
+
+    res = viterbi(
+        emis_graph.astype(np.float32),
+        g.trans,
+        g.init_cost,
+        np.int32(T),
+        eps_trans=g.eps_trans,
+        eps_depth=g.eps_depth,
+    )
+    best = np.min(np.asarray(res.final_cost)[g.end_states])
+    np.testing.assert_allclose(best, ref_best, rtol=1e-5)
+
+    # word sequence parity: dedupe consecutive slots on both sides
+    end_state = g.end_states[int(np.argmin(np.asarray(res.final_cost)[g.end_states]))]
+    states = np.asarray(
+        viterbi_backtrace(
+            res.bp, res.eps_bp, np.int32(end_state), np.int32(T), eps_depth=g.eps_depth
+        )
+    )
+    slots = g.slot[states]
+    words = [g.slot_label[s] for s in _dedupe(slots)]
+
+    # reference word sequence from path state ids (main.py:59-67 semantics):
+    # map ref emitting states -> slots via graph enumeration order
+    ref_state_seq = [p[0] for p in reversed(ref_path.tolist())]
+    ref_emit_pos = {int(r): i for i, r in enumerate(emit_map)}
+    ref_slots = []
+    for r in ref_state_seq:
+        if not is_nes[r]:
+            ref_slots.append(int(g.slot[ref_emit_pos[r]]))
+    # the backtrace excludes the endpoint state; append it
+    best_end = min(end_points, key=lambda e: ref_costs[e[0], -1])
+    ref_slots.append(int(g.slot[ref_emit_pos[best_end[0]]]))
+    ref_words = [g.slot_label[s] for s in _dedupe(np.array(ref_slots))]
+    assert words == ref_words
+
+
+def _dedupe(seq):
+    out = []
+    for s in seq:
+        if not out or out[-1] != s:
+            out.append(int(s))
+    return out
+
+
+def test_path_cost_convenience(rng):
+    T, S = 15, 5
+    emis = rng.uniform(0.0, 3.0, size=(T, S)).astype(np.float32)
+    trans = to_cost_matrix(left_to_right_trans(S, rng))
+    c = viterbi_path_cost(emis, trans, linear_init_cost(S), np.int32(T))
+    res = viterbi(emis, trans, linear_init_cost(S), np.int32(T))
+    assert float(c) == float(res.final_cost[-1])
+
+
+def test_beam_pruning_keeps_best_path_when_wide(rng):
+    T, S = 20, 6
+    emis = rng.uniform(0.0, 5.0, size=(T, S)).astype(np.float32)
+    trans = to_cost_matrix(left_to_right_trans(S, rng))
+    full = viterbi(emis, trans, linear_init_cost(S), np.int32(T))
+    pruned = viterbi(emis, trans, linear_init_cost(S), np.int32(T), beam_width=S)
+    np.testing.assert_allclose(full.final_cost, pruned.final_cost, rtol=1e-6)
