@@ -100,7 +100,7 @@ class HMMConfig:
     n_mix: int = 4
     feature_dim: int = 39
     ref_compat_splits: bool = False
-    var_floor: float = 1e-3
+    var_floor: float = 1e-2
 
     @property
     def n_splits(self) -> int:

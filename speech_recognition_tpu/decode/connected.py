@@ -1,0 +1,113 @@
+"""Connected-word decoding over a composed sausage graph.
+
+Replaces ``main.py``'s connected-digit recognizer
+(``/root/reference/main.py:35-81``): the reference builds a 7-slot x
+11-digit layered graph with NES states (393 states dense) and runs an
+O(T x 393 x 393) Python Viterbi per utterance; here the epsilon-closed
+graph from ``models/graph.py`` is decoded by the vmapped ``lax.scan``
+kernel, with emissions gathered from one bank-wide GEMM.  Word
+sequences are recovered from per-frame slot labels (consecutive
+dedupe), the NES-split equivalent of ``main.py:63-67``.
+
+Variable-length digit strings use the lextree token-passing decoder in
+``decode/beam.py``; this module is the fixed-slot reference-parity
+decoder.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from speech_recognition_tpu.models.graph import WordGraph, build_word_graph
+from speech_recognition_tpu.models.hmm import HMMBank, bank_nll
+from speech_recognition_tpu.ops.viterbi import viterbi, viterbi_backtrace
+
+__all__ = [
+    "connected_graph_arrays",
+    "decode_connected",
+    "states_to_words",
+]
+
+
+def connected_graph_arrays(bank: HMMBank, n_slots: int, vocab=None) -> WordGraph:
+    """Build the n_slots-layer sausage over the given vocabulary
+    (default: all models — ``main.py:35``)."""
+    vocab = list(range(bank.n_models)) if vocab is None else list(vocab)
+    model_trans = [np.asarray(bank.trans_cost[i]) for i in range(bank.n_models)]
+    return build_word_graph(model_trans, [vocab] * n_slots)
+
+
+@functools.partial(jax.jit, static_argnames=("eps_depth",))
+def _decode_graph_batch(
+    bank: HMMBank,
+    feats,
+    n_frames,
+    trans,
+    eps_trans,
+    init_cost,
+    end_states,
+    bank_state,
+    eps_depth: int = 1,
+):
+    """Batched graph Viterbi: returns (state paths [B, T], best costs [B])."""
+    b, t, d = feats.shape
+
+    def one(x, nf):
+        frame_mask = jnp.arange(t) < nf
+        nll_bank = bank_nll(bank, x, frame_mask)  # [T, N*S]
+        nll = nll_bank[:, bank_state]  # [T, S_graph]
+        res = viterbi(
+            nll, trans, init_cost, nf, eps_trans=eps_trans, eps_depth=eps_depth
+        )
+        end_costs = res.final_cost[end_states]
+        best = jnp.argmin(end_costs)
+        end_state = end_states[best]
+        states = viterbi_backtrace(res.bp, res.eps_bp, end_state, nf, eps_depth=eps_depth)
+        return states, end_costs[best]
+
+    return jax.vmap(one)(feats, n_frames)
+
+
+def decode_connected(
+    bank: HMMBank, graph: WordGraph, feats, n_frames
+) -> Tuple[List[List[int]], np.ndarray]:
+    """Decode a batch of utterances to word-id sequences.
+
+    Returns ``(word_sequences, costs)`` where each sequence is the
+    consecutive-deduped slot labels along the best path.
+    """
+    states, costs = _decode_graph_batch(
+        bank,
+        jnp.asarray(feats),
+        jnp.asarray(n_frames),
+        jnp.asarray(graph.trans),
+        jnp.asarray(graph.eps_trans),
+        jnp.asarray(graph.init_cost),
+        jnp.asarray(graph.end_states),
+        jnp.asarray(graph.bank_state),
+        eps_depth=graph.eps_depth,
+    )
+    states = np.asarray(states)
+    seqs = [
+        states_to_words(graph, states[i], int(n_frames[i]))
+        for i in range(states.shape[0])
+    ]
+    return seqs, np.asarray(costs)
+
+
+def states_to_words(graph: WordGraph, states: np.ndarray, n_frames: int) -> List[int]:
+    """Per-frame states -> word-id sequence (dedupe consecutive slots,
+    the NES-free equivalent of ``main.py:63-67``)."""
+    slots = graph.slot[states[:n_frames]]
+    out: List[int] = []
+    prev = -1
+    for s in slots:
+        if s != prev:
+            out.append(int(graph.slot_label[s]))
+            prev = s
+    return out

@@ -1,0 +1,115 @@
+"""Embedded continuous training on synthetic connected-digit audio."""
+
+import jax
+import numpy as np
+import pytest
+
+from speech_recognition_tpu.config import FrontendConfig, HMMConfig, TrainConfig
+from speech_recognition_tpu.data.synthetic import SyntheticDigits
+from speech_recognition_tpu.models.hmm import HMMBank
+from speech_recognition_tpu.ops.frontend import mfcc39, padded_length
+from speech_recognition_tpu.train.continuous import (
+    continuous_train,
+    harvest_state_ids,
+)
+from speech_recognition_tpu.train.isolated import fit_hmm
+
+
+def test_harvest_state_ids():
+    ids = np.array([[0, 0, 1, 1, 1, 0, -1, -1], [2, 2, 2, 2, -1, -1, -1, -1]])
+    frames, runs = harvest_state_ids(ids)
+    np.testing.assert_array_equal(frames, [3, 3, 4])
+    np.testing.assert_array_equal(runs, [2, 1, 1])
+
+
+def test_continuous_training_improves_connected_decode():
+    cfg = FrontendConfig()
+    gen = SyntheticDigits(seed=3)
+    hmm_cfg = HMMConfig(n_mix=2)
+    train_cfg = TrainConfig(continuous_max_iters=3)
+
+    iso = gen.isolated_corpus(5, tag="train")
+    cont = gen.continuous_corpus(40, min_len=2, max_len=4, tag="cont")
+    test = gen.continuous_corpus(6, min_len=2, max_len=4, tag="ctest")
+
+    L = padded_length(cfg, 60000)
+
+    def featurize(utts):
+        feats, lens = [], []
+        for u in utts:
+            buf = np.zeros(L, np.float32)
+            buf[: len(u.samples)] = u.samples
+            f, nf = mfcc39(buf, np.int32(len(u.samples)), cfg)
+            feats.append(np.asarray(f))
+            lens.append(int(nf))
+        return feats, lens
+
+    iso_feats, iso_lens = featurize(iso)
+    cont_feats, cont_lens = featurize(cont)
+    test_feats, test_lens = featurize(test)
+
+    # isolated bootstrap
+    models = []
+    pad_to = max(iso_lens)
+    for d in range(11):
+        idx = [i for i, u in enumerate(iso) if u.labels == [d]]
+        temps = [iso_feats[i][: iso_lens[i]].astype(np.float64) for i in idx]
+        models.append(
+            fit_hmm(jax.random.PRNGKey(d), temps, hmm_cfg=hmm_cfg,
+                    train_cfg=train_cfg, pad_to=pad_to)
+        )
+    bank = HMMBank.stack(models)
+
+    def stack(feats, lens):
+        tmax = max(lens)
+        b = len(feats)
+        fb = np.zeros((b, tmax, 39), np.float32)
+        for i in range(b):
+            fb[i, : lens[i]] = feats[i][: lens[i]]
+        return fb, np.asarray(lens, np.int32)
+
+    fb, nb = stack(cont_feats, cont_lens)
+    labels = [u.labels for u in cont]
+    trained = continuous_train(
+        jax.random.PRNGKey(42), bank, fb, nb, labels,
+        hmm_cfg=hmm_cfg, train_cfg=train_cfg,
+    )
+
+    # decode the held-out connected test set with per-utterance-length
+    # sausages (known length, like the reference's fixed-slot decode)
+    from speech_recognition_tpu.decode.connected import (
+        connected_graph_arrays,
+        decode_connected,
+    )
+
+    tb, tn = stack(test_feats, test_lens)
+
+    def wer_digits(b):
+        errs = tot = 0
+        for i, u in enumerate(test):
+            g = connected_graph_arrays(b, len(u.labels))
+            seqs, _ = decode_connected(
+                b, g, tb[i : i + 1], tn[i : i + 1]
+            )
+            hyp = seqs[0]
+            errs += _edit_distance(hyp, u.labels)
+            tot += len(u.labels)
+        return errs / tot
+
+    wer_after = wer_digits(trained)
+    assert wer_after <= 0.15, f"digit WER after embedded training {wer_after}"
+
+
+def _edit_distance(a, b):
+    m, n = len(a), len(b)
+    dp = np.zeros((m + 1, n + 1), dtype=np.int64)
+    dp[:, 0] = np.arange(m + 1)
+    dp[0, :] = np.arange(n + 1)
+    for i in range(1, m + 1):
+        for j in range(1, n + 1):
+            dp[i, j] = min(
+                dp[i - 1, j] + 1,
+                dp[i, j - 1] + 1,
+                dp[i - 1, j - 1] + (a[i - 1] != b[j - 1]),
+            )
+    return int(dp[m, n])
