@@ -51,10 +51,12 @@ def _decode_graph_batch(
     eps_trans,
     init_cost,
     end_states,
+    end_bonus,
     bank_state,
     eps_depth: int = 1,
 ):
-    """Batched graph Viterbi: returns (state paths [B, T], best costs [B])."""
+    """Batched graph Viterbi: returns (state paths [B, T], word-start
+    epsilon flags [B, T], best costs [B])."""
     b, t, d = feats.shape
 
     def one(x, nf):
@@ -64,11 +66,13 @@ def _decode_graph_batch(
         res = viterbi(
             nll, trans, init_cost, nf, eps_trans=eps_trans, eps_depth=eps_depth
         )
-        end_costs = res.final_cost[end_states]
+        end_costs = res.final_cost[end_states] + end_bonus
         best = jnp.argmin(end_costs)
         end_state = end_states[best]
-        states = viterbi_backtrace(res.bp, res.eps_bp, end_state, nf, eps_depth=eps_depth)
-        return states, end_costs[best]
+        states, eps_flags = viterbi_backtrace(
+            res.bp, res.eps_bp, end_state, nf, eps_depth=eps_depth
+        )
+        return states, eps_flags, end_costs[best]
 
     return jax.vmap(one)(feats, n_frames)
 
@@ -81,7 +85,7 @@ def decode_connected(
     Returns ``(word_sequences, costs)`` where each sequence is the
     consecutive-deduped slot labels along the best path.
     """
-    states, costs = _decode_graph_batch(
+    states, eps_flags, costs = _decode_graph_batch(
         bank,
         jnp.asarray(feats),
         jnp.asarray(n_frames),
@@ -89,25 +93,32 @@ def decode_connected(
         jnp.asarray(graph.eps_trans),
         jnp.asarray(graph.init_cost),
         jnp.asarray(graph.end_states),
+        jnp.asarray(graph.end_bonus),
         jnp.asarray(graph.bank_state),
         eps_depth=graph.eps_depth,
     )
     states = np.asarray(states)
+    eps_flags = np.asarray(eps_flags)
     seqs = [
-        states_to_words(graph, states[i], int(n_frames[i]))
+        states_to_words(graph, states[i], int(n_frames[i]), eps_flags[i])
         for i in range(states.shape[0])
     ]
     return seqs, np.asarray(costs)
 
 
-def states_to_words(graph: WordGraph, states: np.ndarray, n_frames: int) -> List[int]:
-    """Per-frame states -> word-id sequence (dedupe consecutive slots,
-    the NES-free equivalent of ``main.py:63-67``)."""
+def states_to_words(
+    graph: WordGraph, states: np.ndarray, n_frames: int, eps_flags: np.ndarray = None
+) -> List[int]:
+    """Per-frame states -> word-id sequence: a new word starts when the
+    slot changes *or* a word-boundary epsilon edge fired at that frame
+    (the NES-split equivalent of ``main.py:63-67``; the epsilon flag is
+    what separates repeated words in loop graphs)."""
     slots = graph.slot[states[:n_frames]]
     out: List[int] = []
     prev = -1
-    for s in slots:
-        if s != prev:
+    for t, s in enumerate(slots):
+        boundary = s != prev or (eps_flags is not None and t > 0 and eps_flags[t])
+        if boundary:
             out.append(int(graph.slot_label[s]))
             prev = s
     return out

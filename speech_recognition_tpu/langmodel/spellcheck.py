@@ -1,0 +1,200 @@
+"""Text Viterbi over a lexical tree + working spell checker.
+
+Vectorized re-design of ``text_viterbi``
+(``/root/reference/sr/langmodel/spellchecker.py:15-135``) — an
+edit-distance Viterbi of an input string against the flattened trie
+with the reference's cost model: deletion 1, substitution 1 (match 0),
+insertion 1, space 0, word-end -> root loop 1.  The reference fills the
+(nodes x chars) cost matrix with a per-cell Python loop and rebuilds
+transitions via ``nodes.index`` (its own "cache misses" FIXME,
+``spellchecker.py:24``); here each input character is one vectorized
+relaxation over all trie nodes inside ``lax.scan``, with the
+same-column insertion chain handled by ``max_depth`` bounded passes
+(the trie analog of the decoder's epsilon closure).
+
+``SpellChecker`` implements the fit/spell_check API the reference left
+as TODO stubs (``spellchecker.py:138-149``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from speech_recognition_tpu.langmodel.lextree import LexTree, lextree_from_words
+from speech_recognition_tpu.utils.numerics import POS_INF
+
+__all__ = ["text_viterbi", "SpellChecker"]
+
+# cost model, spellchecker.py:27-32
+DELETION_COST = 1.0
+INSERTION_COST = 1.0
+MATCH_COST = 0.0
+SPACE_COST = 0.0
+LOOP_COST = 1.0
+
+# backpointer move kinds
+_MOVE_DEL = 0  # (r, c-1)
+_MOVE_MATCH = 1  # (parent, c-1)
+_MOVE_INS = 2  # (parent, c) same column
+_MOVE_LOOP = 3  # (word_end/space, c-1)
+
+
+@functools.partial(jax.jit, static_argnames=("max_depth",))
+def _text_viterbi_device(
+    codes,  # [C] int32 input char codes, codes[0] = '*'
+    val,  # [N] int32 node codes; val[N-1] = ' ' (synthetic space node)
+    parent,  # [N] int32; -1 root, space node parent -1
+    is_root_child,  # [N] bool
+    is_word_end,  # [N] bool (real word ends)
+    max_depth: int,
+):
+    n = val.shape[0]
+    c_len = codes.shape[0]
+    space_idx = n - 1
+    has_parent = parent >= 0
+    parent_c = jnp.maximum(parent, 0)
+
+    # Column 0 (the '*' sentinel): only the insertion chain from the root
+    # is live (reference: deletion/match need c > 0, and root children get
+    # cost via insertion from costs[0, 0] = 0 — spellchecker.py:84-92).
+    init_costs = jnp.full((n,), POS_INF).at[0].set(0.0)
+    node_dist0 = (codes[0] != val).astype(jnp.float32)
+    for _ in range(max_depth):
+        i_cost = init_costs[parent_c] + INSERTION_COST + node_dist0
+        init_costs = jnp.where(has_parent & (i_cost < init_costs), i_cost, init_costs)
+
+    def col(prev_costs, code):
+        node_dist = (code != val).astype(jnp.float32)
+
+        # deletion: stay on the node, consume one input char (the root and
+        # the space node have no deletion branch — the reference gives
+        # them only loop/space transitions, spellchecker.py:78-100)
+        cost = prev_costs + DELETION_COST + node_dist
+        cost = cost.at[0].set(POS_INF).at[space_idx].set(POS_INF)
+        bp_r = jnp.arange(n, dtype=jnp.int32)
+        bp_kind = jnp.full((n,), _MOVE_DEL, jnp.int32)
+
+        # match: from parent, consume one input char (normal nodes only —
+        # the reference gives root children no match branch,
+        # spellchecker.py:86-92)
+        m_cost = prev_costs[parent_c] + MATCH_COST + node_dist
+        m_ok = has_parent & ~is_root_child
+        better = m_ok & (m_cost < cost)
+        cost = jnp.where(better, m_cost, cost)
+        bp_r = jnp.where(better, parent_c, bp_r)
+        bp_kind = jnp.where(better, _MOVE_MATCH, bp_kind)
+
+        # space node: from any word end, consume one char, cost SPACE_COST
+        we_prev = jnp.where(is_word_end, prev_costs, POS_INF)
+        best_we = jnp.argmin(we_prev).astype(jnp.int32)
+        sp_cost = we_prev[best_we] + SPACE_COST + node_dist[space_idx]
+        sp_better = sp_cost < cost[space_idx]
+        cost = cost.at[space_idx].set(jnp.where(sp_better, sp_cost, cost[space_idx]))
+        bp_r = bp_r.at[space_idx].set(jnp.where(sp_better, best_we, bp_r[space_idx]))
+        bp_kind = bp_kind.at[space_idx].set(
+            jnp.where(sp_better, _MOVE_LOOP, bp_kind[space_idx])
+        )
+
+        # root: loop restart from any word end or the space node
+        loop_prev = jnp.where(is_word_end, prev_costs, POS_INF)
+        loop_prev = loop_prev.at[space_idx].set(prev_costs[space_idx])
+        best_loop = jnp.argmin(loop_prev).astype(jnp.int32)
+        lp_cost = loop_prev[best_loop] + LOOP_COST + node_dist[0]
+        lp_better = lp_cost < cost[0]
+        cost = cost.at[0].set(jnp.where(lp_better, lp_cost, cost[0]))
+        bp_r = bp_r.at[0].set(jnp.where(lp_better, best_loop, bp_r[0]))
+        bp_kind = bp_kind.at[0].set(jnp.where(lp_better, _MOVE_LOOP, bp_kind[0]))
+
+        # insertion: from parent in the SAME column — bounded depth passes
+        for _ in range(max_depth):
+            i_cost = cost[parent_c] + INSERTION_COST + node_dist
+            better = has_parent & (i_cost < cost)
+            cost = jnp.where(better, i_cost, cost)
+            bp_r = jnp.where(better, parent_c, bp_r)
+            bp_kind = jnp.where(better, _MOVE_INS, bp_kind)
+
+        return cost, (cost, bp_r, bp_kind)
+
+    _, (costs, bp_r, bp_kind) = jax.lax.scan(col, init_costs, codes[1:])
+    return costs, bp_r, bp_kind
+
+
+def text_viterbi(x: str, tree: LexTree) -> Tuple[float, str]:
+    """Best dictionary match for an input string.
+
+    Returns ``(best_cost, matched_string)`` like the reference
+    (``spellchecker.py:15-135``) — ``matched_string`` is the
+    concatenation of matched dictionary words (spaces included when the
+    path crosses the space node).
+    """
+    n = tree.n_nodes + 1  # + synthetic space node (spellchecker.py:37)
+    val = np.zeros(n, dtype=np.int32)
+    val[:-1] = tree.val
+    val[-1] = ord(" ")
+    parent = np.full(n, -1, dtype=np.int32)
+    parent[: n - 1] = tree.parent
+    is_root_child = np.zeros(n, dtype=bool)
+    is_root_child[: n - 1] = tree.parent == 0
+    is_word_end = np.zeros(n, dtype=bool)
+    is_word_end[: n - 1] = tree.prop == 2
+
+    codes = np.frombuffer(("*" + x).encode("latin-1"), dtype=np.uint8).astype(np.int32)
+
+    costs, bp_r, bp_kind = _text_viterbi_device(
+        jnp.asarray(codes),
+        jnp.asarray(val),
+        jnp.asarray(parent),
+        jnp.asarray(is_root_child),
+        jnp.asarray(is_word_end),
+        max_depth=tree.max_depth,
+    )
+    costs = np.asarray(costs)
+    bp_r = np.asarray(bp_r)
+    bp_kind = np.asarray(bp_kind)
+
+    # endpoint: best word end (incl. space node) at the last column
+    ends = np.concatenate([np.nonzero(is_word_end)[0], [n - 1]])
+    last = costs[-1]
+    best_end = int(ends[np.argmin(last[ends])])
+    best_cost = float(last[best_end])
+
+    # host backtrace (columns are bp rows; column c corresponds to input
+    # char c+1 because codes[0] is the '*' sentinel)
+    out = []
+    r, c = best_end, len(codes) - 2
+    while c >= 0:
+        if r != 0:
+            out.append(chr(val[r]))
+        kind = bp_kind[c, r]
+        r_prev = int(bp_r[c, r])
+        if kind == _MOVE_INS:
+            r = r_prev  # same column
+        else:
+            r = r_prev
+            c -= 1
+    return best_cost, "".join(reversed(out))
+
+
+class SpellChecker:
+    """Working implementation of the reference's stub
+    (``spellchecker.py:138-149``): fit on a dictionary, then correct
+    text word-by-word (or as one continuous string via the loop arc)."""
+
+    def __init__(self, beam: int = 0):
+        self.beam = beam
+        self.tree: LexTree = None
+
+    def fit(self, dictionary) -> "SpellChecker":
+        self.tree = lextree_from_words(list(dictionary))
+        return self
+
+    def spell_check(self, text: str) -> str:
+        if self.tree is None:
+            raise ValueError("call fit() first")
+        _, matched = text_viterbi(text, self.tree)
+        return matched

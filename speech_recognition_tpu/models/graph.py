@@ -30,7 +30,7 @@ import numpy as np
 
 from speech_recognition_tpu.utils.numerics import POS_INF
 
-__all__ = ["WordGraph", "build_word_graph", "pad_graphs"]
+__all__ = ["WordGraph", "build_word_graph", "build_loop_graph", "pad_graphs"]
 
 
 @dataclasses.dataclass
@@ -41,6 +41,7 @@ class WordGraph:
     eps_trans: np.ndarray  # [S, S] same-column costs (NES chains closed)
     init_cost: np.ndarray  # [S]
     end_states: np.ndarray  # [E] emitting final states (last layer word ends)
+    end_bonus: np.ndarray  # [E] added to final costs (e.g. -log P(</s>|w))
     bank_state: np.ndarray  # [S] index into HMMBank flat states (model*S + j)
     slot: np.ndarray  # [S] word-slot id (layer-major, unique per word copy)
     slot_label: np.ndarray  # [n_slots] model id of each slot
@@ -66,6 +67,9 @@ def _close_nes(nes_cost: np.ndarray) -> np.ndarray:
 def build_word_graph(
     model_trans: Sequence[np.ndarray],
     label_matrix: List[List[int]],
+    lm=None,
+    word_insertion_cost: float = 0.0,
+    allow_early_exit: bool = False,
 ) -> WordGraph:
     """Compose a layered word graph.
 
@@ -77,6 +81,13 @@ def build_word_graph(
         forced-alignment graph of one transcript
         (``continuous_speech.py:80``); ``[[0..10]] * 7`` gives the
         7-slot connected-digit sausage (``main.py:35``).
+      lm: optional :class:`~speech_recognition_tpu.langmodel.BigramLM`;
+        its costs are added onto the closed word-boundary epsilon edges
+        (the LM the reference planned but never wired in, SURVEY.md §1
+        note on L4).
+      word_insertion_cost: extra cost per word transition.
+      allow_early_exit: accept word ends of *every* layer as final states
+        (variable-length strings in a fixed-depth sausage).
 
     Topology matches the reference exactly: an NES before layer 0, one
     after every layer; NES -> word-start and word-end -> NES edges cost 0
@@ -136,8 +147,32 @@ def build_word_graph(
     # Initial NES (index 0): init_cost[v] = closure(NES_0 -> v).
     init_cost = a[:, 0].astype(np.float32)
 
-    end_states = np.array([word_end[s] for s in range(len(slot_label))
-                           if slot_layer[s] == n_layers - 1], dtype=np.int32)
+    # Language-model weighting on the closed word-boundary edges.
+    n_slots = len(slot_label)
+    if lm is not None or word_insertion_cost:
+        for us in range(n_slots):
+            ue = word_end[us]
+            for vs in range(n_slots):
+                vstart = word_start[vs]
+                if eps_trans[vstart, ue] < POS_INF / 2:
+                    eps_trans[vstart, ue] += word_insertion_cost + (
+                        float(lm.cost[slot_label[us], slot_label[vs]]) if lm else 0.0
+                    )
+        if lm is not None:
+            for vs in range(n_slots):
+                vstart = word_start[vs]
+                if init_cost[vstart] < POS_INF / 2:
+                    init_cost[vstart] += float(lm.start_cost[slot_label[vs]])
+
+    if allow_early_exit:
+        end_slots = list(range(n_slots))
+    else:
+        end_slots = [s for s in range(n_slots) if slot_layer[s] == n_layers - 1]
+    end_states = np.array([word_end[s] for s in end_slots], dtype=np.int32)
+    end_bonus = np.array(
+        [float(lm.end_cost[slot_label[s]]) if lm else 0.0 for s in end_slots],
+        dtype=np.float32,
+    )
 
     # eps_depth: longest chain in the emitting-level eps DAG.
     eps_depth = _eps_depth(eps_trans)
@@ -153,12 +188,87 @@ def build_word_graph(
         eps_trans=eps_trans,
         init_cost=init_cost,
         end_states=end_states,
+        end_bonus=end_bonus,
         bank_state=bank_state,
         slot=np.asarray(states_slot, dtype=np.int32),
         slot_label=np.asarray(slot_label, dtype=np.int32),
         slot_layer=np.asarray(slot_layer, dtype=np.int32),
         state_in_word=np.asarray(states_j, dtype=np.int32),
         eps_depth=eps_depth,
+    )
+
+
+def build_loop_graph(
+    model_trans: Sequence[np.ndarray],
+    vocab: Sequence[int] = None,
+    lm=None,
+    word_insertion_cost: float = 0.0,
+) -> WordGraph:
+    """Unbounded-length word-loop graph: one copy of every word, word
+    ends feed every word start through LM-weighted epsilon edges.
+
+    This is the production connected decoder's graph — it supplants the
+    reference's fixed 7-slot sausage (``main.py:35``) with
+    variable/unbounded-length recognition, and is where a bigram LM
+    becomes exact (each boundary edge carries ``-log P(v|u)``).  Word
+    boundaries for repeated words are recovered from epsilon-hop flags
+    in the backtrace (``ops/viterbi.viterbi_backtrace``), since slot
+    labels alone cannot separate \"9 9\".
+    """
+    vocab = list(range(len(model_trans))) if vocab is None else list(vocab)
+    states_model, states_slot, states_j = [], [], []
+    word_start, word_end = [], []
+    for slot_id, l in enumerate(vocab):
+        s = np.asarray(model_trans[l]).shape[0]
+        if s < 2:
+            raise ValueError("loop graphs need words with >= 2 states")
+        start = len(states_model)
+        states_model += [l] * s
+        states_slot += [slot_id] * s
+        states_j += list(range(s))
+        word_start.append(start)
+        word_end.append(start + s - 1)
+
+    n_emit = len(states_model)
+    trans = np.full((n_emit, n_emit), POS_INF, dtype=np.float32)
+    for slot_id, l in enumerate(vocab):
+        t = np.asarray(model_trans[l], dtype=np.float32)
+        s = t.shape[0]
+        s0 = word_start[slot_id]
+        trans[s0 : s0 + s, s0 : s0 + s] = np.where(np.isfinite(t), t, POS_INF)
+
+    eps_trans = np.full((n_emit, n_emit), POS_INF, dtype=np.float32)
+    init_cost = np.full((n_emit,), POS_INF, dtype=np.float32)
+    for us, ul in enumerate(vocab):
+        for vs, vl in enumerate(vocab):
+            c = word_insertion_cost + (float(lm.cost[ul, vl]) if lm else 0.0)
+            eps_trans[word_start[vs], word_end[us]] = c
+    for vs, vl in enumerate(vocab):
+        init_cost[word_start[vs]] = float(lm.start_cost[vl]) if lm else 0.0
+
+    end_states = np.asarray(word_end, dtype=np.int32)
+    end_bonus = np.array(
+        [float(lm.end_cost[l]) if lm else 0.0 for l in vocab], dtype=np.float32
+    )
+    return WordGraph(
+        trans=trans,
+        eps_trans=eps_trans,
+        init_cost=init_cost,
+        end_states=end_states,
+        end_bonus=end_bonus,
+        bank_state=np.array(
+            [
+                states_model[i] * max(np.asarray(t).shape[0] for t in model_trans)
+                + states_j[i]
+                for i in range(n_emit)
+            ],
+            dtype=np.int32,
+        ),
+        slot=np.asarray(states_slot, dtype=np.int32),
+        slot_label=np.asarray(list(vocab), dtype=np.int32),
+        slot_layer=np.zeros(len(vocab), dtype=np.int32),
+        state_in_word=np.asarray(states_j, dtype=np.int32),
+        eps_depth=1,
     )
 
 
@@ -217,6 +327,9 @@ def pad_graphs(graphs: List[WordGraph]):
         # pad end-state lists by repeating the first end state
         "end_states": np.stack(
             [pad_vec(g.end_states, g.end_states[0], emax, np.int32) for g in graphs]
+        ),
+        "end_bonus": np.stack(
+            [pad_vec(g.end_bonus, g.end_bonus[0], emax) for g in graphs]
         ),
         "bank_state": np.stack(
             [pad_vec(g.bank_state, 0, smax, np.int32) for g in graphs]

@@ -150,23 +150,29 @@ def viterbi_backtrace(bp, eps_bp, end_state, n_frames, eps_depth: int = 1):
     the new word-start (double emission); we keep the later state, so
     consecutive-deduped word sequences agree.
 
-    Returns ``states [T] int32`` (entries >= n_frames repeat the end state).
+    Returns ``(states [T] int32, eps_entered [T] bool)``.  ``eps_entered[t]``
+    marks that the path crossed a word-boundary epsilon edge *at* frame t
+    (a new word starts there) — this is what separates repeated words in
+    loop graphs, where slot labels alone cannot split \"9 9\".  Entries
+    >= n_frames repeat the end state / False.
     """
     T, S = bp.shape
 
     def step(s, t):
         rec = s
         s_eps = s
+        used_eps = jnp.array(False)
         for _ in range(eps_depth):
             origin = eps_bp[t, s_eps]
+            used_eps = used_eps | (origin >= 0)
             s_eps = jnp.where(origin >= 0, origin, s_eps)
         prev = bp[t, s_eps]
         active = (t > 0) & (t < n_frames)
-        return jnp.where(active, prev, s), rec
+        return jnp.where(active, prev, s), (rec, used_eps & (t < n_frames))
 
     ts = jnp.arange(T - 1, -1, -1)
-    _, states_rev = jax.lax.scan(step, end_state.astype(jnp.int32), ts)
-    return states_rev[::-1]
+    _, (states_rev, eps_rev) = jax.lax.scan(step, end_state.astype(jnp.int32), ts)
+    return states_rev[::-1], eps_rev[::-1]
 
 
 def viterbi_path_cost(nll, trans_cost, init_cost, n_frames, end_state=None, **kw):

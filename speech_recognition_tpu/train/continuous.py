@@ -75,7 +75,7 @@ def align_batch(
         res = viterbi(nll, tr, init, nf, eps_trans=eps, eps_depth=eps_depth)
         end_costs = res.final_cost[ends]
         best = jnp.argmin(end_costs)
-        states = viterbi_backtrace(res.bp, res.eps_bp, ends[best], nf, eps_depth=eps_depth)
+        states, _ = viterbi_backtrace(res.bp, res.eps_bp, ends[best], nf, eps_depth=eps_depth)
         ids = jnp.where(frame_mask, bstate[states], -1)
         return ids, end_costs[best]
 

@@ -106,7 +106,7 @@ def _align_batch(x, n_frames, means, trans, n_segments: int):
 
     def one(d, nf):
         res = viterbi(d, trans, init, nf)
-        return viterbi_backtrace(res.bp, res.eps_bp, jnp.int32(n_segments - 1), nf)
+        return viterbi_backtrace(res.bp, res.eps_bp, jnp.int32(n_segments - 1), nf)[0]
 
     return jax.vmap(one)(dists, n_frames)
 

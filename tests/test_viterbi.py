@@ -43,7 +43,7 @@ def test_linear_viterbi_matches_dtw_oracle(rng, T, S):
     # per-frame state occupancy: oracle path covers frames 0..T-2 plus the
     # forced endpoint (S-1, T-1)
     states = np.asarray(
-        viterbi_backtrace(res.bp, res.eps_bp, np.int32(S - 1), np.int32(T))
+        viterbi_backtrace(res.bp, res.eps_bp, np.int32(S - 1), np.int32(T))[0]
     )
     ref_states = np.zeros(T, dtype=np.int64)
     ref_states[T - 1] = S - 1
@@ -59,8 +59,8 @@ def test_masked_frames_ignored(rng):
     full = viterbi(emis[:true_t], trans, linear_init_cost(S), np.int32(true_t))
     padded = viterbi(emis, trans, linear_init_cost(S), np.int32(true_t))
     np.testing.assert_allclose(full.final_cost, padded.final_cost, rtol=1e-6)
-    s_full = viterbi_backtrace(full.bp, full.eps_bp, np.int32(S - 1), np.int32(true_t))
-    s_pad = viterbi_backtrace(padded.bp, padded.eps_bp, np.int32(S - 1), np.int32(true_t))
+    s_full = viterbi_backtrace(full.bp, full.eps_bp, np.int32(S - 1), np.int32(true_t))[0]
+    s_pad = viterbi_backtrace(padded.bp, padded.eps_bp, np.int32(S - 1), np.int32(true_t))[0]
     np.testing.assert_array_equal(np.asarray(s_full), np.asarray(s_pad)[:true_t])
 
 
@@ -124,7 +124,7 @@ def test_sausage_graph_matches_nes_oracle(rng):
     states = np.asarray(
         viterbi_backtrace(
             res.bp, res.eps_bp, np.int32(end_state), np.int32(T), eps_depth=g.eps_depth
-        )
+        )[0]
     )
     slots = g.slot[states]
     words = [g.slot_label[s] for s in _dedupe(slots)]
