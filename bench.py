@@ -1,0 +1,218 @@
+"""Benchmark driver. Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Headline metric: connected-digit decode throughput in audio-seconds per
+second per chip — the workload of the reference's ``main.py`` (7-slot x
+11-digit sausage over 5-state 4-mix GMM-HMMs, 39-dim features), from
+features to word sequences (emission GEMM + graph Viterbi + backtrace).
+
+``vs_baseline``: ratio against the reference implementation's
+O(T*S^2) per-cell Python decoder (``decode_hmm_states``,
+/root/reference/sr/recognition/decode.py:97-124), re-measured live on
+this machine via the faithful oracle in tests/oracles/dp_ref.py on a
+short utterance (its cost is linear in T, so the short run is an
+unbiased per-frame estimate).
+
+Extra diagnostics go to stderr; stdout carries exactly the JSON line.
+Run ``python bench.py --help`` for sub-benchmarks.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def _bank(n_models=11, n_states=5, n_mix=4, dim=39, seed=0):
+    import jax.numpy as jnp
+
+    from speech_recognition_tpu.data.synthetic import random_gmm_hmm
+    from speech_recognition_tpu.models.hmm import GMMHMM, HMMBank
+    from speech_recognition_tpu.utils.numerics import to_cost_matrix
+
+    rng = np.random.default_rng(seed)
+    ms = []
+    for _ in range(n_models):
+        p = random_gmm_hmm(rng, n_states=n_states, n_mix=n_mix, dim=dim, sep=3.0)
+        ms.append(
+            GMMHMM(
+                means=jnp.asarray(p["means"], jnp.float32),
+                log_vars=jnp.log(jnp.asarray(p["variances"], jnp.float32)),
+                log_weights=jnp.log(jnp.asarray(p["weights"], jnp.float32)),
+                trans_cost=jnp.asarray(to_cost_matrix(p["trans"])),
+            )
+        )
+    return HMMBank.stack(ms)
+
+
+def _timeit(fn, warmup=2, iters=5):
+    import jax
+
+    for _ in range(warmup):
+        jax.block_until_ready(fn())
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn()
+        jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_connected_decode(batch=64, frames=500, n_slots=7, frame_step_s=0.01):
+    """Headline: audio-seconds/s of sausage-graph connected decode."""
+    import jax
+    import jax.numpy as jnp
+
+    from speech_recognition_tpu.decode.connected import _decode_graph_batch
+    from speech_recognition_tpu.decode.connected import connected_graph_arrays
+
+    bank = _bank()
+    graph = connected_graph_arrays(bank, n_slots)
+    log(f"graph: {graph.n_states} emitting states, eps_depth {graph.eps_depth}")
+
+    rng = np.random.default_rng(1)
+    feats = jnp.asarray(rng.standard_normal((batch, frames, 39)), jnp.float32)
+    n_frames = jnp.full((batch,), frames, jnp.int32)
+    args = (
+        jnp.asarray(graph.trans), jnp.asarray(graph.eps_trans),
+        jnp.asarray(graph.init_cost), jnp.asarray(graph.end_states),
+        jnp.asarray(graph.end_bonus), jnp.asarray(graph.bank_state),
+    )
+
+    def run():
+        return _decode_graph_batch(bank, feats, n_frames, *args, eps_depth=graph.eps_depth)
+
+    dt = _timeit(run)
+    audio_s = batch * frames * frame_step_s
+    thr = audio_s / dt
+    log(f"connected decode: {batch}x{frames} frames in {dt*1e3:.1f} ms -> {thr:.0f} audio-s/s")
+    return thr
+
+
+def bench_reference_baseline(frames=20, n_slots=7, frame_step_s=0.01):
+    """Reference decoder throughput (audio-seconds/s) via the faithful
+    numpy oracle of decode_hmm_states on the same 7-slot graph."""
+    sys.path.insert(0, ".")
+    from tests.oracles.dp_ref import decode_hmm_states_oracle
+
+    rng = np.random.default_rng(2)
+    n_models, s = 11, 5
+    # reference layout: NES + 7 layers x (11 words x 5 states) + NES each
+    n_ref = 1 + n_slots * (n_models * s + 1)
+    trans = np.full((n_ref, n_ref), np.inf)
+    is_nes = np.zeros(n_ref, dtype=bool)
+    is_nes[0] = True
+    idx, nes = 1, [0]
+    starts, ends = [], []
+    for layer in range(n_slots):
+        for w in range(n_models):
+            starts.append((layer, idx))
+            ends.append((layer, idx + s - 1))
+            for i in range(s):
+                trans[idx + i, idx + i] = 0.5
+                if i + 1 < s:
+                    trans[idx + i + 1, idx + i] = 0.9
+            idx += s
+        is_nes[idx] = True
+        nes.append(idx)
+        idx += 1
+    for layer, st in starts:
+        trans[st, nes[layer]] = 0.0
+    for layer, e in ends:
+        trans[nes[layer + 1], e] = 0.0
+    emis = rng.uniform(0, 5, size=(frames, n_ref))
+    end_points = [[e, -1] for layer, e in ends if layer == n_slots - 1]
+
+    t0 = time.perf_counter()
+    decode_hmm_states_oracle(emis, trans, is_nes, end_points)
+    dt = time.perf_counter() - t0
+    thr = frames * frame_step_s / dt
+    log(f"reference oracle: {frames} frames ({n_ref} states) in {dt:.1f} s -> {thr:.4f} audio-s/s")
+    return thr
+
+
+def bench_frontend(batch=64, samples=80000):
+    import jax
+    import jax.numpy as jnp
+
+    from speech_recognition_tpu.config import FrontendConfig
+    from speech_recognition_tpu.ops.frontend import mfcc39, padded_length
+
+    cfg = FrontendConfig()
+    L = padded_length(cfg, samples)
+    rng = np.random.default_rng(0)
+    sig = jnp.asarray(rng.standard_normal((batch, L)), jnp.float32)
+    lens = jnp.full((batch,), samples, jnp.int32)
+    run = jax.jit(jax.vmap(lambda s, l: mfcc39(s, l, cfg)))
+    dt = _timeit(lambda: run(sig, lens))
+    audio_s = batch * samples / cfg.sample_rate
+    log(f"frontend: {audio_s:.0f} audio-s in {dt*1e3:.1f} ms -> {audio_s/dt:.0f} audio-s/s")
+    return audio_s / dt
+
+
+def bench_embedded_train(batch=32, frames=300):
+    import jax
+    import jax.numpy as jnp
+
+    from speech_recognition_tpu.models.graph import build_word_graph, pad_graphs
+    from speech_recognition_tpu.train.embedded_step import embedded_step
+
+    bank = _bank()
+    trans_np = [np.asarray(bank.trans_cost[i]) for i in range(bank.n_models)]
+    rng = np.random.default_rng(3)
+    labels = [[int(rng.integers(0, 11)) for _ in range(5)] for _ in range(batch)]
+    graphs = [build_word_graph(trans_np, [[l] for l in ls]) for ls in labels]
+    gb, eps_depth = pad_graphs(graphs)
+    g = {k: jnp.asarray(gb[k]) for k in ("trans", "eps_trans", "init_cost", "end_states", "bank_state")}
+    feats = jnp.asarray(rng.standard_normal((batch, frames, 39)), jnp.float32)
+    nf = jnp.full((batch,), frames, jnp.int32)
+
+    def run():
+        return embedded_step(bank, feats, nf, g, eps_depth=eps_depth)
+
+    dt = _timeit(run)
+    log(f"embedded step: {batch} utts in {dt*1e3:.1f} ms -> {batch/dt:.0f} utts/s")
+    return batch / dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--what", default="headline",
+                    choices=["headline", "frontend", "train", "decode"])
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--frames", type=int, default=500)
+    args = ap.parse_args()
+
+    import jax
+
+    log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
+
+    if args.what == "frontend":
+        v = bench_frontend(args.batch)
+        print(json.dumps({"metric": "mfcc-frontend", "value": round(v, 1),
+                          "unit": "audio-seconds/s/chip", "vs_baseline": 0}))
+        return
+    if args.what == "train":
+        v = bench_embedded_train(args.batch)
+        print(json.dumps({"metric": "embedded-EM", "value": round(v, 1),
+                          "unit": "utterances/s/chip", "vs_baseline": 0}))
+        return
+
+    thr = bench_connected_decode(args.batch, args.frames)
+    base = bench_reference_baseline()
+    out = {
+        "metric": "connected-digit-decode",
+        "value": round(thr, 1),
+        "unit": "audio-seconds/s/chip",
+        "vs_baseline": round(thr / base, 1),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,332 @@
+"""Command-line interface.
+
+Mirrors the reference CLI's actions — ``isolated_train``,
+``isolated_test``, ``record``, ``continuous_train``
+(``/root/reference/cli.py:8-10``) — plus ``connected_test`` (the
+reference's separate ``main.py`` script) and ``synth`` (generate the
+deterministic synthetic Aurora-style corpus, since the original data is
+private).  Unlike the reference there are no hard-coded absolute data
+paths (``config.py:2``) or CWD-relative cache dirs; everything is a
+flag.
+
+Run:  python -m speech_recognition_tpu.cli ACTION [flags]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import re
+import sys
+
+import numpy as np
+
+from speech_recognition_tpu.config import (
+    DIGIT_NAMES,
+    FrontendConfig,
+    HMMConfig,
+    TrainConfig,
+)
+
+
+def _featurize_files(paths, cfg: FrontendConfig, cap_samples: int):
+    import jax.numpy as jnp
+
+    from speech_recognition_tpu.data.wav import read_wav
+    from speech_recognition_tpu.ops.frontend import mfcc39, padded_length
+
+    L = padded_length(cfg, cap_samples)
+    feats, lens = [], []
+    for p in paths:
+        rate, sig = read_wav(p)
+        sig = np.asarray(sig, np.float32)[:cap_samples]
+        buf = np.zeros(L, np.float32)
+        buf[: len(sig)] = sig
+        f, nf = mfcc39(jnp.asarray(buf), np.int32(len(sig)), cfg)
+        feats.append(np.asarray(f))
+        lens.append(int(nf))
+    return feats, lens
+
+
+def _stack(feats, lens, dim=39):
+    tmax = max(lens)
+    fb = np.zeros((len(feats), tmax, dim), np.float32)
+    for i, f in enumerate(feats):
+        fb[i, : lens[i]] = f[: lens[i]]
+    return fb, np.asarray(lens, np.int32)
+
+
+def cmd_synth(args):
+    from speech_recognition_tpu.data.synthetic import SyntheticDigits
+    from speech_recognition_tpu.data.wav import write_wav
+
+    gen = SyntheticDigits(seed=args.seed)
+    os.makedirs(os.path.join(args.output, "train"), exist_ok=True)
+    os.makedirs(os.path.join(args.output, "test"), exist_ok=True)
+    for u in gen.isolated_corpus(args.n_train, tag="train"):
+        write_wav(os.path.join(args.output, "train", u.name), u.samples)
+    for u in gen.isolated_corpus(args.n_test, tag="test"):
+        write_wav(os.path.join(args.output, "test", u.name), u.samples)
+    for u in gen.continuous_corpus(args.n_continuous, tag="cont"):
+        write_wav(os.path.join(args.output, "train", u.name), u.samples)
+    for u in gen.continuous_corpus(max(args.n_continuous // 4, 1), tag="ctest"):
+        write_wav(os.path.join(args.output, "test", u.name), u.samples)
+    print(f"wrote corpus under {args.output}/")
+
+
+def cmd_isolated_train(args):
+    import jax
+
+    from speech_recognition_tpu.models.hmm import HMMBank
+    from speech_recognition_tpu.train.isolated import fit_hmm
+    from speech_recognition_tpu.utils.checkpoint import save_bank
+
+    cfg = FrontendConfig()
+    hmm_cfg = HMMConfig(n_states=args.n_states, n_mix=args.n_gaussians)
+    train_cfg = TrainConfig()
+
+    models = []
+    all_temps = {}
+    for d, name in enumerate(DIGIT_NAMES):
+        pattern = re.compile("[A-Z]+_" + name + "[AB].wav")  # cli.py:27
+        files = sorted(
+            f for f in glob.glob(os.path.join(args.input, "*.wav"))
+            if pattern.match(os.path.basename(f))
+        )
+        if not files:
+            sys.exit(f"no training files for digit {name} under {args.input}")
+        feats, lens = _featurize_files(files, cfg, args.max_samples)
+        all_temps[d] = [f[:n].astype(np.float64) for f, n in zip(feats, lens)]
+    pad_to = max(max(t.shape[0] for t in ts) for ts in all_temps.values())
+    for d, name in enumerate(DIGIT_NAMES):
+        print(f"training {name} on {len(all_temps[d])} files")
+        models.append(
+            fit_hmm(
+                jax.random.PRNGKey(train_cfg.seed + d),
+                all_temps[d],
+                use_em=args.em,
+                train_cfg=train_cfg,
+                hmm_cfg=hmm_cfg,
+                pad_to=pad_to,
+            )
+        )
+    bank = HMMBank.stack(models)
+    save_bank(args.output, bank, {"kind": "isolated", "n_mix": args.n_gaussians})
+    print(f"saved bank to {args.output}")
+
+
+def cmd_isolated_test(args):
+    import jax.numpy as jnp
+
+    from speech_recognition_tpu.decode.isolated import classify_batch
+    from speech_recognition_tpu.utils.checkpoint import load_bank
+
+    cfg = FrontendConfig()
+    bank, _ = load_bank(args.input)
+    files, labels = [], []
+    for d, name in enumerate(DIGIT_NAMES):
+        pattern = re.compile("[A-Z]+_" + name + "[AB].wav")
+        for f in sorted(glob.glob(os.path.join(args.data, "*.wav"))):
+            if pattern.match(os.path.basename(f)):
+                files.append(f)
+                labels.append(d)
+    feats, lens = _featurize_files(files, cfg, args.max_samples)
+    fb, nb = _stack(feats, lens)
+    pred, costs = classify_batch(bank, jnp.asarray(fb), jnp.asarray(nb))
+    pred = np.asarray(pred)
+    for f, p, l in zip(files, pred, labels):
+        if p != l:
+            print(f"Digit: {DIGIT_NAMES[l]} is wrong ({os.path.basename(f)} -> {DIGIT_NAMES[p]})")
+    acc = float(np.mean(pred == np.asarray(labels)))
+    print(acc)
+
+
+def cmd_continuous_train(args):
+    import jax
+
+    from speech_recognition_tpu.data.aurora import (
+        labels_from_transcript,
+        transcript_from_filename,
+    )
+    from speech_recognition_tpu.models.graph import build_word_graph, pad_graphs
+    from speech_recognition_tpu.train.embedded_step import embedded_step
+    from speech_recognition_tpu.utils.checkpoint import (
+        latest_iteration,
+        load_bank,
+        save_iteration,
+    )
+
+    import jax.numpy as jnp
+
+    cfg = FrontendConfig()
+    start_it = 0
+    it_found, ckpt = latest_iteration(args.output)
+    if ckpt:
+        print(f"resuming from {ckpt}")
+        bank, _ = load_bank(ckpt)
+        start_it = it_found + 1
+    else:
+        bank, _ = load_bank(args.input)
+
+    files = sorted(glob.glob(os.path.join(args.data, "*.wav")))
+    files = [f for f in files if transcript_from_filename(os.path.basename(f))]
+    labels = [
+        labels_from_transcript(transcript_from_filename(os.path.basename(f)))
+        for f in files
+    ]
+    feats, lens = _featurize_files(files, cfg, args.max_samples)
+    fb, nb = _stack(feats, lens)
+
+    for it in range(start_it, start_it + args.iterations):
+        trans_np = [np.asarray(bank.trans_cost[i]) for i in range(bank.n_models)]
+        graphs = [build_word_graph(trans_np, [[l] for l in ls]) for ls in labels]
+        gb, eps_depth = pad_graphs(graphs)
+        g = {k: jnp.asarray(gb[k]) for k in
+             ("trans", "eps_trans", "init_cost", "end_states", "bank_state")}
+        new_bank, stats = embedded_step(
+            bank, jnp.asarray(fb), jnp.asarray(nb), g, eps_depth=eps_depth
+        )
+        cost = float(stats.total_cost)
+        print(f"iteration {it}: total alignment cost {cost:.1f}")
+        save_iteration(args.output, it, new_bank, cost=cost)
+        converged = all(
+            np.allclose(np.asarray(getattr(new_bank, f)), np.asarray(getattr(bank, f)),
+                        rtol=1e-5, atol=1e-8)
+            for f in ("means", "log_vars", "log_weights")
+        )
+        bank = new_bank
+        if converged:
+            print("continuous training converged")
+            break
+
+
+def cmd_connected_test(args):
+    from speech_recognition_tpu.data.aurora import (
+        labels_from_transcript,
+        transcript_from_filename,
+    )
+    from speech_recognition_tpu.decode.connected import decode_connected
+    from speech_recognition_tpu.langmodel.bigram import fit_bigram, uniform_bigram
+    from speech_recognition_tpu.models.graph import build_loop_graph, build_word_graph
+    from speech_recognition_tpu.utils.checkpoint import load_bank
+    from speech_recognition_tpu.utils.metrics import (
+        positional_digit_accuracy,
+        sequence_accuracy,
+        wer,
+    )
+
+    cfg = FrontendConfig()
+    bank, _ = load_bank(args.input)
+    files = sorted(glob.glob(os.path.join(args.data, "*.wav")))
+    files = [f for f in files if transcript_from_filename(os.path.basename(f))]
+    refs = [
+        labels_from_transcript(transcript_from_filename(os.path.basename(f)))
+        for f in files
+    ]
+    feats, lens = _featurize_files(files, cfg, args.max_samples)
+    fb, nb = _stack(feats, lens)
+
+    trans_np = [np.asarray(bank.trans_cost[i]) for i in range(bank.n_models)]
+    lm = None
+    if args.lm == "bigram":
+        lm = fit_bigram(refs, bank.n_models)  # in practice: train transcripts
+    if args.graph == "loop":
+        graph = build_loop_graph(trans_np, lm=lm,
+                                 word_insertion_cost=args.word_insertion_cost)
+        hyps, _ = decode_connected(bank, graph, fb, nb)
+    else:
+        hyps = []
+        for i, r in enumerate(refs):
+            n_slots = args.n_slots or len(r)
+            graph = build_word_graph(trans_np, [list(range(bank.n_models))] * n_slots,
+                                     lm=lm)
+            h, _ = decode_connected(bank, graph, fb[i : i + 1], nb[i : i + 1])
+            hyps.append(h[0])
+
+    for h, r, f in zip(hyps, refs, files):
+        tag = "Correct" if h == r else "Incorrect"
+        print(f"{tag}: {[DIGIT_NAMES[x] for x in h]} ref {[DIGIT_NAMES[x] for x in r]}")
+    print("Sequence accuracy:", sequence_accuracy(hyps, refs))
+    print("Digit accuracy:", positional_digit_accuracy(hyps, refs))
+    print("WER:", wer(hyps, refs))
+
+
+def cmd_record(args):
+    from speech_recognition_tpu.data.capture import record
+
+    record(args.output_wav)
+    print(f"wrote {args.output_wav}")
+    if args.input:
+        import jax.numpy as jnp
+
+        from speech_recognition_tpu.decode.isolated import classify_batch
+        from speech_recognition_tpu.utils.checkpoint import load_bank
+
+        cfg = FrontendConfig()
+        bank, _ = load_bank(args.input)
+        feats, lens = _featurize_files([args.output_wav], cfg, args.max_samples)
+        fb, nb = _stack(feats, lens)
+        pred, _ = classify_batch(bank, jnp.asarray(fb), jnp.asarray(nb))
+        print("recognized:", DIGIT_NAMES[int(pred[0])])
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="TPU-native digit ASR")
+    sub = ap.add_subparsers(dest="action", required=True)
+
+    p = sub.add_parser("synth", help="generate synthetic Aurora-style corpus")
+    p.add_argument("-o", "--output", default="data")
+    p.add_argument("--n-train", type=int, default=6)
+    p.add_argument("--n-test", type=int, default=3)
+    p.add_argument("--n-continuous", type=int, default=40)
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=cmd_synth)
+
+    p = sub.add_parser("isolated_train")
+    p.add_argument("-i", "--input", required=True, help="wav dir")
+    p.add_argument("-o", "--output", default="models/bank.npz")
+    p.add_argument("-g", "--gmm", action="store_true", default=True)
+    p.add_argument("-e", "--em", action="store_true", default=True)
+    p.add_argument("--n-states", type=int, default=5)
+    p.add_argument("--n-gaussians", type=int, default=4)
+    p.add_argument("--max-samples", type=int, default=64000)
+    p.set_defaults(fn=cmd_isolated_train)
+
+    p = sub.add_parser("isolated_test")
+    p.add_argument("-i", "--input", required=True, help="bank .npz")
+    p.add_argument("-d", "--data", required=True, help="wav dir")
+    p.add_argument("--max-samples", type=int, default=64000)
+    p.set_defaults(fn=cmd_isolated_test)
+
+    p = sub.add_parser("continuous_train")
+    p.add_argument("-i", "--input", required=True, help="initial bank .npz")
+    p.add_argument("-o", "--output", default="models-continuous")
+    p.add_argument("-d", "--data", required=True, help="wav dir")
+    p.add_argument("--iterations", type=int, default=10)
+    p.add_argument("--max-samples", type=int, default=120000)
+    p.set_defaults(fn=cmd_continuous_train)
+
+    p = sub.add_parser("connected_test")
+    p.add_argument("-i", "--input", required=True, help="bank .npz")
+    p.add_argument("-d", "--data", required=True, help="wav dir")
+    p.add_argument("--graph", choices=["loop", "sausage"], default="loop")
+    p.add_argument("--lm", choices=["none", "bigram"], default="none")
+    p.add_argument("--n-slots", type=int, default=0,
+                   help="sausage slots (0 = per-utterance ref length)")
+    p.add_argument("--word-insertion-cost", type=float, default=0.0)
+    p.add_argument("--max-samples", type=int, default=120000)
+    p.set_defaults(fn=cmd_connected_test)
+
+    p = sub.add_parser("record")
+    p.add_argument("-i", "--input", default=None, help="bank .npz for classify")
+    p.add_argument("-o", "--output-wav", default="test.wav")
+    p.add_argument("--max-samples", type=int, default=64000)
+    p.set_defaults(fn=cmd_record)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -67,6 +67,14 @@ class HMMBank(NamedTuple):
     def n_states(self) -> int:
         return self.means.shape[1]
 
+    @property
+    def n_mix(self) -> int:
+        return self.means.shape[2]
+
+    @property
+    def feature_dim(self) -> int:
+        return self.means.shape[3]
+
     @classmethod
     def stack(cls, models) -> "HMMBank":
         return cls(*[jnp.stack([getattr(m, f) for m in models]) for f in GMMHMM._fields])

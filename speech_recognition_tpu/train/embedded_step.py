@@ -1,0 +1,188 @@
+"""One fully-jittable embedded-training (Viterbi-EM) step.
+
+This is the production trainer and the unit of distribution.  The
+reference's continuous training
+(``/root/reference/sr/recognition/continuous_speech.py:56-179``)
+re-runs mixture splitting + full EM from scratch per state per
+iteration in host Python; here one iteration is a single compiled
+program:
+
+  1. batched forced alignment against per-utterance transcript graphs
+     (``lax.scan`` Viterbi, emissions from one bank GEMM),
+  2. soft mixture responsibilities *within* each aligned state
+     (HTK-style embedded re-estimation — a strict upgrade over the
+     reference's from-scratch refit, with identical fixed points),
+  3. sufficient statistics as two weighted GEMMs
+     ``W[BT, NS*M].T @ x`` — plain sums over the frame axis, so under
+     ``pjit`` with the batch sharded on the 'data' mesh axis XLA turns
+     them into ``psum``s (SURVEY.md §2.2 DP row),
+  4. M-step + transition re-estimation (``p_jump = runs / frames``,
+     ``continuous_speech.py:146-164``) vectorized over all states.
+
+States with no aligned frames keep their previous parameters
+(reference warns and skips, ``continuous_speech.py:149-152``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from speech_recognition_tpu.models.hmm import HMMBank
+from speech_recognition_tpu.ops.gmm import augment_features, gmm_emission_weights
+from speech_recognition_tpu.ops.viterbi import viterbi, viterbi_backtrace
+from speech_recognition_tpu.utils.numerics import POS_INF
+
+__all__ = ["embedded_step", "EmbeddedStats"]
+
+
+class EmbeddedStats(NamedTuple):
+    r_sum: jnp.ndarray  # [NS, M] responsibility mass
+    rx: jnp.ndarray  # [NS, M, D]
+    rxx: jnp.ndarray  # [NS, M, D]
+    frame_counts: jnp.ndarray  # [NS]
+    run_counts: jnp.ndarray  # [NS]
+    total_cost: jnp.ndarray  # [] sum of alignment costs
+
+
+def _align_ids(bank, feats, n_frames, g, eps_depth):
+    """vmapped forced alignment -> per-frame global state ids (-1 pad)."""
+    b, t, d = feats.shape
+    n, s = bank.n_models, bank.n_states
+    w, lw = gmm_emission_weights(*bank.flat_states())
+    ns, m, a = w.shape
+
+    def one(x, nf, tr, eps, init, ends, bstate):
+        frame_mask = jnp.arange(t) < nf
+        xa = augment_features(x)
+        per_mix = (xa @ w.reshape(ns * m, a).T).reshape(t, ns, m)
+        z = lw[None] - per_mix
+        zmax = jnp.max(z, axis=-1, keepdims=True)
+        nll_bank = -(jnp.log(jnp.sum(jnp.exp(z - zmax), axis=-1)) + zmax[..., 0])
+        nll_bank = jnp.where(frame_mask[:, None], nll_bank, 0.0)
+        nll = nll_bank[:, bstate]
+        res = viterbi(nll, tr, init, nf, eps_trans=eps, eps_depth=eps_depth)
+        end_costs = res.final_cost[ends]
+        best = jnp.argmin(end_costs)
+        states, _ = viterbi_backtrace(res.bp, res.eps_bp, ends[best], nf, eps_depth=eps_depth)
+        ids = jnp.where(frame_mask, bstate[states], -1)
+        return ids, end_costs[best]
+
+    return jax.vmap(one)(
+        feats, n_frames, g["trans"], g["eps_trans"], g["init_cost"],
+        g["end_states"], g["bank_state"],
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("eps_depth", "var_floor", "lr"))
+def embedded_step(
+    bank: HMMBank,
+    feats,
+    n_frames,
+    graph_batch,
+    eps_depth: int = 1,
+    var_floor: float = 1e-2,
+    lr: float = 1.0,
+):
+    """One Viterbi-EM iteration.
+
+    Args:
+      bank: current models.
+      feats: ``[B, T, D]`` padded features (shard on 'data').
+      n_frames: ``[B]``.
+      graph_batch: dict from :func:`models.graph.pad_graphs` as device
+        arrays (``trans/eps_trans/init_cost/end_states/bank_state``),
+        one graph per utterance (shard on 'data').
+      lr: interpolation toward the re-estimated parameters (1 = replace).
+
+    Returns ``(new_bank, EmbeddedStats)``.
+    """
+    b, t, d = feats.shape
+    n, s = bank.n_models, bank.n_states
+    ns = n * s
+    m = bank.n_mix
+
+    ids, costs = _align_ids(bank, feats, n_frames, graph_batch, eps_depth)
+
+    flat_ids = ids.reshape(b * t)
+    flat_x = feats.reshape(b * t, d)
+    valid = flat_ids >= 0
+
+    # state occupancy one-hot [BT, NS]
+    onehot = (flat_ids[:, None] == jnp.arange(ns)[None, :]) & valid[:, None]
+    onehot_f = onehot.astype(feats.dtype)
+    frame_counts = jnp.sum(onehot_f, axis=0)
+
+    # run starts (the reference's per-state segment count n_temps)
+    prev_ids = jnp.concatenate([jnp.full((b, 1), -2, ids.dtype), ids[:, :-1]], axis=1)
+    starts = (ids >= 0) & (ids != prev_ids)
+    starts_oh = (
+        (ids.reshape(-1)[:, None] == jnp.arange(ns)[None, :]) & starts.reshape(-1)[:, None]
+    ).astype(feats.dtype)
+    run_counts = jnp.sum(starts_oh, axis=0)
+
+    # mixture responsibilities within the aligned state
+    w, lw = gmm_emission_weights(*bank.flat_states())
+    a = w.shape[-1]
+    xa = augment_features(flat_x)
+    per_mix = (xa @ w.reshape(ns * m, a).T).reshape(b * t, ns, m)
+    own = jnp.take_along_axis(
+        per_mix, jnp.maximum(flat_ids, 0)[:, None, None], axis=1
+    )[:, 0, :]  # [BT, M] Gaussian NLL under the frame's own state
+    lp = lw[jnp.maximum(flat_ids, 0)] - own
+    lp_max = jnp.max(lp, axis=-1, keepdims=True)
+    resp = jnp.exp(lp - lp_max)
+    resp = resp / jnp.sum(resp, axis=-1, keepdims=True)
+    resp = jnp.where(valid[:, None], resp, 0.0)
+
+    # weighted one-hot [BT, NS*M] -> stats via two GEMMs (psum-able sums)
+    wts = onehot_f[:, :, None] * resp[:, None, :]  # [BT, NS, M]
+    wts2 = wts.reshape(b * t, ns * m)
+    r_sum = jnp.sum(wts2, axis=0).reshape(ns, m)
+    rx = (wts2.T @ flat_x).reshape(ns, m, d)
+    rxx = (wts2.T @ (flat_x * flat_x)).reshape(ns, m, d)
+
+    # M-step
+    denom = jnp.maximum(r_sum, 1e-6)[..., None]
+    new_means = rx / denom
+    new_vars = jnp.maximum(rxx / denom - new_means * new_means, var_floor)
+    new_w = r_sum / jnp.maximum(frame_counts.reshape(ns, 1), 1e-6)
+    new_w = jnp.maximum(new_w, 1e-8)
+    new_w = new_w / jnp.sum(new_w, axis=-1, keepdims=True)
+
+    has_data = (frame_counts > 0).reshape(n, s)
+    hd = has_data[..., None, None]
+    means = jnp.where(hd, new_means.reshape(n, s, m, d), bank.means)
+    log_vars = jnp.where(hd, jnp.log(new_vars).reshape(n, s, m, d), bank.log_vars)
+    log_w = jnp.where(hd[..., 0], jnp.log(new_w).reshape(n, s, m), bank.log_weights)
+
+    if lr != 1.0:
+        means = bank.means + lr * (means - bank.means)
+        log_vars = bank.log_vars + lr * (log_vars - bank.log_vars)
+        log_w = bank.log_weights + lr * (log_w - bank.log_weights)
+
+    # transition re-estimation: p_jump = runs / frames per (model, state)
+    p_jump = (run_counts / jnp.maximum(frame_counts, 1.0)).reshape(n, s)
+    exit_cost = jnp.where(p_jump > 0, -jnp.log(jnp.maximum(p_jump, 1e-30)), POS_INF)
+    self_cost = jnp.where(p_jump < 1, -jnp.log(jnp.maximum(1 - p_jump, 1e-30)), POS_INF)
+    eye = jnp.eye(s, dtype=bool)
+    sub = jnp.eye(s, k=-1, dtype=bool)  # sub[i+1, i] edge j->j+1
+    trans = bank.trans_cost
+    hd_t = has_data.reshape(n, 1, s)  # broadcast over 'to' index, keyed by origin state
+    trans = jnp.where(eye[None] & hd_t, self_cost[:, None, :], trans)
+    trans = jnp.where(sub[None] & hd_t, exit_cost[:, None, :], trans)
+    trans = jnp.minimum(trans, POS_INF)
+
+    new_bank = HMMBank(means=means, log_vars=log_vars, log_weights=log_w, trans_cost=trans)
+    stats = EmbeddedStats(
+        r_sum=r_sum,
+        rx=rx,
+        rxx=rxx,
+        frame_counts=frame_counts,
+        run_counts=run_counts,
+        total_cost=jnp.sum(costs),
+    )
+    return new_bank, stats

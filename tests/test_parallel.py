@@ -1,0 +1,142 @@
+"""Multi-device tests on the virtual 8-CPU mesh (SURVEY.md §4: the
+reference offers no distributed prior art; we test sharding vs
+single-device equivalence and the full dry run)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from speech_recognition_tpu.data.synthetic import random_gmm_hmm, sample_hmm_features
+from speech_recognition_tpu.models.graph import build_word_graph, pad_graphs
+from speech_recognition_tpu.models.hmm import GMMHMM, HMMBank
+from speech_recognition_tpu.train.embedded_step import embedded_step
+from speech_recognition_tpu.utils.numerics import to_cost_matrix
+
+
+def _bank_from_params(params):
+    return HMMBank.stack(
+        [
+            GMMHMM(
+                means=jnp.asarray(p["means"], jnp.float32),
+                log_vars=jnp.log(jnp.asarray(p["variances"], jnp.float32)),
+                log_weights=jnp.log(jnp.asarray(p["weights"], jnp.float32)),
+                trans_cost=jnp.asarray(to_cost_matrix(p["trans"])),
+            )
+            for p in params
+        ]
+    )
+
+
+@pytest.fixture(scope="module")
+def embedded_fixture():
+    rng = np.random.default_rng(5)
+    n_words, S, M, D = 4, 3, 2, 8
+    labels = []
+    true_params = [random_gmm_hmm(rng, S, M, D, sep=4.0) for _ in range(n_words)]
+
+    # sample connected utterances (concatenate word samples)
+    B, T = 16, 120
+    feats = np.zeros((B, T, D), np.float32)
+    n_frames = np.zeros((B,), np.int32)
+    for b in range(B):
+        seq = [int(rng.integers(0, n_words)) for _ in range(3)]
+        labels.append(seq)
+        fs = []
+        for w in seq:
+            f, _ = sample_hmm_features(true_params[w], rng, min_frames_per_state=2)
+            fs.append(f)
+        x = np.concatenate(fs)[:T]
+        feats[b, : len(x)] = x
+        n_frames[b] = len(x)
+
+    # perturbed initial bank
+    init_params = [
+        {
+            "means": p["means"] + 0.5 * rng.standard_normal(p["means"].shape),
+            "variances": p["variances"] * 1.5,
+            "weights": p["weights"],
+            "trans": p["trans"],
+        }
+        for p in true_params
+    ]
+    bank = _bank_from_params(init_params)
+    trans_np = [np.asarray(bank.trans_cost[i]) for i in range(n_words)]
+    graphs = [build_word_graph(trans_np, [[l] for l in ls]) for ls in labels]
+    graph_batch, eps_depth = pad_graphs(graphs)
+    gdev = {k: jnp.asarray(v) for k, v in graph_batch.items()
+            if k in ("trans", "eps_trans", "init_cost", "end_states", "bank_state")}
+    return bank, feats, n_frames, gdev, eps_depth, true_params, labels
+
+
+def test_embedded_step_converges_and_decodes(embedded_fixture):
+    """Viterbi-EM: total alignment cost decreases monotonically to a fixed
+    point, and the trained bank decodes the training word sequences."""
+    from speech_recognition_tpu.decode.connected import (
+        decode_connected,
+    )
+    from speech_recognition_tpu.models.graph import build_loop_graph
+
+    bank, feats, n_frames, gdev, eps_depth, true_params, labels = embedded_fixture
+    costs = []
+    b = bank
+    for _ in range(8):
+        b, stats = embedded_step(
+            b, jnp.asarray(feats), jnp.asarray(n_frames), gdev, eps_depth=eps_depth,
+            var_floor=1e-3,
+        )
+        costs.append(float(stats.total_cost))
+    assert costs[-1] < costs[0], costs
+    assert all(c2 <= c1 + 1e-2 for c1, c2 in zip(costs, costs[1:])), costs
+
+    graph = build_loop_graph([np.asarray(b.trans_cost[i]) for i in range(b.n_models)])
+    seqs, _ = decode_connected(b, graph, feats, n_frames)
+    correct = sum(1 for s, l in zip(seqs, labels) if s == l)
+    assert correct >= int(0.8 * len(labels)), (correct, len(labels), seqs[:4], labels[:4])
+
+
+def test_sharded_step_matches_single_device(embedded_fixture):
+    from speech_recognition_tpu.parallel.mesh import make_mesh
+    from speech_recognition_tpu.parallel.trainer import (
+        make_sharded_embedded_step,
+        shard_embedded_inputs,
+    )
+
+    bank, feats, n_frames, gdev, eps_depth, _, _ = embedded_fixture
+    single_bank, single_stats = embedded_step(
+        bank, jnp.asarray(feats), jnp.asarray(n_frames), gdev, eps_depth=eps_depth
+    )
+
+    mesh = make_mesh(shape=(8, 1))
+    step = make_sharded_embedded_step(mesh, eps_depth=eps_depth)
+    graph_np = {k: np.asarray(v) for k, v in gdev.items()}
+    b_s, f_s, n_s, g_s = shard_embedded_inputs(mesh, bank, feats, n_frames, graph_np)
+    sharded_bank, sharded_stats = step(b_s, f_s, n_s, g_s)
+
+    np.testing.assert_allclose(
+        np.asarray(single_bank.means), np.asarray(sharded_bank.means), rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        float(single_stats.total_cost), float(sharded_stats.total_cost), rtol=1e-5
+    )
+
+
+def test_dryrun_multichip():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
+
+
+def test_entry_compiles():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    jax.block_until_ready(out)
+    assert np.all(np.isfinite(np.asarray(out[2])))
