@@ -52,14 +52,14 @@ def _bank(n_models=11, n_states=5, n_mix=4, dim=39, seed=0):
 
 
 def _timeit(fn, warmup=2, iters=5):
-    import jax
-
+    """fn must return a (small) array; we fetch it to host each iteration
+    because jax.block_until_ready does not actually synchronize on the
+    axon TPU tunnel (verified empirically) — a host fetch does."""
     for _ in range(warmup):
-        jax.block_until_ready(fn())
+        np.asarray(fn())
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn()
-        jax.block_until_ready(out)
+        np.asarray(fn())
     return (time.perf_counter() - t0) / iters
 
 
@@ -68,24 +68,25 @@ def bench_connected_decode(batch=64, frames=500, n_slots=7, frame_step_s=0.01):
     import jax
     import jax.numpy as jnp
 
-    from speech_recognition_tpu.decode.connected import _decode_graph_batch
+    from speech_recognition_tpu.decode.connected import _decode_banded_batch
     from speech_recognition_tpu.decode.connected import connected_graph_arrays
+    from speech_recognition_tpu.ops.viterbi_banded import banded_arrays
 
     bank = _bank()
     graph = connected_graph_arrays(bank, n_slots)
-    log(f"graph: {graph.n_states} emitting states, eps_depth {graph.eps_depth}")
+    bg = banded_arrays(graph)
+    log(f"graph: {graph.n_states} emitting states ({bg.n_words} word arcs), "
+        f"eps_depth {graph.eps_depth}, banded backend")
 
     rng = np.random.default_rng(1)
     feats = jnp.asarray(rng.standard_normal((batch, frames, 39)), jnp.float32)
     n_frames = jnp.full((batch,), frames, jnp.int32)
-    args = (
-        jnp.asarray(graph.trans), jnp.asarray(graph.eps_trans),
-        jnp.asarray(graph.init_cost), jnp.asarray(graph.end_states),
-        jnp.asarray(graph.end_bonus), jnp.asarray(graph.bank_state),
-    )
 
     def run():
-        return _decode_graph_batch(bank, feats, n_frames, *args, eps_depth=graph.eps_depth)
+        states, eps_flags, costs = _decode_banded_batch(
+            bank, feats, n_frames, bg, eps_depth=graph.eps_depth
+        )
+        return costs
 
     dt = _timeit(run)
     audio_s = batch * frames * frame_step_s
@@ -149,7 +150,7 @@ def bench_frontend(batch=64, samples=80000):
     sig = jnp.asarray(rng.standard_normal((batch, L)), jnp.float32)
     lens = jnp.full((batch,), samples, jnp.int32)
     run = jax.jit(jax.vmap(lambda s, l: mfcc39(s, l, cfg)))
-    dt = _timeit(lambda: run(sig, lens))
+    dt = _timeit(lambda: run(sig, lens)[0])
     audio_s = batch * samples / cfg.sample_rate
     log(f"frontend: {audio_s:.0f} audio-s in {dt*1e3:.1f} ms -> {audio_s/dt:.0f} audio-s/s")
     return audio_s / dt
@@ -173,7 +174,7 @@ def bench_embedded_train(batch=32, frames=300):
     nf = jnp.full((batch,), frames, jnp.int32)
 
     def run():
-        return embedded_step(bank, feats, nf, g, eps_depth=eps_depth)
+        return embedded_step(bank, feats, nf, g, eps_depth=eps_depth)[1].total_cost
 
     dt = _timeit(run)
     log(f"embedded step: {batch} utts in {dt*1e3:.1f} ms -> {batch/dt:.0f} utts/s")

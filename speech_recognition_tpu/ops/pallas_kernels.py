@@ -1,0 +1,223 @@
+"""Pallas TPU kernels for the hot compute paths.
+
+``pallas_viterbi`` runs the *entire* min-cost Viterbi of one utterance
+in a single kernel: the transition matrix, the running cost frontier
+and the emission block all live in VMEM, and the frame loop is a
+``fori_loop`` inside the kernel — no per-step dispatch, no HBM traffic
+for the frontier.  For the connected-digit graph (385 states padded to
+512 lanes) everything fits comfortably: trans 1 MB + nll(500 frames)
+1 MB + backpointers 1 MB << 16 MB VMEM.
+
+The relaxation ``new[to] = min_from(T[to, from] + prev[from])`` is a
+broadcast add + lane-axis min on the VPU; argmin is materialized as a
+first-match index reduce (same tie-breaking as ``jnp.argmin`` and the
+reference's origin-order argmin, ``decode.py:115``).
+
+Grid = utterance batch; each grid step streams its emission block
+HBM->VMEM through the BlockSpec pipeline while the previous utterance
+computes (double buffering is automatic).
+
+Shapes must be padded: S to a multiple of 128 (pad states are
+unreachable: POS_INF in/out transitions, POS_INF init).  Use
+:func:`pad_graph_for_pallas`.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from speech_recognition_tpu.utils.numerics import POS_INF
+
+__all__ = ["pallas_viterbi", "pad_graph_for_pallas"]
+
+
+def _first_argmin(scores):
+    """[S, S] -> (min [S], first-match argmin [S]) along the lane axis."""
+    m = jnp.min(scores, axis=1, keepdims=True)
+    s = scores.shape[1]
+    idx = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    cand = jnp.where(scores <= m, idx, s)
+    return m[:, 0], jnp.min(cand, axis=1).astype(jnp.int32)
+
+
+def _viterbi_kernel(
+    nf_ref,  # scalar prefetch: [B] int32 true frame counts
+    nll_ref,  # [T, S] emissions for this utterance (VMEM)
+    trans_ref,  # [S, S] frame-edge costs (VMEM)
+    eps_ref,  # [S, S] same-column costs (VMEM) or aliased trans when unused
+    init_ref,  # [S_pad2, S] init cost row (VMEM, row 0 used)
+    bp_ref,  # out [T, S] int32
+    eps_bp_ref,  # out [T, S] int32
+    final_ref,  # out [1, S] float32
+    cost_ref,  # scratch [1, S] float32
+    *,
+    eps_depth: int,
+    use_eps: bool,
+):
+    b = pl.program_id(0)
+    t_total = nll_ref.shape[0]
+    s = nll_ref.shape[1]
+    nf = nf_ref[b]
+
+    def eps_pass(cost, emis):
+        eps_bp = jnp.full((s,), -1, jnp.int32)
+        if use_eps:
+            for _ in range(eps_depth):
+                base, idx = _first_argmin(eps_ref[...] + cost[None, :])
+                cand = jnp.minimum(base + emis, POS_INF)
+                better = cand < cost
+                cost = jnp.where(better, cand, cost)
+                eps_bp = jnp.where(better, idx, eps_bp)
+        return cost, eps_bp
+
+    # column 0
+    emis0 = nll_ref[0, :]
+    cost0 = jnp.minimum(init_ref[0, :] + emis0, POS_INF)
+    cost0, eps_bp0 = eps_pass(cost0, emis0)
+    cost_ref[0, :] = cost0
+    bp_ref[0, :] = jnp.full((s,), -1, jnp.int32)
+    eps_bp_ref[0, :] = eps_bp0
+
+    @pl.when(nf == 1)
+    def _():
+        final_ref[0, :] = cost0
+
+    def body(t, _):
+        prev = cost_ref[0, :]
+        emis = nll_ref[t, :]
+        base, bp = _first_argmin(trans_ref[...] + prev[None, :])
+        cost = jnp.minimum(base + emis, POS_INF)
+        cost, eps_bp = eps_pass(cost, emis)
+
+        active = t < nf
+        cost = jnp.where(active, cost, prev)
+        cost_ref[0, :] = cost
+        bp_ref[t, :] = bp
+        eps_bp_ref[t, :] = eps_bp
+
+        @pl.when(t == nf - 1)
+        def _():
+            final_ref[0, :] = cost
+
+        return 0
+
+    jax.lax.fori_loop(1, t_total, body, 0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("eps_depth", "per_utterance_graph", "interpret")
+)
+def pallas_viterbi(
+    nll,
+    trans,
+    init_cost,
+    n_frames,
+    eps_trans=None,
+    eps_depth: int = 1,
+    per_utterance_graph: bool = False,
+    interpret: bool = False,
+):
+    """Batched full-sequence Viterbi as one Pallas kernel per utterance.
+
+    Args:
+      nll: ``[B, T, S]`` emission costs (S padded to a lane multiple).
+      trans: ``[S, S]`` shared graph, or ``[B, S, S]`` when
+        ``per_utterance_graph`` (forced alignment).
+      init_cost: ``[S]`` or ``[B, S]``.
+      n_frames: ``[B]`` int32.
+      eps_trans: optional, same leading shape as ``trans``.
+
+    Returns ``(final_cost [B, S], bp [B, T, S], eps_bp [B, T, S])`` with
+    semantics identical to :func:`ops.viterbi.viterbi`.
+    """
+    b, t_in, s = nll.shape
+    # Mosaic tiles the sublane (second-to-last) dim by 8: pad the frame
+    # axis.  Padded frames are inert (masked by n_frames).
+    t = ((t_in + 7) // 8) * 8
+    if t != t_in:
+        nll = jnp.pad(nll, ((0, 0), (0, t - t_in), (0, 0)))
+    use_eps = eps_trans is not None
+    if eps_trans is None:
+        eps_trans = trans  # aliased, never read
+
+    if not per_utterance_graph:
+        trans = jnp.broadcast_to(trans[None], (b, s, s))
+        eps_trans = jnp.broadcast_to(eps_trans[None], (b, s, s))
+    if init_cost.ndim == 1:
+        init_cost = jnp.broadcast_to(init_cost[None], (b, s))
+    # feed init as an [8, S] tile (sublane-aligned), row 0 meaningful
+    init_tile = jnp.broadcast_to(init_cost[:, None, :], (b, 8, s))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, t, s), lambda i, nf: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, s), lambda i, nf: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, s), lambda i, nf: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, s), lambda i, nf: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, t, s), lambda i, nf: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, s), lambda i, nf: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, s), lambda i, nf: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[pltpu.VMEM((1, s), jnp.float32)],
+    )
+
+    def kernel(nf_ref, nll_r, trans_r, eps_r, init_r, bp_r, eps_bp_r, fin_r, cost_s):
+        _viterbi_kernel(
+            nf_ref,
+            nll_r.at[0],
+            trans_r.at[0],
+            eps_r.at[0],
+            init_r.at[0],
+            bp_r.at[0],
+            eps_bp_r.at[0],
+            fin_r.at[0],
+            cost_s,
+            eps_depth=eps_depth,
+            use_eps=use_eps,
+        )
+
+    bp, eps_bp, final = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, t, s), jnp.int32),
+            jax.ShapeDtypeStruct((b, t, s), jnp.int32),
+            jax.ShapeDtypeStruct((b, 1, s), jnp.float32),
+        ],
+        interpret=interpret,
+    )(n_frames.astype(jnp.int32), nll, trans, eps_trans, init_tile)
+    return final[:, 0, :], bp[:, :t_in], eps_bp[:, :t_in]
+
+
+def pad_graph_for_pallas(graph, lane: int = 128):
+    """Pad a WordGraph's arrays so S is a lane multiple; padding states
+    are unreachable.  Returns (padded arrays dict, padded S)."""
+    s = graph.n_states
+    s_pad = ((s + lane - 1) // lane) * lane
+    pad = s_pad - s
+
+    def pad_mat(m):
+        return np.pad(m, ((0, pad), (0, pad)), constant_values=POS_INF)
+
+    return (
+        {
+            "trans": pad_mat(graph.trans),
+            "eps_trans": pad_mat(graph.eps_trans),
+            "init_cost": np.pad(graph.init_cost, (0, pad), constant_values=POS_INF),
+            "end_states": graph.end_states,
+            "end_bonus": graph.end_bonus,
+            "bank_state": np.pad(graph.bank_state, (0, pad)),
+        },
+        s_pad,
+    )

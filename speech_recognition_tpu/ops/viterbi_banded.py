@@ -1,0 +1,231 @@
+"""Banded min-cost Viterbi — the fast path for word graphs.
+
+Every graph this framework composes (isolated word chains, transcript
+linears, sausages, loop graphs) has structure the dense O(S^2)
+relaxation ignores:
+
+* frame-consuming edges exist only *within* a word, at state offsets
+  0 (self), +1 (step), +2 (skip) — the reference's ``max_jump_dist=2``
+  (``/root/reference/sr/recognition/kmeans.py:53``), and word states
+  are enumerated consecutively;
+* every cross-word edge is a same-column epsilon edge between the V
+  word-end and V word-start states.
+
+One frame step is therefore three shifted adds of the ``[B, S]`` cost
+frontier plus a tiny dense ``[V, V]`` boundary block — O(3S + V^2)
+instead of O(S^2), in pure VPU-friendly form:
+
+* no scatters: the epsilon update re-enters the frontier through a
+  constant-index gather (``start_pos``/``is_start`` maps), because TPU
+  scatters serialize;
+* compact backpointers: one int8 per (frame, state) — band offset
+  0..2, or ``3 + end_index`` for an epsilon arrival — cutting the
+  backpointer HBM traffic 8x vs the dense kernel's two int32 planes.
+
+Results are bit-identical to :func:`ops.viterbi.viterbi` (asserted in
+tests), including argmin tie-breaking.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from speech_recognition_tpu.utils.numerics import POS_INF
+
+__all__ = [
+    "BandedGraph",
+    "banded_arrays",
+    "viterbi_banded",
+    "banded_backtrace",
+]
+
+MAX_BAND = 2  # reference max_jump_dist
+_EPS_BASE = MAX_BAND + 1  # bp8 code for eps arrival from end u: _EPS_BASE + u
+
+
+class BandedGraph(NamedTuple):
+    """Device-ready banded form of a WordGraph."""
+
+    band: jnp.ndarray  # [MAX_BAND+1, S] cost of arriving from state v-d
+    init_cost: jnp.ndarray  # [S]
+    word_starts: jnp.ndarray  # [V]
+    word_ends: jnp.ndarray  # [V]
+    eps_block: jnp.ndarray  # [V, V] eps cost end[u] -> start[v]
+    start_pos: jnp.ndarray  # [S] slot v if state is starts[v] else 0
+    is_start: jnp.ndarray  # [S] bool
+    end_states: jnp.ndarray  # [E]
+    end_bonus: jnp.ndarray  # [E]
+    bank_state: jnp.ndarray  # [S]
+
+    @property
+    def n_words(self) -> int:
+        return self.word_starts.shape[0]
+
+
+def banded_arrays(graph) -> BandedGraph:
+    """Extract the banded form; raises ValueError if the graph is not
+    banded (callers fall back to the dense kernel)."""
+    s = graph.n_states
+    trans = np.asarray(graph.trans)
+    band = np.full((MAX_BAND + 1, s), POS_INF, dtype=np.float32)
+    covered = np.zeros_like(trans, dtype=bool)
+    for d in range(MAX_BAND + 1):
+        idx = np.arange(d, s)
+        band[d, idx] = trans[idx, idx - d]
+        covered[idx, idx - d] = True
+    if ((trans < POS_INF / 2) & ~covered).any():
+        raise ValueError("graph has frame edges outside the +0..+2 band")
+
+    slot = np.asarray(graph.slot)
+    starts = np.flatnonzero(np.r_[True, slot[1:] != slot[:-1]])
+    ends = np.r_[starts[1:] - 1, s - 1]
+    for d in range(1, MAX_BAND + 1):
+        idx = np.arange(d, s)
+        crosses = slot[idx] != slot[idx - d]
+        if np.any((band[d, idx] < POS_INF / 2) & crosses):
+            raise ValueError("band edge crosses a word boundary")
+
+    v = len(starts)
+    if _EPS_BASE + v > 127:
+        raise ValueError("too many words for int8 backpointers")
+
+    eps = np.asarray(graph.eps_trans)
+    eps_block = eps[np.ix_(starts, ends)].astype(np.float32)
+    covered_eps = np.zeros_like(eps, dtype=bool)
+    covered_eps[np.ix_(starts, ends)] = True
+    if ((eps < POS_INF / 2) & ~covered_eps).any():
+        raise ValueError("epsilon edge outside end->start structure")
+
+    start_pos = np.zeros(s, dtype=np.int32)
+    start_pos[starts] = np.arange(v)
+    is_start = np.zeros(s, dtype=bool)
+    is_start[starts] = True
+
+    return BandedGraph(
+        band=jnp.asarray(band),
+        init_cost=jnp.asarray(graph.init_cost),
+        word_starts=jnp.asarray(starts.astype(np.int32)),
+        word_ends=jnp.asarray(ends.astype(np.int32)),
+        eps_block=jnp.asarray(eps_block),
+        start_pos=jnp.asarray(start_pos),
+        is_start=jnp.asarray(is_start),
+        end_states=jnp.asarray(graph.end_states),
+        end_bonus=jnp.asarray(graph.end_bonus),
+        bank_state=jnp.asarray(graph.bank_state),
+    )
+
+
+def _shift(x, d):
+    """x[v-d] with POS_INF fill (last axis)."""
+    if d == 0:
+        return x
+    return jnp.concatenate(
+        [jnp.full(x.shape[:-1] + (d,), POS_INF, x.dtype), x[..., :-d]], axis=-1
+    )
+
+
+def _band_relax(prev, band):
+    """frontier [S] -> (base cost [S], band offset d [S] int8).
+
+    Dense-argmin tie-break = smallest origin index = largest d, so
+    iterate d ascending and replace on <=."""
+    s = prev.shape[-1]
+    best = jnp.full(prev.shape, POS_INF)
+    d_sel = jnp.zeros(prev.shape, jnp.int8)
+    for d in range(MAX_BAND + 1):
+        cand = band[d] + _shift(prev, d)
+        take = cand <= best
+        best = jnp.where(take, cand, best)
+        d_sel = jnp.where(take, jnp.int8(d), d_sel)
+    return jnp.minimum(best, POS_INF), d_sel
+
+
+def _eps_relax(cost, emis, g: BandedGraph):
+    """One same-column pass, gather-only.  Returns (cost, bp8_update)
+    where bp8_update[s] = _EPS_BASE + origin_u for improved start states,
+    -1 elsewhere."""
+    end_vals = cost[..., g.word_ends]  # [V] constant-index gather
+    scores = g.eps_block + end_vals[..., None, :]  # [V(to), V(from)]
+    base = jnp.min(scores, axis=-1)
+    origin_u = jnp.argmin(scores, axis=-1).astype(jnp.int8)
+    cand = jnp.minimum(base + emis[..., g.word_starts], POS_INF)
+    # dense re-entry via gather
+    cand_dense = cand[..., g.start_pos]
+    u_dense = origin_u[..., g.start_pos]
+    better = g.is_start & (cand_dense < cost)
+    cost = jnp.where(better, cand_dense, cost)
+    bp_upd = jnp.where(better, _EPS_BASE + u_dense, jnp.int8(-1))
+    return cost, bp_upd
+
+
+@functools.partial(jax.jit, static_argnames=("eps_depth", "need_bp"))
+def viterbi_banded(nll, g: BandedGraph, n_frames, eps_depth: int = 1,
+                   need_bp: bool = True):
+    """Banded Viterbi for one utterance.
+
+    Returns ``(final_cost [S], bp8 [T, S] int8)`` — decode bp8 with
+    :func:`banded_backtrace`.  With ``need_bp=False`` the backpointer
+    plane is skipped entirely (isolated scoring / likelihood only).
+    """
+    t_len, s = nll.shape
+    nll = jnp.minimum(nll, POS_INF)
+
+    def column(base_cost, d_sel, emis):
+        cost = jnp.minimum(base_cost + emis, POS_INF)
+        bp8 = d_sel
+        for _ in range(eps_depth):
+            cost, bp_upd = _eps_relax(cost, emis, g)
+            bp8 = jnp.where(bp_upd >= 0, bp_upd, bp8)
+        return cost, bp8
+
+    cost0, bp0 = column(g.init_cost, jnp.zeros((s,), jnp.int8), nll[0])
+
+    def step(carry, inputs):
+        prev, final = carry
+        t, emis = inputs
+        base, d_sel = _band_relax(prev, g.band)
+        cost, bp8 = column(base, d_sel, emis)
+        active = t < n_frames
+        cost = jnp.where(active, cost, prev)
+        final = jnp.where(t == n_frames - 1, cost, final)
+        out = bp8 if need_bp else None
+        return (cost, final), out
+
+    ts = jnp.arange(1, t_len)
+    init_final = jnp.where(n_frames == 1, cost0, POS_INF)
+    (last, final), bps = jax.lax.scan(step, (cost0, init_final), (ts, nll[1:]))
+    if need_bp:
+        bp8 = jnp.concatenate([bp0[None], bps], axis=0)
+    else:
+        bp8 = jnp.zeros((0, s), jnp.int8)
+    return final, bp8
+
+
+@functools.partial(jax.jit, static_argnames=("eps_depth",))
+def banded_backtrace(bp8, g: BandedGraph, end_state, n_frames, eps_depth: int = 1):
+    """Decode int8 backpointers to (states [T], eps_entered [T]) with the
+    same semantics as :func:`ops.viterbi.viterbi_backtrace`."""
+    t_len, s = bp8.shape
+
+    def step(carry, t):
+        rec = carry  # recorded state for frame t (pre-unwind, like dense)
+        st = carry
+        code = bp8[t, st]
+        used_eps = jnp.array(False)
+        for _ in range(eps_depth):
+            is_eps = code >= _EPS_BASE
+            used_eps = used_eps | is_eps
+            st = jnp.where(is_eps, g.word_ends[jnp.maximum(code - _EPS_BASE, 0)], st)
+            code = jnp.where(is_eps, bp8[t, st], code)
+        prev = st - code.astype(jnp.int32)
+        active = (t > 0) & (t < n_frames)
+        return jnp.where(active, prev, rec), (rec, used_eps & (t < n_frames))
+
+    ts = jnp.arange(t_len - 1, -1, -1)
+    _, (states_rev, eps_rev) = jax.lax.scan(step, end_state.astype(jnp.int32), ts)
+    return states_rev[::-1], eps_rev[::-1]

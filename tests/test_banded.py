@@ -1,0 +1,119 @@
+"""Banded Viterbi: bit-parity with the dense kernel on every graph
+family, and the decode_connected banded backend."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from speech_recognition_tpu.models.graph import build_loop_graph, build_word_graph
+from speech_recognition_tpu.ops.viterbi import viterbi, viterbi_backtrace
+from speech_recognition_tpu.ops.viterbi_banded import (
+    banded_arrays,
+    banded_backtrace,
+    viterbi_banded,
+)
+
+
+def ltr(S, rng, skip=True):
+    t = np.full((S, S), np.inf)
+    for i in range(S):
+        t[i, i] = rng.uniform(0.1, 1)
+        if i + 1 < S:
+            t[i + 1, i] = rng.uniform(0.1, 1)
+        if skip and i + 2 < S:
+            t[i + 2, i] = rng.uniform(0.5, 2)
+    return t
+
+
+def graphs(rng):
+    return [
+        ("sausage", build_word_graph([ltr(5, rng) for _ in range(4)], [list(range(4))] * 3)),
+        ("linear", build_word_graph([ltr(5, rng) for _ in range(4)], [[2], [0], [3]])),
+        ("loop", build_loop_graph([ltr(5, rng) for _ in range(4)])),
+    ]
+
+
+@pytest.mark.parametrize("nf", [37, 19, 1])
+def test_banded_matches_dense(rng, nf):
+    for name, g in graphs(rng):
+        bg = banded_arrays(g)
+        T = 37
+        nll = rng.uniform(0, 5, (T, g.n_states)).astype(np.float32)
+        ref = viterbi(
+            jnp.asarray(nll), jnp.asarray(g.trans), jnp.asarray(g.init_cost),
+            jnp.int32(nf), eps_trans=jnp.asarray(g.eps_trans), eps_depth=g.eps_depth,
+        )
+        fin, bp8 = viterbi_banded(jnp.asarray(nll), bg, jnp.int32(nf), eps_depth=g.eps_depth)
+        np.testing.assert_allclose(
+            np.asarray(fin), np.asarray(ref.final_cost), rtol=1e-6, err_msg=name
+        )
+        end = int(g.end_states[-1])
+        s1, f1 = viterbi_backtrace(
+            ref.bp, ref.eps_bp, jnp.int32(end), jnp.int32(nf), eps_depth=g.eps_depth
+        )
+        s2, f2 = banded_backtrace(bp8, bg, jnp.int32(end), jnp.int32(nf), eps_depth=g.eps_depth)
+        np.testing.assert_array_equal(np.asarray(s1)[:nf], np.asarray(s2)[:nf], err_msg=name)
+        np.testing.assert_array_equal(np.asarray(f1)[:nf], np.asarray(f2)[:nf], err_msg=name)
+
+
+def test_need_bp_false_same_costs(rng):
+    _, g = graphs(rng)[0]
+    bg = banded_arrays(g)
+    nll = rng.uniform(0, 5, (20, g.n_states)).astype(np.float32)
+    fin1, _ = viterbi_banded(jnp.asarray(nll), bg, jnp.int32(20), eps_depth=g.eps_depth)
+    fin2, bp = viterbi_banded(
+        jnp.asarray(nll), bg, jnp.int32(20), eps_depth=g.eps_depth, need_bp=False
+    )
+    assert bp.shape[0] == 0
+    np.testing.assert_allclose(np.asarray(fin1), np.asarray(fin2), rtol=0)
+
+
+def test_decode_connected_backends_agree(rng):
+    from speech_recognition_tpu.data.synthetic import random_gmm_hmm
+    from speech_recognition_tpu.decode.connected import decode_connected
+    from speech_recognition_tpu.models.hmm import GMMHMM, HMMBank
+    from speech_recognition_tpu.utils.numerics import to_cost_matrix
+
+    n_words, S, M, D = 3, 4, 2, 6
+    params = [random_gmm_hmm(rng, S, M, D, sep=4.0) for _ in range(n_words)]
+    bank = HMMBank.stack(
+        [
+            GMMHMM(
+                means=jnp.asarray(p["means"], jnp.float32),
+                log_vars=jnp.log(jnp.asarray(p["variances"], jnp.float32)),
+                log_weights=jnp.log(jnp.asarray(p["weights"], jnp.float32)),
+                trans_cost=jnp.asarray(to_cost_matrix(p["trans"])),
+            )
+            for p in params
+        ]
+    )
+    g = build_word_graph([p["trans"] for p in params], [list(range(n_words))] * 2)
+    feats = rng.standard_normal((3, 40, D)).astype(np.float32)
+    nf = np.asarray([40, 25, 13], np.int32)
+    s_b, c_b = decode_connected(bank, g, feats, nf, backend="banded")
+    s_d, c_d = decode_connected(bank, g, feats, nf, backend="dense")
+    assert s_b == s_d
+    np.testing.assert_allclose(c_b, c_d, rtol=1e-5)
+
+
+def test_pallas_viterbi_interpret_matches(rng):
+    """Pallas kernel parity in interpreter mode (S = one lane tile)."""
+    from speech_recognition_tpu.ops.pallas_kernels import pallas_viterbi
+    from speech_recognition_tpu.utils.numerics import POS_INF
+    from speech_recognition_tpu.models.hmm import linear_init_cost
+
+    B, T, S = 2, 16, 128
+    nll = rng.uniform(0, 5, (B, T, S)).astype(np.float32)
+    trans = np.asarray(ltr(S, rng), np.float32)
+    trans[~np.isfinite(trans)] = POS_INF
+    init = np.asarray(linear_init_cost(S))
+    nf = np.asarray([16, 9], np.int32)
+    fin, bp, eps_bp = pallas_viterbi(
+        jnp.asarray(nll), jnp.asarray(trans), jnp.asarray(init), jnp.asarray(nf),
+        interpret=True,
+    )
+    for b in range(B):
+        ref = viterbi(jnp.asarray(nll[b]), jnp.asarray(trans), jnp.asarray(init), jnp.int32(nf[b]))
+        np.testing.assert_allclose(np.asarray(fin[b]), np.asarray(ref.final_cost), rtol=1e-5)
+        n = int(nf[b])
+        np.testing.assert_array_equal(np.asarray(bp[b][:n]), np.asarray(ref.bp[:n]))

@@ -1,0 +1,96 @@
+"""Forward-backward: brute-force path-enumeration parity on tiny HMMs."""
+
+import itertools
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from speech_recognition_tpu.ops.forward_backward import forward_backward
+from speech_recognition_tpu.utils.numerics import POS_INF, to_cost_matrix
+
+
+def brute_force(nll, trans_cost, init_cost, end_scores):
+    """Enumerate all state paths; return (log_z, gamma, xi_sum)."""
+    T, S = nll.shape
+    logp_paths = []
+    gamma = np.zeros((T, S))
+    xi = np.zeros((S, S))
+    total = 0.0
+    contribs = []
+    for path in itertools.product(range(S), repeat=T):
+        lp = -init_cost[path[0]] - nll[0, path[0]]
+        ok = init_cost[path[0]] < POS_INF / 2
+        for t in range(1, T):
+            c = trans_cost[path[t], path[t - 1]]
+            if c >= POS_INF / 2:
+                ok = False
+                break
+            lp += -c - nll[t, path[t]]
+        if not ok:
+            continue
+        lp += end_scores[path[-1]]
+        contribs.append((path, lp))
+    if not contribs:
+        return -np.inf, gamma, xi
+    lps = np.array([lp for _, lp in contribs])
+    log_z = np.log(np.sum(np.exp(lps - lps.max()))) + lps.max()
+    for (path, lp) in contribs:
+        w = np.exp(lp - log_z)
+        for t in range(T):
+            gamma[t, path[t]] += w
+        for t in range(1, T):
+            xi[path[t], path[t - 1]] += w
+    return log_z, gamma, xi
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_fb_matches_brute_force(seed):
+    rng = np.random.default_rng(seed)
+    T, S = 5, 3
+    nll = rng.uniform(0.2, 2.0, (T, S))
+    trans = np.full((S, S), POS_INF)
+    for i in range(S):
+        trans[i, i] = rng.uniform(0.2, 1.5)
+        if i + 1 < S:
+            trans[i + 1, i] = rng.uniform(0.2, 1.5)
+    init = np.full((S,), POS_INF)
+    init[0] = 0.0
+    end_scores = np.full((S,), -np.inf)
+    end_scores[S - 1] = 0.0
+
+    ref_z, ref_gamma, ref_xi = brute_force(nll, trans, init, end_scores)
+
+    res = forward_backward(
+        jnp.asarray(nll),
+        jnp.asarray(to_cost_matrix(trans.astype(np.float32))),
+        jnp.asarray(np.where(np.isfinite(init), init, POS_INF).astype(np.float32)),
+        jnp.int32(T),
+        end_scores=jnp.asarray(np.where(np.isfinite(end_scores), end_scores, -1e30)),
+    )
+    np.testing.assert_allclose(float(res.log_z), ref_z, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(res.gamma), ref_gamma, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(res.xi_sum), ref_xi, atol=1e-4)
+
+
+def test_fb_masked_frames(rng):
+    T, S, nf = 8, 3, 5
+    nll = rng.uniform(0.2, 2.0, (T, S)).astype(np.float32)
+    trans = np.full((S, S), POS_INF, np.float32)
+    for i in range(S):
+        trans[i, i] = 0.5
+        if i + 1 < S:
+            trans[i + 1, i] = 0.7
+    init = np.full((S,), POS_INF, np.float32)
+    init[0] = 0.0
+    full = forward_backward(
+        jnp.asarray(nll[:nf]), jnp.asarray(trans), jnp.asarray(init), jnp.int32(nf)
+    )
+    padded = forward_backward(
+        jnp.asarray(nll), jnp.asarray(trans), jnp.asarray(init), jnp.int32(nf)
+    )
+    np.testing.assert_allclose(float(full.log_z), float(padded.log_z), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(full.gamma), np.asarray(padded.gamma)[:nf], atol=1e-5
+    )
+    assert np.all(np.asarray(padded.gamma)[nf:] == 0)
