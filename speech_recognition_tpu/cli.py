@@ -33,17 +33,15 @@ from speech_recognition_tpu.config import (
 def _featurize_files(paths, cfg: FrontendConfig, cap_samples: int):
     import jax.numpy as jnp
 
-    from speech_recognition_tpu.data.wav import read_wav
     from speech_recognition_tpu.ops.frontend import mfcc39, padded_length
+    from speech_recognition_tpu.runtime.loader import load_wav_batch
 
     L = padded_length(cfg, cap_samples)
+    # native batched IO (C++ thread pool; scipy fallback)
+    samples, lengths, rates = load_wav_batch(list(paths), L)
     feats, lens = [], []
-    for p in paths:
-        rate, sig = read_wav(p)
-        sig = np.asarray(sig, np.float32)[:cap_samples]
-        buf = np.zeros(L, np.float32)
-        buf[: len(sig)] = sig
-        f, nf = mfcc39(jnp.asarray(buf), np.int32(len(sig)), cfg)
+    for i in range(len(paths)):
+        f, nf = mfcc39(jnp.asarray(samples[i]), np.int32(min(int(lengths[i]), cap_samples)), cfg)
         feats.append(np.asarray(f))
         lens.append(int(nf))
     return feats, lens

@@ -272,6 +272,14 @@ def build_loop_graph(
     )
 
 
+def _end_scores(g: WordGraph, smax: int) -> np.ndarray:
+    from speech_recognition_tpu.utils.numerics import NEG_INF
+
+    out = np.full((smax,), NEG_INF, dtype=np.float32)
+    out[g.end_states] = -g.end_bonus
+    return out
+
+
 def _min_plus(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """(A min+ B)[i, j] = min_k A[i, k] + B[k, j], inf-safe."""
     out = np.min(a[:, :, None] + b[None, :, :], axis=1)
@@ -331,6 +339,9 @@ def pad_graphs(graphs: List[WordGraph]):
         "end_bonus": np.stack(
             [pad_vec(g.end_bonus, g.end_bonus[0], emax) for g in graphs]
         ),
+        # terminal log-prob vector for sum-product training: -end_bonus at
+        # final states, NEG_INF elsewhere
+        "end_scores": np.stack([_end_scores(g, smax) for g in graphs]),
         "bank_state": np.stack(
             [pad_vec(g.bank_state, 0, smax, np.int32) for g in graphs]
         ),

@@ -186,3 +186,118 @@ def embedded_step(
         total_cost=jnp.sum(costs),
     )
     return new_bank, stats
+
+
+@functools.partial(jax.jit, static_argnames=("eps_depth", "var_floor"))
+def embedded_step_soft(
+    bank: HMMBank,
+    feats,
+    n_frames,
+    graph_batch,
+    eps_depth: int = 1,
+    var_floor: float = 1e-2,
+):
+    """One true Baum-Welch iteration (sum-product).
+
+    Same interface as :func:`embedded_step` but state occupancy is the
+    forward-backward posterior ``gamma`` instead of the hard Viterbi
+    one-hot — the log-space forward-backward EM upgrade SURVEY.md §3.3
+    names as the north star (graph_batch must include ``end_scores``
+    from :func:`models.graph.pad_graphs`).  Transitions use expected
+    counts ``a_vu = xi_vu / gamma_u`` restricted to the self/step band,
+    matching the reference's self/exit parametrization.
+
+    ``stats.total_cost`` is ``-sum log Z`` (total NLL), comparable to the
+    Viterbi alignment cost up to the usual sum-vs-max gap.
+    """
+    from speech_recognition_tpu.ops.forward_backward import forward_backward
+    from speech_recognition_tpu.ops.gmm import gmm_neg_log_lik
+
+    b, t, d = feats.shape
+    n, s = bank.n_models, bank.n_states
+    ns = n * s
+    m = bank.n_mix
+
+    w, lw = gmm_emission_weights(*bank.flat_states())
+    a = w.shape[-1]
+
+    def one(x, nf, tr, eps, init, ends_scores, bstate):
+        frame_mask = jnp.arange(t) < nf
+        nll_bank = gmm_neg_log_lik(x, w, lw, frame_mask)
+        nll = nll_bank[:, bstate]
+        res = forward_backward(
+            nll, tr, init, nf, eps_trans=eps, eps_depth=eps_depth,
+            end_scores=ends_scores,
+        )
+        # map graph-state gamma onto bank states: [T, Sg] @ [Sg, NS]
+        onehot_bank = (bstate[:, None] == jnp.arange(ns)[None, :]).astype(x.dtype)
+        gamma_bank = res.gamma @ onehot_bank  # [T, NS]
+        # band-restricted expected transition counts per graph state
+        diag_xi = jnp.diagonal(res.xi_sum)  # self transitions
+        sub_xi = jnp.diagonal(res.xi_sum, offset=-1)  # sg -> sg+1
+        sub_xi = jnp.concatenate([sub_xi, jnp.zeros((1,))])
+        self_counts = diag_xi @ onehot_bank  # [NS]
+        exit_counts = sub_xi @ onehot_bank
+        return gamma_bank, self_counts, exit_counts, -res.log_z
+
+    g = graph_batch
+    gamma_b, self_c, exit_c, nlls = jax.vmap(one)(
+        feats, n_frames, g["trans"], g["eps_trans"], g["init_cost"],
+        g["end_scores"], g["bank_state"],
+    )
+    gamma = gamma_b.reshape(b * t, ns)
+    self_counts = jnp.sum(self_c, axis=0)
+    exit_counts = jnp.sum(exit_c, axis=0)
+
+    flat_x = feats.reshape(b * t, d)
+    # mixture responsibilities within each state, weighted by gamma
+    xa = augment_features(flat_x)
+    per_mix = (xa @ w.reshape(ns * m, a).T).reshape(b * t, ns, m)
+    lp = lw[None] - per_mix  # [BT, NS, M]
+    lp_max = jnp.max(lp, axis=-1, keepdims=True)
+    resp = jnp.exp(lp - lp_max)
+    resp = resp / jnp.maximum(jnp.sum(resp, axis=-1, keepdims=True), 1e-30)
+    wts2 = (gamma[:, :, None] * resp).reshape(b * t, ns * m)
+
+    r_sum = jnp.sum(wts2, axis=0).reshape(ns, m)
+    rx = (wts2.T @ flat_x).reshape(ns, m, d)
+    rxx = (wts2.T @ (flat_x * flat_x)).reshape(ns, m, d)
+    frame_counts = jnp.sum(gamma, axis=0)  # [NS] soft occupancy
+
+    denom = jnp.maximum(r_sum, 1e-6)[..., None]
+    new_means = rx / denom
+    new_vars = jnp.maximum(rxx / denom - new_means * new_means, var_floor)
+    new_w = r_sum / jnp.maximum(frame_counts.reshape(ns, 1), 1e-6)
+    new_w = jnp.maximum(new_w, 1e-8)
+    new_w = new_w / jnp.sum(new_w, axis=-1, keepdims=True)
+
+    has_data = (frame_counts > 1e-3).reshape(n, s)
+    hd = has_data[..., None, None]
+    means = jnp.where(hd, new_means.reshape(n, s, m, d), bank.means)
+    log_vars = jnp.where(hd, jnp.log(new_vars).reshape(n, s, m, d), bank.log_vars)
+    log_w = jnp.where(hd[..., 0], jnp.log(new_w).reshape(n, s, m), bank.log_weights)
+
+    # Baum-Welch transition update on the self/step band
+    denom_t = jnp.maximum(self_counts + exit_counts, 1e-6)
+    p_stay = (self_counts / denom_t).reshape(n, s)
+    p_jump = (exit_counts / denom_t).reshape(n, s)
+    exit_cost = jnp.where(p_jump > 0, -jnp.log(jnp.maximum(p_jump, 1e-30)), POS_INF)
+    self_cost = jnp.where(p_stay > 0, -jnp.log(jnp.maximum(p_stay, 1e-30)), POS_INF)
+    eye = jnp.eye(s, dtype=bool)
+    sub = jnp.eye(s, k=-1, dtype=bool)
+    trans = bank.trans_cost
+    hd_t = has_data.reshape(n, 1, s)
+    trans = jnp.where(eye[None] & hd_t, self_cost[:, None, :], trans)
+    trans = jnp.where(sub[None] & hd_t, exit_cost[:, None, :], trans)
+    trans = jnp.minimum(trans, POS_INF)
+
+    new_bank = HMMBank(means=means, log_vars=log_vars, log_weights=log_w, trans_cost=trans)
+    stats = EmbeddedStats(
+        r_sum=r_sum,
+        rx=rx,
+        rxx=rxx,
+        frame_counts=frame_counts,
+        run_counts=exit_counts,
+        total_cost=jnp.sum(nlls),
+    )
+    return new_bank, stats

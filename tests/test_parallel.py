@@ -140,3 +140,29 @@ def test_entry_compiles():
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
     assert np.all(np.isfinite(np.asarray(out[2])))
+
+
+def test_soft_embedded_step_converges(embedded_fixture):
+    """True Baum-Welch (sum-product) variant: NLL decreases, decode holds."""
+    from speech_recognition_tpu.models.graph import build_word_graph, pad_graphs
+    from speech_recognition_tpu.train.embedded_step import embedded_step_soft
+
+    bank, feats, n_frames, _, _, _, labels = embedded_fixture
+    trans_np = [np.asarray(bank.trans_cost[i]) for i in range(bank.n_models)]
+    graphs = [build_word_graph(trans_np, [[l] for l in ls]) for ls in labels]
+    batch, eps_depth = pad_graphs(graphs)
+    g = {
+        k: jnp.asarray(v)
+        for k, v in batch.items()
+        if k in ("trans", "eps_trans", "init_cost", "end_states", "end_scores", "bank_state")
+    }
+    b = bank
+    nlls = []
+    for _ in range(5):
+        b, stats = embedded_step_soft(
+            b, jnp.asarray(feats), jnp.asarray(n_frames), g,
+            eps_depth=eps_depth, var_floor=1e-3,
+        )
+        nlls.append(float(stats.total_cost))
+    assert nlls[-1] < nlls[0], nlls
+    assert all(n2 <= n1 + 1e-2 for n1, n2 in zip(nlls, nlls[1:])), nlls

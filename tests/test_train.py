@@ -196,3 +196,57 @@ def test_connected_end_to_end(digit_setup):
     seqs, costs = decode_connected(bank, graph, fb, nb)
     correct = sum(1 for s, u in zip(seqs, utts) if s == u.labels)
     assert correct >= 2, f"decoded {seqs} vs {[u.labels for u in utts]}"
+
+
+def test_dtw_template_classification(digit_setup):
+    """Reference use_gmm=False path: skmeans templates + DTW argmin."""
+    import jax.numpy as jnp
+
+    from speech_recognition_tpu.decode.dtw import (
+        dtw_classify_batch,
+        fit_template,
+        stack_templates,
+    )
+    from speech_recognition_tpu.data.synthetic import SyntheticDigits
+    from speech_recognition_tpu.config import FrontendConfig
+    from speech_recognition_tpu.ops.frontend import mfcc39, padded_length
+
+    cfg = FrontendConfig()
+    gen = SyntheticDigits(seed=7)
+    n_train, n_test = 6, 3
+
+    def featurize(utts):
+        L = padded_length(cfg, 24000)
+        feats, lens = [], []
+        for u in utts:
+            buf = np.zeros(L, np.float32)
+            buf[: len(u.samples)] = u.samples
+            f, nf = mfcc39(buf, np.int32(len(u.samples)), cfg)
+            feats.append(np.asarray(f))
+            lens.append(int(nf))
+        return feats, lens
+
+    train = gen.isolated_corpus(n_train, tag="train")
+    test = gen.isolated_corpus(n_test, tag="test")
+    train_feats, train_lens = featurize(train)
+    test_feats, test_lens = featurize(test)
+
+    models = []
+    for d in range(11):
+        idx = [i for i, u in enumerate(train) if u.labels == [d]]
+        temps = [train_feats[i][: train_lens[i]].astype(np.float64) for i in idx]
+        models.append(fit_template(temps, 5, pad_to=max(train_lens)))
+    bank = stack_templates(models)
+
+    tmax = max(test_lens)
+    b = len(test)
+    fb = np.zeros((b, tmax, 39), np.float32)
+    lens = np.zeros((b,), np.int32)
+    labels = np.zeros((b,), np.int64)
+    for i in range(b):
+        fb[i, : test_lens[i]] = test_feats[i][: test_lens[i]]
+        lens[i] = test_lens[i]
+        labels[i] = test[i].labels[0]
+    pred, costs = dtw_classify_batch(bank, jnp.asarray(fb), jnp.asarray(lens))
+    acc = float(np.mean(np.asarray(pred) == labels))
+    assert acc >= 0.85, f"DTW template accuracy {acc}"
