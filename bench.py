@@ -63,7 +63,7 @@ def _timeit(fn, warmup=2, iters=5):
     return (time.perf_counter() - t0) / iters
 
 
-def bench_connected_decode(batch=64, frames=500, n_slots=7, frame_step_s=0.01):
+def bench_connected_decode(batch=512, frames=500, n_slots=7, frame_step_s=0.01):
     """Headline: audio-seconds/s of sausage-graph connected decode."""
     import jax
     import jax.numpy as jnp
@@ -185,7 +185,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--what", default="headline",
                     choices=["headline", "frontend", "train", "decode"])
-    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--batch", type=int, default=512)
     ap.add_argument("--frames", type=int, default=500)
     args = ap.parse_args()
 

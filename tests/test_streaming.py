@@ -1,0 +1,81 @@
+"""Streaming chunked decode must be bit-identical to monolithic decode."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from speech_recognition_tpu.data.synthetic import random_gmm_hmm
+from speech_recognition_tpu.decode.connected import decode_connected
+from speech_recognition_tpu.decode.streaming import StreamingDecoder
+from speech_recognition_tpu.models.graph import build_loop_graph
+from speech_recognition_tpu.models.hmm import GMMHMM, HMMBank
+from speech_recognition_tpu.utils.numerics import to_cost_matrix
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(9)
+    n_words, S, M, D = 4, 3, 1, 6
+    params = [random_gmm_hmm(rng, S, M, D, sep=6.0) for _ in range(n_words)]
+    bank = HMMBank.stack(
+        [
+            GMMHMM(
+                means=jnp.asarray(p["means"], jnp.float32),
+                log_vars=jnp.log(jnp.asarray(p["variances"], jnp.float32)),
+                log_weights=jnp.log(jnp.asarray(p["weights"], jnp.float32)),
+                trans_cost=jnp.asarray(to_cost_matrix(p["trans"])),
+            )
+            for p in params
+        ]
+    )
+    graph = build_loop_graph([p["trans"] for p in params])
+    # a long "utterance": 30 words
+    seq = [int(rng.integers(0, n_words)) for _ in range(30)]
+    frames = []
+    for w in seq:
+        for s in range(S):
+            n = int(rng.integers(2, 6))
+            frames += [
+                params[w]["means"][s, 0]
+                + 0.2 * rng.standard_normal(D) * np.sqrt(params[w]["variances"][s, 0])
+                for _ in range(n)
+            ]
+    x = np.asarray(frames, dtype=np.float32)
+    return bank, graph, x, seq
+
+
+@pytest.mark.parametrize("chunk", [32, 100, 1000])
+def test_streaming_matches_monolithic(setup, chunk):
+    bank, graph, x, seq = setup
+    mono_seqs, mono_costs = decode_connected(
+        bank, graph, x[None], np.asarray([len(x)], np.int32)
+    )
+
+    dec = StreamingDecoder(bank, graph, chunk_frames=chunk)
+    t = 0
+    while t < len(x):
+        c = min(chunk, len(x) - t)
+        buf = np.zeros((chunk, x.shape[1]), np.float32)
+        buf[:c] = x[t : t + c]
+        dec.push(buf, n_valid=c)
+        t += c
+    words, states, cost = dec.finish()
+    assert words == mono_seqs[0]
+    np.testing.assert_allclose(cost, mono_costs[0], rtol=1e-5)
+    assert words == seq  # and it actually decodes the audio correctly
+
+
+def test_streaming_best_cost_monotone_info(setup):
+    bank, graph, x, seq = setup
+    dec = StreamingDecoder(bank, graph, chunk_frames=64)
+    costs = []
+    t = 0
+    while t < len(x):
+        c = min(64, len(x) - t)
+        buf = np.zeros((64, x.shape[1]), np.float32)
+        buf[:c] = x[t : t + c]
+        dec.push(buf, n_valid=c)
+        costs.append(dec.best_cost())
+        t += c
+    assert all(np.isfinite(c) for c in costs)
+    assert costs == sorted(costs)  # accumulated path cost grows
