@@ -28,7 +28,38 @@ from speech_recognition_tpu.train.em import em_fit
 from speech_recognition_tpu.train.kmeans import kmeans
 from speech_recognition_tpu.train.skmeans import skmeans
 
-__all__ = ["fit_gmm_state", "fit_hmm"]
+__all__ = ["fit_gmm_state", "fit_hmm", "align_states"]
+
+
+def align_states(bank_model, feats_batch, n_frames):
+    """Viterbi re-segmentation of templates against trained GMM states —
+    the reference's ``align_gmm_states``
+    (``/root/reference/sr/recognition/kmeans.py:196-205``), vmapped.
+
+    Args:
+      bank_model: a :class:`~speech_recognition_tpu.models.hmm.GMMHMM`.
+      feats_batch: ``[B, T, D]`` padded templates; ``n_frames [B]``.
+
+    Returns ``[B, T]`` state alignments (int32).
+    """
+    from speech_recognition_tpu.models.hmm import linear_init_cost
+    from speech_recognition_tpu.ops.gmm import gmm_emission_weights, gmm_neg_log_lik
+    from speech_recognition_tpu.ops.viterbi import viterbi, viterbi_backtrace
+
+    s = bank_model.n_states
+    w, lw = gmm_emission_weights(
+        bank_model.means, bank_model.log_vars, bank_model.log_weights
+    )
+    init = jnp.asarray(linear_init_cost(s))
+    t = feats_batch.shape[1]
+
+    def one(x, nf):
+        mask = jnp.arange(t) < nf
+        nll = gmm_neg_log_lik(x, w, lw, mask)
+        res = viterbi(nll, bank_model.trans_cost, init, nf)
+        return viterbi_backtrace(res.bp, res.eps_bp, jnp.int32(s - 1), nf)[0]
+
+    return jax.vmap(one)(jnp.asarray(feats_batch, jnp.float32), jnp.asarray(n_frames))
 
 
 def fit_gmm_state(
