@@ -168,7 +168,6 @@ def make_sharded_banded_viterbi(
             P(),  # n_frames
         ),
         out_specs=(P(axis), P(None, axis)),
-        check_rep=False,
     )
 
     @jax.jit
