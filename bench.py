@@ -149,8 +149,8 @@ def bench_frontend(batch=64, samples=80000):
     rng = np.random.default_rng(0)
     sig = jnp.asarray(rng.standard_normal((batch, L)), jnp.float32)
     lens = jnp.full((batch,), samples, jnp.int32)
-    run = jax.jit(jax.vmap(lambda s, l: mfcc39(s, l, cfg)))
-    dt = _timeit(lambda: run(sig, lens)[0])
+    run = jax.jit(lambda s, l: jnp.sum(jax.vmap(lambda a, b: mfcc39(a, b, cfg)[0])(s, l)))
+    dt = _timeit(lambda: run(sig, lens))
     audio_s = batch * samples / cfg.sample_rate
     log(f"frontend: {audio_s:.0f} audio-s in {dt*1e3:.1f} ms -> {audio_s/dt:.0f} audio-s/s")
     return audio_s / dt

@@ -128,6 +128,7 @@ def decode_connected(
             )
             states = np.asarray(states)
             eps_flags = np.asarray(eps_flags)
+            _warn_no_path(costs)
             seqs = [
                 states_to_words(graph, states[i], int(n_frames[i]), eps_flags[i])
                 for i in range(states.shape[0])
@@ -148,11 +149,26 @@ def decode_connected(
     )
     states = np.asarray(states)
     eps_flags = np.asarray(eps_flags)
+    _warn_no_path(costs)
     seqs = [
         states_to_words(graph, states[i], int(n_frames[i]), eps_flags[i])
         for i in range(states.shape[0])
     ]
     return seqs, np.asarray(costs)
+
+
+def _warn_no_path(costs):
+    """Reference parity: warn when no path reaches an end state
+    (``/root/reference/sr/recognition/decode.py:136-140``)."""
+    from speech_recognition_tpu.utils.numerics import POS_INF
+
+    bad = np.asarray(costs) >= POS_INF / 2
+    if np.any(bad):
+        import warnings
+
+        warnings.warn(
+            f"decode: cannot find a path for {int(bad.sum())} utterance(s)"
+        )
 
 
 def states_to_words(

@@ -184,6 +184,22 @@ def padded_length(cfg: FrontendConfig, max_signal_len: int) -> int:
 # ---------------------------------------------------------------------------
 
 
+def _frame_signal(emph, F: int, fl: int, fs: int):
+    """[L] -> [F, fl] overlapping frames via static strided slices.
+
+    With g = gcd(fl, fs) the signal splits into g-sample blocks; frame f
+    is blocks [f*fs/g .. f*fs/g + fl/g), so each of the fl/g block
+    positions is one static strided slice — XLA-native, no gathers."""
+    import math
+
+    g = math.gcd(fl, fs)
+    nb, sb = fl // g, fs // g
+    need = (F - 1) * sb + nb
+    x = emph[: need * g].reshape(need, g)
+    parts = [x[j : j + (F - 1) * sb + 1 : sb] for j in range(nb)]
+    return jnp.concatenate(parts, axis=1)
+
+
 def _num_frames(cfg: FrontendConfig, length):
     fl, fs = cfg.frame_len, cfg.frame_step
     if cfg.variant == "psf":
@@ -227,13 +243,14 @@ def mfcc(signal, length, cfg: FrontendConfig = FrontendConfig(), n_frames_cap: i
     idx = jnp.arange(L)
     emph = jnp.where(idx < length, emph, 0.0)
 
-    # Framing as a gather: [F, frame_len]
-    frame_idx = jnp.arange(F)[:, None] * fs + jnp.arange(fl)[None, :]
-    frames = emph[jnp.clip(frame_idx, 0, L - 1)]
-    frames = jnp.where(frame_idx < L, frames, 0.0)
-
     nf = _num_frames(cfg, length)
     frame_mask = jnp.arange(F) < nf
+
+    # Framing with static strided slices only (no gathers, no convs —
+    # both serialize on TPU): split the signal into gcd(fl, fs)-sample
+    # blocks and concatenate block slices, then one [F, fl] x [fl, bins]
+    # GEMM per cos/sin basis onto the MXU.
+    frames = _frame_signal(emph, F, fl, fs)
 
     # Windowed power spectrum.
     if cfg.dft_as_gemm:
@@ -259,16 +276,18 @@ def delta_feature(feat, n_frames):
     """Symmetric +-1-frame difference with one-sided ends, masked.
 
     Matches ``/root/reference/sr/core.py:13-22``: ``d[0]=f[1]-f[0]``,
-    ``d[n-1]=f[n-1]-f[n-2]``, else ``d[i]=f[i+1]-f[i-1]`` — implemented as
-    a clipped-index gather so the true (dynamic) boundary frames get the
-    one-sided forms.
+    ``d[n-1]=f[n-1]-f[n-2]``, else ``d[i]=f[i+1]-f[i-1]`` — via static
+    shifted slices plus a masked fix-up row at the dynamic boundary
+    (dynamic gathers serialize on TPU).
     """
     F = feat.shape[0]
-    i = jnp.arange(F)
-    nxt = jnp.clip(i + 1, 0, n_frames - 1)
-    prv = jnp.clip(i - 1, 0, None)
-    delta = feat[nxt] - feat[prv]
-    return jnp.where(i[:, None] < n_frames, delta, 0.0)
+    i = jnp.arange(F)[:, None]
+    fwd = jnp.concatenate([feat[1:], feat[-1:]], axis=0)  # f[i+1]
+    bwd = jnp.concatenate([feat[:1], feat[:-1]], axis=0)  # f[i-1] (clamped at 0)
+    d = fwd - bwd  # row 0 = f[1]-f[0], interior = f[i+1]-f[i-1]
+    e = feat - bwd  # f[i]-f[i-1]: the one-sided last-row form
+    d = jnp.where(i == n_frames - 1, e, d)
+    return jnp.where(i < n_frames, d, 0.0)
 
 
 def standardize(feat, n_frames):
