@@ -323,8 +323,8 @@ def mfcc39(signal, length, cfg: FrontendConfig = FrontendConfig(), n_frames_cap:
     return standardize(feats, nf), nf
 
 
-# Batched variants: vmap over the leading axis.
-mfcc39_batch = jax.jit(
-    jax.vmap(mfcc39, in_axes=(0, 0, None, None)),
-    static_argnames=("cfg", "n_frames_cap"),
-)
+@functools.partial(jax.jit, static_argnames=("cfg", "n_frames_cap"))
+def mfcc39_batch(signals, lengths, cfg: FrontendConfig = FrontendConfig(),
+                 n_frames_cap: int = None):
+    """Batched ``mfcc39``: ``[B, L] -> ([B, F, 3*n_ceps], [B])``."""
+    return jax.vmap(lambda s, l: mfcc39(s, l, cfg, n_frames_cap))(signals, lengths)

@@ -1,0 +1,40 @@
+"""CLI end-to-end smoke test: the full user journey in one pass
+(synth -> isolated train/test -> continuous train -> connected test)."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from speech_recognition_tpu.cli import main
+
+
+def test_cli_pipeline(tmp_path, capsys, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    main(["synth", "-o", "data", "--n-train", "4", "--n-test", "2",
+          "--n-continuous", "24"])
+    main(["isolated_train", "-i", "data/train", "-o", "models/bank.npz",
+          "--n-gaussians", "2"])
+    main(["isolated_test", "-i", "models/bank.npz", "-d", "data/test"])
+    out = capsys.readouterr().out
+    acc = float(out.strip().splitlines()[-1])
+    assert acc >= 0.8, f"CLI isolated accuracy {acc}"
+
+    main(["continuous_train", "-i", "models/bank.npz", "-o", "models-cont",
+          "-d", "data/train", "--iterations", "2"])
+    cks = sorted(glob.glob("models-cont/*.npz"))
+    assert len(cks) == 2
+
+    # resume: one more iteration picks up from the latest checkpoint
+    main(["continuous_train", "-i", "models/bank.npz", "-o", "models-cont",
+          "-d", "data/train", "--iterations", "1"])
+    out = capsys.readouterr().out
+    assert "resuming from" in out
+    assert len(glob.glob("models-cont/*.npz")) == 3
+
+    main(["connected_test", "-i", sorted(glob.glob("models-cont/*.npz"))[-1],
+          "-d", "data/test", "--graph", "loop", "--lm", "bigram"])
+    out = capsys.readouterr().out
+    wer = float([l for l in out.splitlines() if l.startswith("WER:")][0].split()[1])
+    assert wer <= 0.25, f"CLI connected WER {wer}"
