@@ -104,7 +104,8 @@ def _decode_banded_batch(bank: HMMBank, feats, n_frames, g: BandedGraph,
 
 
 def decode_connected(
-    bank: HMMBank, graph: WordGraph, feats, n_frames, backend: str = "auto"
+    bank: HMMBank, graph: WordGraph, feats, n_frames, backend: str = "auto",
+    drop_labels=None,
 ) -> Tuple[List[List[int]], np.ndarray]:
     """Decode a batch of utterances to word-id sequences.
 
@@ -130,7 +131,8 @@ def decode_connected(
             eps_flags = np.asarray(eps_flags)
             _warn_no_path(costs)
             seqs = [
-                states_to_words(graph, states[i], int(n_frames[i]), eps_flags[i])
+                states_to_words(graph, states[i], int(n_frames[i]), eps_flags[i],
+                                drop_labels=drop_labels)
                 for i in range(states.shape[0])
             ]
             return seqs, np.asarray(costs)
@@ -151,7 +153,8 @@ def decode_connected(
     eps_flags = np.asarray(eps_flags)
     _warn_no_path(costs)
     seqs = [
-        states_to_words(graph, states[i], int(n_frames[i]), eps_flags[i])
+        states_to_words(graph, states[i], int(n_frames[i]), eps_flags[i],
+                        drop_labels=drop_labels)
         for i in range(states.shape[0])
     ]
     return seqs, np.asarray(costs)
@@ -172,18 +175,25 @@ def _warn_no_path(costs):
 
 
 def states_to_words(
-    graph: WordGraph, states: np.ndarray, n_frames: int, eps_flags: np.ndarray = None
+    graph: WordGraph,
+    states: np.ndarray,
+    n_frames: int,
+    eps_flags: np.ndarray = None,
+    drop_labels=None,
 ) -> List[int]:
     """Per-frame states -> word-id sequence: a new word starts when the
     slot changes *or* a word-boundary epsilon edge fired at that frame
     (the NES-split equivalent of ``main.py:63-67``; the epsilon flag is
-    what separates repeated words in loop graphs)."""
+    what separates repeated words in loop graphs).  ``drop_labels``
+    filters non-lexical arcs (e.g. the silence model) from the output."""
     slots = graph.slot[states[:n_frames]]
     out: List[int] = []
     prev = -1
     for t, s in enumerate(slots):
         boundary = s != prev or (eps_flags is not None and t > 0 and eps_flags[t])
         if boundary:
-            out.append(int(graph.slot_label[s]))
+            label = int(graph.slot_label[s])
+            if not (drop_labels and label in drop_labels):
+                out.append(label)
             prev = s
     return out

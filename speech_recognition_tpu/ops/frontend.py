@@ -306,13 +306,20 @@ def standardize(feat, n_frames):
     return jnp.where(mask, out, 0.0)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "n_frames_cap"))
-def mfcc39(signal, length, cfg: FrontendConfig = FrontendConfig(), n_frames_cap: int = None):
-    """Full production feature path: [mfcc, delta, delta-delta], standardized.
+@functools.partial(jax.jit, static_argnames=("cfg", "n_frames_cap", "norm"))
+def mfcc39(signal, length, cfg: FrontendConfig = FrontendConfig(),
+           n_frames_cap: int = None, norm: str = "utterance"):
+    """Full production feature path: [mfcc, delta, delta-delta], normalized.
 
     The reference's ``load_wav_as_mfcc`` (``/root/reference/sr/core.py:34-45``)
     for ``variant='psf'``; ``load_wav_as_mfcc1`` (``sr/core.py:25-31``) for
     ``variant='scratch'``.
+
+    ``norm``: 'utterance' (reference parity — per-utterance mean/var over
+    valid frames) or 'none' (raw features, for corpus-level CMVN via
+    :func:`cmvn_stats` / :func:`apply_cmvn`; per-utterance normalization
+    is distorted when training audio is endpoint-trimmed but decode
+    audio is not).
 
     Returns ``(features [F, 3*n_ceps], n_frames)``.
     """
@@ -320,7 +327,33 @@ def mfcc39(signal, length, cfg: FrontendConfig = FrontendConfig(), n_frames_cap:
     d1 = delta_feature(ceps, nf)
     d2 = delta_feature(d1, nf)
     feats = jnp.concatenate([ceps, d1, d2], axis=1)
-    return standardize(feats, nf), nf
+    if norm == "utterance":
+        feats = standardize(feats, nf)
+    return feats, nf
+
+
+def cmvn_stats(feats, n_frames):
+    """Corpus-level cepstral mean/variance from ``[B, T, D]`` raw
+    features (masked).  Returns ``(mean [D], std [D])``."""
+    feats = jnp.asarray(feats)
+    t = feats.shape[1]
+    mask = (jnp.arange(t)[None, :] < jnp.asarray(n_frames)[:, None])[..., None]
+    total = jnp.sum(jnp.asarray(n_frames))
+    mean = jnp.sum(jnp.where(mask, feats, 0.0), axis=(0, 1)) / total
+    var = jnp.sum(jnp.where(mask, (feats - mean) ** 2, 0.0), axis=(0, 1)) / total
+    return mean, jnp.sqrt(jnp.maximum(var, 1e-12))
+
+
+def apply_cmvn(feats, n_frames, mean, std):
+    """Apply corpus CMVN to ``[T, D]`` or ``[B, T, D]`` features, masked."""
+    feats = jnp.asarray(feats)
+    t = feats.shape[-2]
+    out = (feats - mean) / std
+    if feats.ndim == 2:
+        m = (jnp.arange(t) < n_frames)[:, None]
+    else:
+        m = (jnp.arange(t)[None, :] < jnp.asarray(n_frames)[:, None])[..., None]
+    return jnp.where(m, out, 0.0)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "n_frames_cap"))
