@@ -181,10 +181,58 @@ def bench_embedded_train(batch=32, frames=300):
     return batch / dt
 
 
+def bench_pipeline(batch=256, samples=80000, n_slots=7):
+    """Device-resident wav -> words: one jit for MFCC + emissions +
+    banded Viterbi + backtrace."""
+    import jax
+    import jax.numpy as jnp
+
+    from speech_recognition_tpu.config import FrontendConfig
+    from speech_recognition_tpu.decode.connected import connected_graph_arrays
+    from speech_recognition_tpu.ops.frontend import mfcc39, padded_length, max_frames
+    from speech_recognition_tpu.ops.viterbi_banded import (
+        banded_arrays,
+        banded_backtrace,
+        viterbi_banded,
+    )
+    from speech_recognition_tpu.models.hmm import bank_nll
+
+    cfg = FrontendConfig()
+    bank = _bank()
+    graph = connected_graph_arrays(bank, n_slots)
+    bg = banded_arrays(graph)
+    L = padded_length(cfg, samples)
+    F = max_frames(cfg, samples)
+    rng = np.random.default_rng(0)
+    sig = jnp.asarray(rng.standard_normal((batch, L)) * 3000, jnp.float32)
+    lens = jnp.full((batch,), samples, jnp.int32)
+
+    @jax.jit
+    def pipeline(sig, lens):
+        def one(s, l):
+            feats, nf = mfcc39(s, l, cfg)
+            frame_mask = jnp.arange(feats.shape[0]) < nf
+            nll = bank_nll(bank, feats, frame_mask)[:, bg.bank_state]
+            final, bp8 = viterbi_banded(nll, bg, nf, eps_depth=graph.eps_depth)
+            end_costs = final[bg.end_states] + bg.end_bonus
+            best = jnp.argmin(end_costs)
+            states, _ = banded_backtrace(bp8, bg, bg.end_states[best], nf,
+                                         eps_depth=graph.eps_depth)
+            return end_costs[best], states[0]
+
+        costs, s0 = jax.vmap(one)(sig, lens)
+        return jnp.sum(costs) + jnp.sum(s0)
+
+    dt = _timeit(lambda: pipeline(sig, lens))
+    audio_s = batch * samples / cfg.sample_rate
+    log(f"pipeline: {audio_s:.0f} audio-s in {dt*1e3:.1f} ms -> {audio_s/dt:.0f} audio-s/s")
+    return audio_s / dt
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--what", default="headline",
-                    choices=["headline", "frontend", "train", "decode"])
+                    choices=["headline", "frontend", "train", "decode", "pipeline"])
     ap.add_argument("--batch", type=int, default=512)
     ap.add_argument("--frames", type=int, default=500)
     args = ap.parse_args()
@@ -196,6 +244,11 @@ def main():
     if args.what == "frontend":
         v = bench_frontend(args.batch)
         print(json.dumps({"metric": "mfcc-frontend", "value": round(v, 1),
+                          "unit": "audio-seconds/s/chip", "vs_baseline": 0}))
+        return
+    if args.what == "pipeline":
+        v = bench_pipeline(args.batch if args.batch != 512 else 256)
+        print(json.dumps({"metric": "wav-to-words-pipeline", "value": round(v, 1),
                           "unit": "audio-seconds/s/chip", "vs_baseline": 0}))
         return
     if args.what == "train":

@@ -30,21 +30,39 @@ from speech_recognition_tpu.config import (
 )
 
 
-def _featurize_files(paths, cfg: FrontendConfig, cap_samples: int):
+def _featurize_files(paths, cfg: FrontendConfig, cap_samples: int,
+                     norm: str = "utterance", cmvn=None):
+    """Wavs -> features.  norm='utterance' (reference parity) or 'cmvn'
+    (raw features; pass cmvn=(mean, std) to apply corpus stats, None to
+    get raw features for stats estimation)."""
     import jax.numpy as jnp
 
-    from speech_recognition_tpu.ops.frontend import mfcc39, padded_length
+    from speech_recognition_tpu.ops.frontend import apply_cmvn, mfcc39, padded_length
     from speech_recognition_tpu.runtime.loader import load_wav_batch
 
     L = padded_length(cfg, cap_samples)
     # native batched IO (C++ thread pool; scipy fallback)
     samples, lengths, rates = load_wav_batch(list(paths), L)
     feats, lens = [], []
+    mode = "utterance" if norm == "utterance" else "none"
     for i in range(len(paths)):
-        f, nf = mfcc39(jnp.asarray(samples[i]), np.int32(min(int(lengths[i]), cap_samples)), cfg)
+        f, nf = mfcc39(jnp.asarray(samples[i]),
+                       np.int32(min(int(lengths[i]), cap_samples)), cfg, norm=mode)
+        if norm == "cmvn" and cmvn is not None:
+            f = apply_cmvn(f, np.int32(int(nf)), jnp.asarray(cmvn[0]), jnp.asarray(cmvn[1]))
         feats.append(np.asarray(f))
         lens.append(int(nf))
     return feats, lens
+
+
+def _norm_from_meta(meta):
+    """(norm, cmvn) from a bank's metadata."""
+    norm = meta.get("norm", "utterance")
+    cmvn = None
+    if norm == "cmvn":
+        arrs = meta.get("arrays", {})
+        cmvn = (arrs["cmvn_mean"], arrs["cmvn_std"])
+    return norm, cmvn
 
 
 def _stack(feats, lens, dim=39):
@@ -84,8 +102,7 @@ def cmd_isolated_train(args):
     hmm_cfg = HMMConfig(n_states=args.n_states, n_mix=args.n_gaussians)
     train_cfg = TrainConfig()
 
-    models = []
-    all_temps = {}
+    by_digit_files = {}
     for d, name in enumerate(DIGIT_NAMES):
         pattern = re.compile("[A-Z]+_" + name + "[AB].wav")  # cli.py:27
         files = sorted(
@@ -94,9 +111,28 @@ def cmd_isolated_train(args):
         )
         if not files:
             sys.exit(f"no training files for digit {name} under {args.input}")
-        feats, lens = _featurize_files(files, cfg, args.max_samples)
+        by_digit_files[d] = files
+
+    cmvn = None
+    if args.norm == "cmvn":
+        from speech_recognition_tpu.ops.frontend import cmvn_stats
+
+        all_files = [f for fs in by_digit_files.values() for f in fs]
+        raw, lens = _featurize_files(all_files, cfg, args.max_samples, norm="cmvn")
+        tmax = max(lens)
+        fb = np.zeros((len(raw), tmax, 39), np.float32)
+        for i, f in enumerate(raw):
+            fb[i, : lens[i]] = f[: lens[i]]
+        m, sd = cmvn_stats(fb, np.asarray(lens, np.int32))
+        cmvn = (np.asarray(m), np.asarray(sd))
+
+    all_temps = {}
+    for d in by_digit_files:
+        feats, lens = _featurize_files(by_digit_files[d], cfg, args.max_samples,
+                                       norm=args.norm, cmvn=cmvn)
         all_temps[d] = [f[:n].astype(np.float64) for f, n in zip(feats, lens)]
     pad_to = max(max(t.shape[0] for t in ts) for ts in all_temps.values())
+    models = []
     for d, name in enumerate(DIGIT_NAMES):
         print(f"training {name} on {len(all_temps[d])} files")
         models.append(
@@ -109,8 +145,50 @@ def cmd_isolated_train(args):
                 pad_to=pad_to,
             )
         )
+
+    meta = {"kind": "isolated", "n_mix": args.n_gaussians, "norm": args.norm}
+    arrays = {}
+    if cmvn is not None:
+        arrays = {"cmvn_mean": cmvn[0], "cmvn_std": cmvn[1]}
+    if args.silence:
+        from speech_recognition_tpu.runtime.loader import load_wav_batch
+        from speech_recognition_tpu.ops.frontend import mfcc39 as _m39, padded_length as _pl
+        from speech_recognition_tpu.train.silence import (
+            fit_silence_hmm,
+            harvest_silence_samples,
+        )
+        import jax.numpy as jnp
+
+        all_files = [f for fs in by_digit_files.values() for f in fs]
+        L = _pl(cfg, args.max_samples)
+        samples, lengths, _ = load_wav_batch(all_files, L)
+        segs = harvest_silence_samples(
+            [samples[i, : lengths[i]] for i in range(len(all_files))]
+        )
+        sil_frames = []
+        from speech_recognition_tpu.ops.frontend import apply_cmvn
+
+        for seg in segs:
+            buf = np.zeros(L, np.float32)
+            n = min(len(seg), L)
+            buf[:n] = seg[:n]
+            mode = "utterance" if args.norm == "utterance" else "none"
+            f, nf = _m39(jnp.asarray(buf), np.int32(n), cfg, norm=mode)
+            if cmvn is not None:
+                f = apply_cmvn(f, np.int32(int(nf)), jnp.asarray(cmvn[0]), jnp.asarray(cmvn[1]))
+            sil_frames.append(np.asarray(f)[: int(nf)])
+        if sil_frames:
+            sil = fit_silence_hmm(
+                jax.random.PRNGKey(4242), np.concatenate(sil_frames),
+                n_states=args.n_states, n_mix=min(args.n_gaussians, 2),
+                hmm_cfg=hmm_cfg,
+            )
+            models.append(sil)
+            meta["silence_index"] = len(models) - 1
+            print(f"trained silence model from {len(sil_frames)} segments")
+
     bank = HMMBank.stack(models)
-    save_bank(args.output, bank, {"kind": "isolated", "n_mix": args.n_gaussians})
+    save_bank(args.output, bank, meta, arrays=arrays)
     print(f"saved bank to {args.output}")
 
 
@@ -121,7 +199,11 @@ def cmd_isolated_test(args):
     from speech_recognition_tpu.utils.checkpoint import load_bank
 
     cfg = FrontendConfig()
-    bank, _ = load_bank(args.input)
+    bank, meta = load_bank(args.input)
+    norm, cmvn = _norm_from_meta(meta)
+    sil = meta.get("silence_index")
+    if sil is not None:
+        bank = type(bank)(*[f[:sil] for f in bank])  # classify over digits only
     files, labels = [], []
     for d, name in enumerate(DIGIT_NAMES):
         pattern = re.compile("[A-Z]+_" + name + "[AB].wav")
@@ -129,7 +211,7 @@ def cmd_isolated_test(args):
             if pattern.match(os.path.basename(f)):
                 files.append(f)
                 labels.append(d)
-    feats, lens = _featurize_files(files, cfg, args.max_samples)
+    feats, lens = _featurize_files(files, cfg, args.max_samples, norm=norm, cmvn=cmvn)
     fb, nb = _stack(feats, lens)
     pred, costs = classify_batch(bank, jnp.asarray(fb), jnp.asarray(nb))
     pred = np.asarray(pred)
@@ -162,10 +244,11 @@ def cmd_continuous_train(args):
     it_found, ckpt = latest_iteration(args.output)
     if ckpt:
         print(f"resuming from {ckpt}")
-        bank, _ = load_bank(ckpt)
+        bank, meta = load_bank(ckpt)
         start_it = it_found + 1
     else:
-        bank, _ = load_bank(args.input)
+        bank, meta = load_bank(args.input)
+    norm, cmvn = _norm_from_meta(meta)
 
     files = sorted(glob.glob(os.path.join(args.data, "*.wav")))
     files = [f for f in files if transcript_from_filename(os.path.basename(f))]
@@ -173,7 +256,7 @@ def cmd_continuous_train(args):
         labels_from_transcript(transcript_from_filename(os.path.basename(f)))
         for f in files
     ]
-    feats, lens = _featurize_files(files, cfg, args.max_samples)
+    feats, lens = _featurize_files(files, cfg, args.max_samples, norm=norm, cmvn=cmvn)
     fb, nb = _stack(feats, lens)
 
     for it in range(start_it, start_it + args.iterations):
@@ -187,7 +270,13 @@ def cmd_continuous_train(args):
         )
         cost = float(stats.total_cost)
         print(f"iteration {it}: total alignment cost {cost:.1f}")
-        save_iteration(args.output, it, new_bank, cost=cost)
+        from speech_recognition_tpu.utils.checkpoint import save_bank as _sb
+        import os as _os
+
+        _sb(_os.path.join(args.output, f"bank_{it:05d}.npz"), new_bank,
+            {**{k: v for k, v in meta.items() if k != "arrays"},
+             "iteration": it, "cost": cost},
+            arrays=meta.get("arrays", {}))
         converged = all(
             np.allclose(np.asarray(getattr(new_bank, f)), np.asarray(getattr(bank, f)),
                         rtol=1e-5, atol=1e-8)
@@ -215,31 +304,35 @@ def cmd_connected_test(args):
     )
 
     cfg = FrontendConfig()
-    bank, _ = load_bank(args.input)
+    bank, meta = load_bank(args.input)
+    norm, cmvn = _norm_from_meta(meta)
+    sil = meta.get("silence_index")
     files = sorted(glob.glob(os.path.join(args.data, "*.wav")))
     files = [f for f in files if transcript_from_filename(os.path.basename(f))]
     refs = [
         labels_from_transcript(transcript_from_filename(os.path.basename(f)))
         for f in files
     ]
-    feats, lens = _featurize_files(files, cfg, args.max_samples)
+    feats, lens = _featurize_files(files, cfg, args.max_samples, norm=norm, cmvn=cmvn)
     fb, nb = _stack(feats, lens)
 
     trans_np = [np.asarray(bank.trans_cost[i]) for i in range(bank.n_models)]
+    drop = {sil} if sil is not None else None
     lm = None
     if args.lm == "bigram":
         lm = fit_bigram(refs, bank.n_models)  # in practice: train transcripts
     if args.graph == "loop":
         graph = build_loop_graph(trans_np, lm=lm,
                                  word_insertion_cost=args.word_insertion_cost)
-        hyps, _ = decode_connected(bank, graph, fb, nb)
+        hyps, _ = decode_connected(bank, graph, fb, nb, drop_labels=drop)
     else:
+        vocab = [i for i in range(bank.n_models) if i != sil]
         hyps = []
         for i, r in enumerate(refs):
             n_slots = args.n_slots or len(r)
-            graph = build_word_graph(trans_np, [list(range(bank.n_models))] * n_slots,
-                                     lm=lm)
-            h, _ = decode_connected(bank, graph, fb[i : i + 1], nb[i : i + 1])
+            graph = build_word_graph(trans_np, [vocab] * n_slots, lm=lm)
+            h, _ = decode_connected(bank, graph, fb[i : i + 1], nb[i : i + 1],
+                                    drop_labels=drop)
             hyps.append(h[0])
 
     for h, r, f in zip(hyps, refs, files):
@@ -289,6 +382,10 @@ def main(argv=None):
     p.add_argument("--n-states", type=int, default=5)
     p.add_argument("--n-gaussians", type=int, default=4)
     p.add_argument("--max-samples", type=int, default=64000)
+    p.add_argument("--norm", choices=["utterance", "cmvn"], default="utterance",
+                   help="per-utterance z-norm (reference parity) or corpus CMVN")
+    p.add_argument("--silence", action="store_true",
+                   help="train a silence model from non-speech regions")
     p.set_defaults(fn=cmd_isolated_train)
 
     p = sub.add_parser("isolated_test")

@@ -27,13 +27,19 @@ __all__ = ["save_bank", "load_bank", "latest_iteration", "save_iteration"]
 _FIELDS = ("means", "log_vars", "log_weights", "trans_cost")
 
 
-def save_bank(path: str, bank: HMMBank, meta: Optional[dict] = None) -> None:
-    """Write a bank to ``<path>`` (.npz)."""
+def save_bank(
+    path: str, bank: HMMBank, meta: Optional[dict] = None, arrays: Optional[dict] = None
+) -> None:
+    """Write a bank to ``<path>`` (.npz).  ``arrays`` saves auxiliary
+    numpy arrays alongside (e.g. corpus CMVN statistics); they come back
+    in ``meta['arrays']`` on load."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    arrays = {f: np.asarray(getattr(bank, f)) for f in _FIELDS}
+    out = {f: np.asarray(getattr(bank, f)) for f in _FIELDS}
     if meta:
-        arrays["_meta"] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
-    np.savez(path, **arrays)
+        out["_meta"] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
+    for k, v in (arrays or {}).items():
+        out[f"x_{k}"] = np.asarray(v)
+    np.savez(path, **out)
 
 
 def load_bank(path: str) -> Tuple[HMMBank, dict]:
@@ -42,6 +48,9 @@ def load_bank(path: str) -> Tuple[HMMBank, dict]:
         meta = {}
         if "_meta" in z:
             meta = json.loads(bytes(z["_meta"]).decode())
+        extras = {k[2:]: z[k] for k in z.files if k.startswith("x_")}
+        if extras:
+            meta["arrays"] = extras
     return bank, meta
 
 

@@ -38,3 +38,26 @@ def test_cli_pipeline(tmp_path, capsys, monkeypatch):
     out = capsys.readouterr().out
     wer = float([l for l in out.splitlines() if l.startswith("WER:")][0].split()[1])
     assert wer <= 0.25, f"CLI connected WER {wer}"
+
+
+def test_cli_pipeline_cmvn_silence(tmp_path, capsys, monkeypatch):
+    """CMVN + silence-model flags end to end."""
+    monkeypatch.chdir(tmp_path)
+    main(["synth", "-o", "data", "--n-train", "4", "--n-test", "2",
+          "--n-continuous", "16"])
+    main(["isolated_train", "-i", "data/train", "-o", "models/bank.npz",
+          "--n-gaussians", "2", "--norm", "cmvn", "--silence"])
+    out = capsys.readouterr().out
+    assert "trained silence model" in out
+    main(["isolated_test", "-i", "models/bank.npz", "-d", "data/test"])
+    acc = float(capsys.readouterr().out.strip().splitlines()[-1])
+    assert acc >= 0.8, acc
+    main(["continuous_train", "-i", "models/bank.npz", "-o", "models-cont",
+          "-d", "data/train", "--iterations", "1"])
+    import glob as g
+
+    ck = sorted(g.glob("models-cont/*.npz"))[-1]
+    main(["connected_test", "-i", ck, "-d", "data/test", "--graph", "loop"])
+    out = capsys.readouterr().out
+    wer = float([l for l in out.splitlines() if l.startswith("WER:")][0].split()[1])
+    assert wer <= 0.3, wer
