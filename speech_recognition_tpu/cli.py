@@ -230,7 +230,7 @@ def cmd_continuous_train(args):
         transcript_from_filename,
     )
     from speech_recognition_tpu.models.graph import build_word_graph, pad_graphs
-    from speech_recognition_tpu.train.embedded_step import embedded_step
+    from speech_recognition_tpu.train.embedded_step import embedded_step, embedded_step_soft
     from speech_recognition_tpu.utils.checkpoint import (
         latest_iteration,
         load_bank,
@@ -263,9 +263,12 @@ def cmd_continuous_train(args):
         trans_np = [np.asarray(bank.trans_cost[i]) for i in range(bank.n_models)]
         graphs = [build_word_graph(trans_np, [[l] for l in ls]) for ls in labels]
         gb, eps_depth = pad_graphs(graphs)
-        g = {k: jnp.asarray(gb[k]) for k in
-             ("trans", "eps_trans", "init_cost", "end_states", "bank_state")}
-        new_bank, stats = embedded_step(
+        keys = ("trans", "eps_trans", "init_cost", "end_states", "bank_state")
+        if args.algo == "soft":
+            keys = keys + ("end_scores",)
+        g = {k: jnp.asarray(gb[k]) for k in keys}
+        step_fn = embedded_step_soft if args.algo == "soft" else embedded_step
+        new_bank, stats = step_fn(
             bank, jnp.asarray(fb), jnp.asarray(nb), g, eps_depth=eps_depth
         )
         cost = float(stats.total_cost)
@@ -399,6 +402,9 @@ def main(argv=None):
     p.add_argument("-o", "--output", default="models-continuous")
     p.add_argument("-d", "--data", required=True, help="wav dir")
     p.add_argument("--iterations", type=int, default=10)
+    p.add_argument("--algo", choices=["hard", "soft"], default="hard",
+                   help="hard = Viterbi-EM (reference semantics), "
+                        "soft = forward-backward Baum-Welch")
     p.add_argument("--max-samples", type=int, default=120000)
     p.set_defaults(fn=cmd_continuous_train)
 

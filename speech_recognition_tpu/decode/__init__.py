@@ -3,3 +3,5 @@ from speech_recognition_tpu.decode.connected import (
     decode_connected,
     connected_graph_arrays,
 )
+from speech_recognition_tpu.decode.dtw import dtw_classify_batch, fit_template, stack_templates
+from speech_recognition_tpu.decode.streaming import StreamingDecoder

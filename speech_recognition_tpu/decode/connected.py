@@ -9,9 +9,9 @@ kernel, with emissions gathered from one bank-wide GEMM.  Word
 sequences are recovered from per-frame slot labels (consecutive
 dedupe), the NES-split equivalent of ``main.py:63-67``.
 
-Variable-length digit strings use the lextree token-passing decoder in
-``decode/beam.py``; this module is the fixed-slot reference-parity
-decoder.
+Variable-length digit strings use the LM-weighted loop graph
+(``models/graph.build_loop_graph``); the fixed-slot sausage is the
+reference-parity mode (``main.py`` hard-codes 7 slots).
 """
 
 from __future__ import annotations

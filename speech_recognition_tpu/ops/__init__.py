@@ -12,3 +12,9 @@ from speech_recognition_tpu.ops.gmm import (
     mahalanobis,
 )
 from speech_recognition_tpu.ops.viterbi import viterbi, viterbi_backtrace
+from speech_recognition_tpu.ops.viterbi_banded import (
+    banded_arrays,
+    banded_backtrace,
+    viterbi_banded,
+)
+from speech_recognition_tpu.ops.forward_backward import forward_backward

@@ -163,14 +163,17 @@ def _eps_relax(cost, emis, g: BandedGraph):
     return cost, bp_upd
 
 
-@functools.partial(jax.jit, static_argnames=("eps_depth", "need_bp"))
+@functools.partial(jax.jit, static_argnames=("eps_depth", "need_bp", "beam_width"))
 def viterbi_banded(nll, g: BandedGraph, n_frames, eps_depth: int = 1,
-                   need_bp: bool = True):
+                   need_bp: bool = True, beam_width: int = 0):
     """Banded Viterbi for one utterance.
 
     Returns ``(final_cost [S], bp8 [T, S] int8)`` — decode bp8 with
     :func:`banded_backtrace`.  With ``need_bp=False`` the backpointer
     plane is skipped entirely (isolated scoring / likelihood only).
+    ``beam_width > 0`` enables rank-based frontier pruning per frame
+    (threshold form, exact ties with the k-th best survive — the
+    reference's ``dtw`` beam semantics, ``decode.py:62-68``).
     """
     t_len, s = nll.shape
     nll = jnp.minimum(nll, POS_INF)
@@ -181,6 +184,9 @@ def viterbi_banded(nll, g: BandedGraph, n_frames, eps_depth: int = 1,
         for _ in range(eps_depth):
             cost, bp_upd = _eps_relax(cost, emis, g)
             bp8 = jnp.where(bp_upd >= 0, bp_upd, bp8)
+        if beam_width:
+            thresh = -jax.lax.top_k(-cost, beam_width)[0][-1]
+            cost = jnp.where(cost <= thresh, cost, POS_INF)
         return cost, bp8
 
     cost0, bp0 = column(g.init_cost, jnp.zeros((s,), jnp.int8), nll[0])

@@ -117,3 +117,18 @@ def test_pallas_viterbi_interpret_matches(rng):
         np.testing.assert_allclose(np.asarray(fin[b]), np.asarray(ref.final_cost), rtol=1e-5)
         n = int(nf[b])
         np.testing.assert_array_equal(np.asarray(bp[b][:n]), np.asarray(ref.bp[:n]))
+
+
+def test_banded_beam_wide_is_exact(rng):
+    _, g = graphs(rng)[0]
+    bg = banded_arrays(g)
+    nll = rng.uniform(0, 5, (25, g.n_states)).astype(np.float32)
+    exact, _ = viterbi_banded(jnp.asarray(nll), bg, jnp.int32(25), eps_depth=g.eps_depth)
+    wide, _ = viterbi_banded(jnp.asarray(nll), bg, jnp.int32(25),
+                             eps_depth=g.eps_depth, beam_width=g.n_states)
+    np.testing.assert_allclose(np.asarray(exact), np.asarray(wide), rtol=0)
+    narrow, _ = viterbi_banded(jnp.asarray(nll), bg, jnp.int32(25),
+                               eps_depth=g.eps_depth, beam_width=6)
+    # narrow beam keeps the best end-state cost close to exact here
+    e = int(g.end_states[-1])
+    assert np.isfinite(np.asarray(narrow)[e])
