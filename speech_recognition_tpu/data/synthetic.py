@@ -36,9 +36,10 @@ class Utterance:
 class SyntheticDigits:
     """Seeded generator for digit audio."""
 
-    def __init__(self, seed: int = 0, sample_rate: int = 16000):
+    def __init__(self, seed: int = 0, sample_rate: int = 16000, noise: float = 0.05):
         self.sample_rate = sample_rate
         self.seed = seed
+        self.noise = noise  # in-word noise amplitude (signal partials are O(1))
         base = np.random.default_rng(seed)
         # Per (digit, sub-segment) formant targets, fixed per generator:
         # well-separated grid so digits are acoustically distinct.
@@ -67,7 +68,7 @@ class SyntheticDigits:
                 1.0 * np.sin(2 * np.pi * self.f1[digit, seg] * jitter * t + rng.uniform(0, 6.28))
                 + 0.6 * np.sin(2 * np.pi * self.f2[digit, seg] * jitter * t + rng.uniform(0, 6.28))
                 + 0.3 * np.sin(2 * np.pi * self.f3[digit, seg] * jitter * t + rng.uniform(0, 6.28))
-                + 0.05 * rng.standard_normal(n)
+                + self.noise * rng.standard_normal(n)
             )
             ramp = min(n // 4, 160)
             env = np.ones(n)
@@ -111,13 +112,23 @@ class SyntheticDigits:
         return utts
 
     def continuous_corpus(
-        self, n: int, min_len: int = 2, max_len: int = 7, tag: str = "train"
+        self, n: int, min_len: int = 2, max_len: int = 7, tag: str = "train",
+        markov: float = 0.0,
     ) -> List[Utterance]:
+        """``markov`` > 0 makes transcripts follow a sticky +1-cycle
+        structure (next digit = prev+1 mod 11 with that probability) so a
+        bigram LM has real signal to exploit."""
         utts = []
         for i in range(n):
             rng = self._rng(tag, "cont", i)
             length = int(rng.integers(min_len, max_len + 1))
-            chars = [DIGIT_NAMES[int(rng.integers(0, 11))] for _ in range(length)]
+            digits = [int(rng.integers(0, 11))]
+            for _ in range(length - 1):
+                if rng.uniform() < markov:
+                    digits.append((digits[-1] + 1) % 11)
+                else:
+                    digits.append(int(rng.integers(0, 11)))
+            chars = [DIGIT_NAMES[d] for d in digits]
             speaker = _speaker(rng)
             utts.append(self.utterance("".join(chars), speaker=speaker))
         return utts

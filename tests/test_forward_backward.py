@@ -94,3 +94,61 @@ def test_fb_masked_frames(rng):
         np.asarray(full.gamma), np.asarray(padded.gamma)[:nf], atol=1e-5
     )
     assert np.all(np.asarray(padded.gamma)[nf:] == 0)
+
+
+def brute_force_eps(nll, trans_cost, eps_cost, init_cost, end_scores, eps_depth=1):
+    """Path enumeration including same-column epsilon hops with the
+    boundary double-emission semantics (each eps hop's destination
+    re-emits the current frame), limited to eps_depth hops per column."""
+    T, S = nll.shape
+    INF = POS_INF / 2
+    terminal = []
+
+    def finish_path(lp, s):
+        if np.isfinite(end_scores[s]) and end_scores[s] > -INF:
+            terminal.append(lp + end_scores[s])
+
+    def column(t, lp, s, hops):
+        # s has just emitted frame t with accumulated log-prob lp
+        if t == T - 1:
+            finish_path(lp, s)
+        else:
+            for v in range(S):
+                if trans_cost[v, s] < INF:
+                    column(t + 1, lp - trans_cost[v, s] - nll[t + 1, v], v, 0)
+        if hops < eps_depth:
+            for v in range(S):
+                if eps_cost[v, s] < INF:
+                    column(t, lp - eps_cost[v, s] - nll[t, v], v, hops + 1)
+
+    for s in range(S):
+        if init_cost[s] < INF:
+            column(0, -init_cost[s] - nll[0, s], s, 0)
+
+    lps = np.array(terminal)
+    assert len(lps) > 0
+    return float(np.log(np.sum(np.exp(lps - lps.max()))) + lps.max())
+
+
+def test_fb_with_epsilon_matches_brute_force(rng):
+    """Two 2-state words in sequence, connected by an epsilon edge."""
+    S, T = 4, 4
+    nll = rng.uniform(0.2, 1.5, (T, S))
+    trans = np.full((S, S), POS_INF)
+    for i in (0, 2):
+        trans[i, i] = 0.4
+        trans[i + 1, i] = 0.6
+        trans[i + 1, i + 1] = 0.4
+    eps = np.full((S, S), POS_INF)
+    eps[2, 1] = 0.3  # word-1 end -> word-2 start, same column
+    init = np.asarray([0.0, POS_INF, POS_INF, POS_INF])
+    end_scores = np.full((S,), -1e30)
+    end_scores[3] = 0.0
+
+    ref_z = brute_force_eps(nll, trans, eps, init, end_scores)
+    res = forward_backward(
+        jnp.asarray(nll), jnp.asarray(trans), jnp.asarray(init), jnp.int32(T),
+        eps_trans=jnp.asarray(eps), eps_depth=1,
+        end_scores=jnp.asarray(end_scores),
+    )
+    np.testing.assert_allclose(float(res.log_z), ref_z, rtol=1e-4)

@@ -156,3 +156,63 @@ def test_loop_graph_bigram_biases_decode(rng):
     s0, _ = decode_connected(bank, g0, x[None], np.asarray([len(x)], np.int32))
     s1, _ = decode_connected(bank, g1, x[None], np.asarray([len(x)], np.int32))
     assert s0[0] == [0] and s1[0] == [1]
+
+
+def test_bigram_helps_on_noisy_markov_corpus():
+    """End-to-end LM benefit: structured transcripts + noisy audio."""
+    import jax
+
+    from speech_recognition_tpu.config import FrontendConfig, HMMConfig
+    from speech_recognition_tpu.data.synthetic import SyntheticDigits
+    from speech_recognition_tpu.decode.connected import decode_connected
+    from speech_recognition_tpu.models.graph import build_loop_graph
+    from speech_recognition_tpu.models.hmm import HMMBank
+    from speech_recognition_tpu.ops.frontend import mfcc39, padded_length
+    from speech_recognition_tpu.train.isolated import fit_hmm
+    from speech_recognition_tpu.utils.metrics import wer
+
+    cfg = FrontendConfig()
+    gen = SyntheticDigits(seed=5, noise=1.2)
+    L = padded_length(cfg, 70000)
+
+    def feat(sig):
+        buf = np.zeros(L, np.float32)
+        buf[: len(sig)] = sig
+        f, nf = mfcc39(buf, np.int32(len(sig)), cfg)
+        return np.asarray(f), int(nf)
+
+    iso = gen.isolated_corpus(6, tag="tr")
+    by_digit = {d: [] for d in range(11)}
+    for u in iso:
+        f, nf = feat(u.samples)
+        by_digit[u.labels[0]].append(f[:nf].astype(np.float64))
+    models = [
+        fit_hmm(jax.random.PRNGKey(d), by_digit[d], hmm_cfg=HMMConfig(n_mix=2))
+        for d in range(11)
+    ]
+    bank = HMMBank.stack(models)
+
+    lm_train = gen.continuous_corpus(150, tag="lmtr", markov=0.85)
+    lm = fit_bigram([u.labels for u in lm_train], 11, add_k=0.2)
+    from speech_recognition_tpu.langmodel.bigram import BigramLM
+
+    lm4 = BigramLM(cost=lm.cost * 4, start_cost=lm.start_cost * 4,
+                   end_cost=lm.end_cost * 4)
+
+    test = gen.continuous_corpus(20, min_len=3, max_len=5, tag="te", markov=0.85)
+    feats, lens, refs = [], [], []
+    for u in test:
+        f, nf = feat(u.samples)
+        feats.append(f)
+        lens.append(nf)
+        refs.append(u.labels)
+    tmax = max(lens)
+    fb = np.zeros((len(test), tmax, 39), np.float32)
+    for i in range(len(test)):
+        fb[i, : lens[i]] = feats[i][: lens[i]]
+    nb = np.asarray(lens, np.int32)
+
+    trans_np = [np.asarray(bank.trans_cost[i]) for i in range(11)]
+    h0, _ = decode_connected(bank, build_loop_graph(trans_np), fb, nb)
+    h1, _ = decode_connected(bank, build_loop_graph(trans_np, lm=lm4), fb, nb)
+    assert wer(h1, refs) <= wer(h0, refs), (wer(h0, refs), wer(h1, refs))
