@@ -323,7 +323,9 @@ def cmd_connected_test(args):
     drop = {sil} if sil is not None else None
     lm = None
     if args.lm == "bigram":
-        lm = fit_bigram(refs, bank.n_models)  # in practice: train transcripts
+        from speech_recognition_tpu.langmodel.bigram import scale
+
+        lm = scale(fit_bigram(refs, bank.n_models), args.lm_weight)
     if args.graph == "loop":
         graph = build_loop_graph(trans_np, lm=lm,
                                  word_insertion_cost=args.word_insertion_cost)
@@ -416,6 +418,7 @@ def main(argv=None):
     p.add_argument("--n-slots", type=int, default=0,
                    help="sausage slots (0 = per-utterance ref length)")
     p.add_argument("--word-insertion-cost", type=float, default=0.0)
+    p.add_argument("--lm-weight", type=float, default=1.0)
     p.add_argument("--max-samples", type=int, default=120000)
     p.set_defaults(fn=cmd_connected_test)
 

@@ -71,6 +71,15 @@ def fit_bigram(
     )
 
 
+def scale(lm: BigramLM, weight: float) -> BigramLM:
+    """Apply an LM scale (the usual acoustic/LM balance knob)."""
+    return BigramLM(
+        cost=lm.cost * weight,
+        start_cost=lm.start_cost * weight,
+        end_cost=lm.end_cost * weight,
+    )
+
+
 def sequence_cost(lm: BigramLM, seq: List[int]) -> float:
     """Total -log P of a word sequence under the LM (for tests/rescoring)."""
     if not seq:
