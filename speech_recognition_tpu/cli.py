@@ -32,27 +32,43 @@ from speech_recognition_tpu.config import (
 
 def _featurize_files(paths, cfg: FrontendConfig, cap_samples: int,
                      norm: str = "utterance", cmvn=None):
-    """Wavs -> features.  norm='utterance' (reference parity) or 'cmvn'
-    (raw features; pass cmvn=(mean, std) to apply corpus stats, None to
-    get raw features for stats estimation)."""
+    """Wavs -> features, one batched jit over the whole file list.
+
+    The frontend config adapts to the files' actual sample rate (the
+    reference passes the wav's rate to psf.mfcc, sr/core.py:39-40; Aurora
+    data is 8 kHz).  norm='utterance' (reference parity) or 'cmvn' (raw
+    features; pass cmvn=(mean, std) to apply corpus stats, None to get
+    raw features for stats estimation)."""
+    import dataclasses
+
     import jax.numpy as jnp
 
-    from speech_recognition_tpu.ops.frontend import apply_cmvn, mfcc39, padded_length
+    from speech_recognition_tpu.ops.frontend import apply_cmvn, mfcc39_batch, padded_length
     from speech_recognition_tpu.runtime.loader import load_wav_batch
 
-    L = padded_length(cfg, cap_samples)
     # native batched IO (C++ thread pool; scipy fallback)
-    samples, lengths, rates = load_wav_batch(list(paths), L)
-    feats, lens = [], []
+    samples, lengths, rates = load_wav_batch(list(paths), cap_samples)
+    rate = int(rates[0]) if len(rates) else cfg.sample_rate
+    if np.any(rates[: len(paths)] != rate):
+        raise ValueError(f"mixed sample rates in batch: {sorted(set(rates.tolist()))}")
+    if rate != cfg.sample_rate:
+        cfg = dataclasses.replace(cfg, sample_rate=rate)
+    L = padded_length(cfg, cap_samples)
+    if L > samples.shape[1]:
+        samples = np.pad(samples, ((0, 0), (0, L - samples.shape[1])))
+    else:
+        samples = samples[:, :L]
+
     mode = "utterance" if norm == "utterance" else "none"
-    for i in range(len(paths)):
-        f, nf = mfcc39(jnp.asarray(samples[i]),
-                       np.int32(min(int(lengths[i]), cap_samples)), cfg, norm=mode)
-        if norm == "cmvn" and cmvn is not None:
-            f = apply_cmvn(f, np.int32(int(nf)), jnp.asarray(cmvn[0]), jnp.asarray(cmvn[1]))
-        feats.append(np.asarray(f))
-        lens.append(int(nf))
-    return feats, lens
+    fb, nfb = mfcc39_batch(
+        jnp.asarray(samples), jnp.asarray(np.minimum(lengths, cap_samples), np.int32),
+        cfg, None, mode,
+    )
+    if norm == "cmvn" and cmvn is not None:
+        fb = apply_cmvn(fb, nfb, jnp.asarray(cmvn[0]), jnp.asarray(cmvn[1]))
+    fb = np.asarray(fb)
+    lens = [int(n) for n in np.asarray(nfb)]
+    return [fb[i] for i in range(len(paths))], lens
 
 
 def _norm_from_meta(meta):
@@ -94,7 +110,7 @@ def cmd_synth(args):
 def cmd_isolated_train(args):
     import jax
 
-    from speech_recognition_tpu.models.hmm import HMMBank
+    from speech_recognition_tpu.models.hmm import GMMHMM, HMMBank
     from speech_recognition_tpu.train.isolated import fit_hmm
     from speech_recognition_tpu.utils.checkpoint import save_bank
 
@@ -135,18 +151,36 @@ def cmd_isolated_train(args):
     models = []
     for d, name in enumerate(DIGIT_NAMES):
         print(f"training {name} on {len(all_temps[d])} files")
-        models.append(
-            fit_hmm(
-                jax.random.PRNGKey(train_cfg.seed + d),
-                all_temps[d],
-                use_em=args.em,
-                train_cfg=train_cfg,
-                hmm_cfg=hmm_cfg,
-                pad_to=pad_to,
+        if args.gmm:
+            models.append(
+                fit_hmm(
+                    jax.random.PRNGKey(train_cfg.seed + d),
+                    all_temps[d],
+                    use_em=args.em,
+                    train_cfg=train_cfg,
+                    hmm_cfg=hmm_cfg,
+                    pad_to=pad_to,
+                )
             )
-        )
+        else:
+            # reference use_gmm=False: segmental K-means templates scored
+            # by mahalanobis DTW == a single-Gaussian (M=1) bank
+            import jax.numpy as jnp
 
-    meta = {"kind": "isolated", "n_mix": args.n_gaussians, "norm": args.norm}
+            from speech_recognition_tpu.decode.dtw import fit_template
+
+            m, v, t = fit_template(all_temps[d], hmm_cfg.n_states, pad_to=pad_to)
+            models.append(
+                GMMHMM(
+                    means=jnp.asarray(m[:, None, :], jnp.float32),
+                    log_vars=jnp.log(jnp.asarray(v[:, None, :], jnp.float32)),
+                    log_weights=jnp.zeros((hmm_cfg.n_states, 1), jnp.float32),
+                    trans_cost=jnp.asarray(t),
+                )
+            )
+
+    meta = {"kind": "isolated" if args.gmm else "template",
+            "n_mix": args.n_gaussians if args.gmm else 1, "norm": args.norm}
     arrays = {}
     if cmvn is not None:
         arrays = {"cmvn_mean": cmvn[0], "cmvn_std": cmvn[1]}
@@ -325,7 +359,25 @@ def cmd_connected_test(args):
     if args.lm == "bigram":
         from speech_recognition_tpu.langmodel.bigram import scale
 
-        lm = scale(fit_bigram(refs, bank.n_models), args.lm_weight)
+        if args.lm_train:
+            lm_files = sorted(glob.glob(os.path.join(args.lm_train, "*.wav")))
+            lm_seqs = [
+                labels_from_transcript(transcript_from_filename(os.path.basename(f)))
+                for f in lm_files
+                if transcript_from_filename(os.path.basename(f))
+            ]
+        else:
+            print("WARNING: --lm-train not given; fitting the bigram on the "
+                  "test transcripts themselves (evaluation is optimistic)")
+            lm_seqs = refs
+        lm = scale(fit_bigram(lm_seqs, bank.n_models), args.lm_weight)
+        if sil is not None:
+            # the silence arc must be LM-transparent: entering/leaving
+            # silence should not spend a word-transition probability
+            lm.cost[sil, :] = 0.0
+            lm.cost[:, sil] = 0.0
+            lm.start_cost[sil] = 0.0
+            lm.end_cost[sil] = 0.0
     if args.graph == "loop":
         graph = build_loop_graph(trans_np, lm=lm,
                                  word_insertion_cost=args.word_insertion_cost)
@@ -382,8 +434,11 @@ def main(argv=None):
     p = sub.add_parser("isolated_train")
     p.add_argument("-i", "--input", required=True, help="wav dir")
     p.add_argument("-o", "--output", default="models/bank.npz")
-    p.add_argument("-g", "--gmm", action="store_true", default=True)
-    p.add_argument("-e", "--em", action="store_true", default=True)
+    p.add_argument("-g", "--gmm", action=argparse.BooleanOptionalAction, default=True,
+                   help="GMM-HMM models (--no-gmm: single-Gaussian segmental "
+                        "K-means templates, the reference's DTW path)")
+    p.add_argument("-e", "--em", action=argparse.BooleanOptionalAction, default=True,
+                   help="refine mixtures with EM (--no-em: k-means only)")
     p.add_argument("--n-states", type=int, default=5)
     p.add_argument("--n-gaussians", type=int, default=4)
     p.add_argument("--max-samples", type=int, default=64000)
@@ -419,6 +474,9 @@ def main(argv=None):
                    help="sausage slots (0 = per-utterance ref length)")
     p.add_argument("--word-insertion-cost", type=float, default=0.0)
     p.add_argument("--lm-weight", type=float, default=1.0)
+    p.add_argument("--lm-train", default=None,
+                   help="wav dir whose filenames provide bigram training "
+                        "transcripts (default: test transcripts, with warning)")
     p.add_argument("--max-samples", type=int, default=120000)
     p.set_defaults(fn=cmd_connected_test)
 

@@ -57,7 +57,8 @@ class FrontendConfig:
     n_fft: int = 512
     n_mels: int = 40
     n_ceps: int = 13
-    preemph: float = 0.95
+    # None -> variant default (0.95 for 'psf', 0.97 for 'scratch')
+    preemph: Optional[float] = None
     low_freq: float = 0.0
     high_freq: Optional[float] = None  # None -> Nyquist
     cep_lifter: int = 22
@@ -65,6 +66,12 @@ class FrontendConfig:
     # Use the GEMM-native DFT (two matmuls onto the MXU) instead of
     # jnp.fft.rfft.  Identical results; much better TPU mapping.
     dft_as_gemm: bool = True
+
+    @property
+    def effective_preemph(self) -> float:
+        if self.preemph is not None:
+            return self.preemph
+        return 0.97 if self.variant == "scratch" else 0.95
 
     @property
     def frame_len(self) -> int:

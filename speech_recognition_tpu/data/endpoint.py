@@ -70,9 +70,14 @@ def endpoint_signal(
         else:
             level = (level + cfg.forget_factor * e) / (cfg.forget_factor + 1.0)
         if i < 10:
+            # reference: classify_frame returns False before frame 10, and
+            # the caller still counts it as silence (record.py:160-166)
+            silence_time += 1
             continue
         if i == 10:
-            background = float(np.mean(energies[:10]))
+            # reference averages frames 0..10 inclusive but divides by 10
+            # (record.py:192-197) — kept faithfully
+            background = float(np.sum(energies[:11]) / 10.0)
         else:
             background += (e - background) * cfg.adjustment
 

@@ -239,11 +239,17 @@ def mfcc(signal, length, cfg: FrontendConfig = FrontendConfig(), n_frames_cap: i
     # Pre-emphasis then re-zero the padding: the reference pre-emphasizes
     # before padding (psf sigproc / feature.py:45-46), so padded samples
     # must be exact zeros, not -preemph * last_sample.
-    emph = jnp.concatenate([signal[:1], signal[1:] - cfg.preemph * signal[:-1]])
+    emph = jnp.concatenate(
+        [signal[:1], signal[1:] - cfg.effective_preemph * signal[:-1]]
+    )
     idx = jnp.arange(L)
     emph = jnp.where(idx < length, emph, 0.0)
 
-    nf = _num_frames(cfg, length)
+    # Clamp to the buffer's frame capacity: callers must pad signals to
+    # padded_length(cfg, max_len); if they under-pad, clamping keeps the
+    # frame count consistent with the rows that actually exist instead of
+    # silently normalizing over missing frames.
+    nf = jnp.minimum(_num_frames(cfg, length), F)
     frame_mask = jnp.arange(F) < nf
 
     # Framing with static strided slices only (no gathers, no convs —
@@ -356,8 +362,8 @@ def apply_cmvn(feats, n_frames, mean, std):
     return jnp.where(m, out, 0.0)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "n_frames_cap"))
+@functools.partial(jax.jit, static_argnames=("cfg", "n_frames_cap", "norm"))
 def mfcc39_batch(signals, lengths, cfg: FrontendConfig = FrontendConfig(),
-                 n_frames_cap: int = None):
+                 n_frames_cap: int = None, norm: str = "utterance"):
     """Batched ``mfcc39``: ``[B, L] -> ([B, F, 3*n_ceps], [B])``."""
-    return jax.vmap(lambda s, l: mfcc39(s, l, cfg, n_frames_cap))(signals, lengths)
+    return jax.vmap(lambda s, l: mfcc39(s, l, cfg, n_frames_cap, norm))(signals, lengths)

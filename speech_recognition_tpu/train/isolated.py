@@ -84,9 +84,23 @@ def fit_gmm_state(
     n_trained = 2 ** n_splits
     n_valid = jnp.sum(mask.astype(x.dtype))
 
+    def _masked_var(data):
+        mu = jnp.sum(jnp.where(mask[:, None], data, 0.0), axis=0) / jnp.maximum(n_valid, 1.0)
+        sq = jnp.sum(jnp.where(mask[:, None], (data - mu) ** 2, 0.0), axis=0)
+        return jnp.maximum(sq / jnp.maximum(n_valid, 1.0), hmm_cfg.var_floor)
+
     centroids = mu0[None, :]
-    variances = None
-    weights = None
+    # n_splits can be 0 (n_mix=1, or the ref-compat quirk where
+    # int(ln 4)=1 means n_mix=2 trains zero splits): fall back to the
+    # single-Gaussian masked ML fit, optionally EM-refined below.
+    variances = _masked_var(x)[None, :]
+    weights = jnp.ones((1,))
+    if n_splits == 0 and use_em:
+        centroids, variances, weights, _ = em_fit(
+            x, mask, centroids, variances, weights,
+            max_iters=train_cfg.em_max_iters, rtol=train_cfg.rtol,
+            atol=train_cfg.atol, var_floor=hmm_cfg.var_floor,
+        )
     for i in range(n_splits):
         k = 2 ** (i + 1)
         pert = train_cfg.split_perturbation
@@ -116,7 +130,7 @@ def fit_gmm_state(
         # split seed with weight 1/N (hmm.py:108,  hmm_state.py:108-112),
         # and evaluation sums over all n_mix components.
         extra = n_mix - n_trained
-        glob_var = jnp.broadcast_to(jnp.var(x, axis=0), (extra, x.shape[1]))
+        glob_var = jnp.broadcast_to(_masked_var(x), (extra, x.shape[1]))
         centroids = jnp.concatenate([centroids, jnp.tile(mu0, (extra, 1))])
         variances = jnp.concatenate([variances, glob_var])
         weights = jnp.concatenate(

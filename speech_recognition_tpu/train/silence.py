@@ -43,7 +43,9 @@ def harvest_silence_samples(
     for w in wavs:
         s, e = endpoint_signal(w, cfg)
         if s is None:
-            out.append(np.asarray(w))
+            # endpointer found no speech: this is a training utterance
+            # that *does* contain speech, so skip it rather than pollute
+            # the silence pool with a whole spoken digit
             continue
         lead = np.asarray(w[: max(s - margin, 0)])
         tail = np.asarray(w[e + margin :])

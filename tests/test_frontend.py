@@ -23,7 +23,7 @@ from tests.oracles.frontend_ref import (
 )
 
 PSF = FrontendConfig()
-SCRATCH = FrontendConfig(variant="scratch", preemph=0.97, low_freq=80.0)
+SCRATCH = FrontendConfig(variant="scratch")  # preemph/low_freq variant defaults
 
 
 def synth_signal(rng, n, sample_rate=16000):
