@@ -95,46 +95,67 @@ def bench_connected_decode(batch=512, frames=500, n_slots=7, frame_step_s=0.01):
     return thr
 
 
-def bench_reference_baseline(frames=20, n_slots=7, frame_step_s=0.01):
-    """Reference decoder throughput (audio-seconds/s) via the faithful
-    numpy oracle of decode_hmm_states on the same 7-slot graph."""
+def bench_reference_baseline(frames=40, n_slots=7, frame_step_s=0.01):
+    """Throughput of the ACTUAL reference implementation (imported
+    unmodified from /root/reference via tests/ref_shim): 11 reference
+    GMM-HMM objects composed into the 7-slot graph by its own
+    build_state_sequences, decoded by its decode_hmm_states with its
+    linear-space per-frame GMM evaluation — main.py:35-62 verbatim.
+    Cost is linear in T, so a short run is an unbiased per-frame
+    estimate.  Falls back to the numpy oracle if the import fails."""
     sys.path.insert(0, ".")
-    from tests.oracles.dp_ref import decode_hmm_states_oracle
-
     rng = np.random.default_rng(2)
-    n_models, s = 11, 5
-    # reference layout: NES + 7 layers x (11 words x 5 states) + NES each
-    n_ref = 1 + n_slots * (n_models * s + 1)
-    trans = np.full((n_ref, n_ref), np.inf)
-    is_nes = np.zeros(n_ref, dtype=bool)
-    is_nes[0] = True
-    idx, nes = 1, [0]
-    starts, ends = [], []
-    for layer in range(n_slots):
-        for w in range(n_models):
-            starts.append((layer, idx))
-            ends.append((layer, idx + s - 1))
-            for i in range(s):
-                trans[idx + i, idx + i] = 0.5
-                if i + 1 < s:
-                    trans[idx + i + 1, idx + i] = 0.9
-            idx += s
-        is_nes[idx] = True
-        nes.append(idx)
-        idx += 1
-    for layer, st in starts:
-        trans[st, nes[layer]] = 0.0
-    for layer, e in ends:
-        trans[nes[layer + 1], e] = 0.0
-    emis = rng.uniform(0, 5, size=(frames, n_ref))
-    end_points = [[e, -1] for layer, e in ends if layer == n_slots - 1]
+    n_models, s, d = 11, 5, 39
 
-    t0 = time.perf_counter()
-    decode_hmm_states_oracle(emis, trans, is_nes, end_points)
-    dt = time.perf_counter() - t0
-    thr = frames * frame_step_s / dt
-    log(f"reference oracle: {frames} frames ({n_ref} states) in {dt:.1f} s -> {thr:.4f} audio-s/s")
-    return thr
+    try:
+        from tests.ref_shim import load_reference
+
+        ref = load_reference()
+        models = []
+        for _ in range(n_models):
+            means = rng.normal(0, 2, (s, 4, d))
+            variances = rng.uniform(0.5, 2.0, (s, 4, d))
+            weights = np.full((s, 4), 0.25)
+            h = ref.hmm.HMM(s)
+            h.use_gmm = True
+            states = []
+            for i in range(s):
+                g = ref.hmm_state.GMM(means[i, 0], variances[i, 0], 4)
+                g.update_models(means[i], variances[i], weights[i])
+                states.append(g)
+            h.gmm_states = states
+            trans = np.full((s, s), np.inf)
+            for i in range(s):
+                trans[i, i] = 0.5
+                if i + 1 < s:
+                    trans[i + 1, i] = 0.9
+            h.transitions = trans
+            models.append(h)
+        seq, trans_ref, end_pts = ref.continuous.build_state_sequences(
+            models, [list(range(n_models))] * n_slots
+        )
+        x = rng.normal(0, 2, (frames, d))
+        t0 = time.perf_counter()
+        ref.decode.decode_hmm_states(
+            x, seq, trans_ref, end_points=[[e, -1] for e in end_pts]
+        )
+        dt = time.perf_counter() - t0
+        thr = frames * frame_step_s / dt
+        log(f"reference (actual code): {frames} frames ({len(seq)} states) "
+            f"in {dt:.1f} s -> {thr:.4f} audio-s/s")
+        return thr
+    except Exception as e:  # pragma: no cover
+        log(f"reference import failed ({e}); using oracle")
+        from tests.oracles.dp_ref import decode_hmm_states_oracle
+
+        n_ref = 1 + n_slots * (n_models * s + 1)
+        trans = np.full((n_ref, n_ref), np.inf)
+        np.fill_diagonal(trans, 0.5)
+        emis = rng.uniform(0, 5, size=(frames, n_ref))
+        t0 = time.perf_counter()
+        decode_hmm_states_oracle(emis, trans, np.zeros(n_ref, bool), None)
+        dt = time.perf_counter() - t0
+        return frames * frame_step_s / dt
 
 
 def bench_frontend(batch=64, samples=80000):
@@ -238,6 +259,15 @@ def main():
     args = ap.parse_args()
 
     import jax
+
+    # persistent compilation cache: repeat bench runs skip the remote
+    # AOT compile (~minutes for the batch-512 shapes)
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    except Exception:
+        pass
 
     log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
 
