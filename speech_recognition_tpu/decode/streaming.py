@@ -98,71 +98,112 @@ def _chunk_step(
 
 
 class StreamingDecoder:
-    """Push-based long-audio decoder over a word graph."""
+    """Push-based long-audio decoder over a word graph.
 
-    def __init__(self, bank: HMMBank, graph: WordGraph, chunk_frames: int = 256):
+    ``batch`` > 1 decodes that many independent streams in lock-step
+    (each ``push`` takes ``[B, C, D]`` chunks with per-stream valid
+    counts) — the production serving shape."""
+
+    def __init__(self, bank: HMMBank, graph: WordGraph, chunk_frames: int = 256,
+                 batch: int = 1):
         self.bank = bank
         self.graph = graph
         self.bg = banded_arrays(graph)
         self.chunk_frames = chunk_frames
+        self.batch = batch
+        def make_step(first):
+            return jax.vmap(
+                lambda fr, x, n: _chunk_step(
+                    self.bank, self.bg, fr, x, n,
+                    eps_depth=self.graph.eps_depth, first_chunk=first,
+                )
+            )
+
+        self._step_first = make_step(True)
+        self._step_rest = make_step(False)
         self.reset()
 
     def reset(self):
-        self._frontier = jnp.asarray(self.bg.init_cost)
+        s = self.bg.init_cost.shape[0]
+        self._frontier = jnp.broadcast_to(self.bg.init_cost, (self.batch, s))
         self._bp_chunks: List[np.ndarray] = []
-        self._n_frames = 0
+        self._nv_history: List[np.ndarray] = []
+        self._n_frames = np.zeros((self.batch,), dtype=np.int64)
         self._first = True
 
-    def push(self, feats_chunk: np.ndarray, n_valid: Optional[int] = None):
-        """Feed ``[C, D]`` feature frames (C may vary; last chunk may be
-        partial via ``n_valid``)."""
-        c = feats_chunk.shape[0]
-        n_valid = c if n_valid is None else n_valid
-        self._frontier, bp8 = _chunk_step(
-            self.bank,
-            self.bg,
-            self._frontier,
-            jnp.asarray(feats_chunk, jnp.float32),
-            jnp.int32(n_valid),
-            eps_depth=self.graph.eps_depth,
-            first_chunk=self._first,
+    def _as_batch(self, a, extra_dims):
+        a = np.asarray(a)
+        if a.ndim == extra_dims:  # unbatched convenience for batch == 1
+            a = a[None]
+        return a
+
+    def push(self, feats_chunk: np.ndarray, n_valid=None):
+        """Feed ``[C, D]`` (batch=1 convenience) or ``[B, C, D]`` feature
+        frames; ``n_valid`` is a scalar or ``[B]`` for partial chunks."""
+        x = self._as_batch(feats_chunk, 2)
+        c = x.shape[1]
+        if n_valid is None:
+            nv = np.full((self.batch,), c, np.int32)
+        else:
+            nv = np.broadcast_to(np.asarray(n_valid, np.int32), (self.batch,)).copy()
+        step = self._step_first if self._first else self._step_rest
+        self._frontier, bp8 = step(
+            self._frontier, jnp.asarray(x, jnp.float32), jnp.asarray(nv)
         )
         self._first = False
-        self._bp_chunks.append(np.asarray(bp8)[:n_valid])
-        self._n_frames += n_valid
+        self._bp_chunks.append(np.asarray(bp8))  # [B, C, S]
+        self._nv_history.append(nv)
+        self._n_frames += nv
 
-    def best_cost(self) -> float:
+    def best_cost(self):
         f = np.asarray(self._frontier)
         ends = np.asarray(self.bg.end_states)
-        return float(np.min(f[ends] + np.asarray(self.bg.end_bonus)))
+        costs = np.min(f[:, ends] + np.asarray(self.bg.end_bonus)[None], axis=1)
+        return float(costs[0]) if self.batch == 1 else costs
 
     def finish(self):
         """Backtrace over all pushed audio.
 
-        Returns ``(word_ids, states [T], cost)``."""
+        Returns ``(word_ids, states, cost)`` for batch=1, or lists of
+        per-stream results otherwise."""
         from speech_recognition_tpu.decode.connected import states_to_words
 
         f = np.asarray(self._frontier)
         ends = np.asarray(self.bg.end_states)
         bonus = np.asarray(self.bg.end_bonus)
-        best = int(np.argmin(f[ends] + bonus))
-        cost = float((f[ends] + bonus)[best])
-
-        bp8 = np.concatenate(self._bp_chunks, axis=0)  # [T, S]
         word_ends = np.asarray(self.bg.word_ends)
-        t_total = self._n_frames
-        states = np.zeros(t_total, dtype=np.int32)
-        eps_flags = np.zeros(t_total, dtype=bool)
-        st = int(ends[best])
-        for t in range(t_total - 1, -1, -1):
-            states[t] = st
-            code = int(bp8[t, st])
-            for _ in range(self.graph.eps_depth):
-                if code >= _EPS_BASE:
-                    eps_flags[t] = True
-                    st = int(word_ends[code - _EPS_BASE])
-                    code = int(bp8[t, st])
-            if t > 0:
-                st = st - code
-        words = states_to_words(self.graph, states, t_total, eps_flags)
-        return words, states, cost
+
+        results = []
+        for b in range(self.batch):
+            best = int(np.argmin(f[b, ends] + bonus))
+            cost = float((f[b, ends] + bonus)[best])
+            # streams may have pushed different n_valid per chunk; only the
+            # first n_valid rows of each chunk carry meaningful bp
+            t_total = int(self._n_frames[b])
+            bp8 = self._compact_bp(b)
+            assert bp8.shape[0] == t_total
+            states = np.zeros(t_total, dtype=np.int32)
+            eps_flags = np.zeros(t_total, dtype=bool)
+            st = int(ends[best])
+            for t in range(t_total - 1, -1, -1):
+                states[t] = st
+                code = int(bp8[t, st])
+                for _ in range(self.graph.eps_depth):
+                    if code >= _EPS_BASE:
+                        eps_flags[t] = True
+                        st = int(word_ends[code - _EPS_BASE])
+                        code = int(bp8[t, st])
+                if t > 0:
+                    st = st - code
+            words = states_to_words(self.graph, states, t_total, eps_flags)
+            results.append((words, states, cost))
+        if self.batch == 1:
+            return results[0]
+        return results
+
+    def _compact_bp(self, b: int) -> np.ndarray:
+        """Concatenate the valid rows of each pushed chunk for stream
+        ``b`` (streams may have had different n_valid per chunk)."""
+        rows = [chunk[b][: int(nv[b])]
+                for chunk, nv in zip(self._bp_chunks, self._nv_history)]
+        return np.concatenate(rows, axis=0) if rows else np.zeros((0, 1), np.int8)

@@ -73,16 +73,19 @@ def load_reference():
     if _REF_PATH not in sys.path:
         sys.path.insert(0, _REF_PATH)
     import sr  # noqa: F401  (the reference package)
-    import sr.recognition.decode as ref_decode
-    import sr.recognition.hmm as ref_hmm
-    import sr.recognition.hmm_state as ref_hmm_state
-    import sr.recognition.kmeans as ref_kmeans
-    import sr.recognition.continuous_speech as ref_continuous
+    import sr.recognition.decode  # noqa: F401
+    import sr.recognition.hmm  # noqa: F401
+    import sr.recognition.hmm_state  # noqa: F401
+    import sr.recognition.kmeans  # noqa: F401
+    import sr.recognition.continuous_speech  # noqa: F401
 
+    # the reference package star-imports submodule contents, shadowing
+    # submodule names (sr.recognition.kmeans becomes the function) — take
+    # the modules from sys.modules
     return types.SimpleNamespace(
-        decode=ref_decode,
-        hmm=ref_hmm,
-        hmm_state=ref_hmm_state,
-        kmeans=ref_kmeans,
-        continuous=ref_continuous,
+        decode=sys.modules["sr.recognition.decode"],
+        hmm=sys.modules["sr.recognition.hmm"],
+        hmm_state=sys.modules["sr.recognition.hmm_state"],
+        kmeans=sys.modules["sr.recognition.kmeans"],
+        continuous=sys.modules["sr.recognition.continuous_speech"],
     )

@@ -208,3 +208,51 @@ def test_reference_training_agreement(rng):
     assert our_acc >= ref_acc
     agreement = np.mean([a == b for a, b in zip(ref_preds, our_preds)])
     assert agreement >= 0.85, (ref_preds, our_preds)
+
+
+def test_reference_skmeans_agreement(rng):
+    """Segmental K-means vs the real reference skmeans on identical
+    templates.  With update_seg_lens=False (the reference freezes its
+    transition costs at the uniform initial cut) both are deterministic
+    and should converge to near-identical segment statistics."""
+    d, s = 5, 4
+    centers = rng.normal(0, 4, (s, d))
+    temps = []
+    for _ in range(5):
+        frames = []
+        for si in range(s):
+            n = int(rng.integers(6, 12))
+            frames.append(centers[si] + 0.3 * rng.standard_normal((n, d)))
+        temps.append(np.concatenate(frames))
+
+    ref_means, ref_vars, ref_trans = ref.kmeans.skmeans(temps, s)
+
+    from speech_recognition_tpu.train.skmeans import skmeans
+
+    means, variances, trans, states, _ = skmeans(
+        [t.copy() for t in temps], s, update_seg_lens=False
+    )
+    np.testing.assert_allclose(means, ref_means, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(variances, ref_vars, rtol=1e-3, atol=1e-3)
+    finite = np.isfinite(ref_trans)
+    np.testing.assert_allclose(trans[finite], ref_trans[finite], rtol=1e-5)
+    assert np.array_equal(np.isfinite(trans), finite)
+
+
+def test_reference_text_viterbi_agreement():
+    """Text Viterbi cost vs the real reference spellchecker on a word
+    list where the reference's words.remove iteration bug cannot trigger
+    (no two words share an end position within a recursion group)."""
+    import sr.langmodel.lextree as ref_lextree
+    import sr.langmodel.spellchecker as ref_spell
+
+    from speech_recognition_tpu.langmodel.lextree import lextree_from_words
+    from speech_recognition_tpu.langmodel.spellcheck import text_viterbi
+
+    words = ["cat", "care", "do", "door", "apple"]
+    for text in ["cat", "cta", "doorr", "aple", "zzz", "caredo"]:
+        ref_tree = ref_lextree.lextree_from_words(list(words))
+        ref_cost, ref_match = ref_spell.text_viterbi(text, ref_tree)
+        tree = lextree_from_words(list(words))
+        cost, match = text_viterbi(text, tree)
+        assert cost == pytest.approx(float(ref_cost)), (text, match, ref_match)

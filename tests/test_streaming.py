@@ -79,3 +79,38 @@ def test_streaming_best_cost_monotone_info(setup):
         t += c
     assert all(np.isfinite(c) for c in costs)
     assert costs == sorted(costs)  # accumulated path cost grows
+
+
+def test_batched_streaming_matches_individual(setup, rng):
+    """3 independent streams decoded lock-step == 3 single-stream runs."""
+    bank, graph, x, seq = setup
+    d = x.shape[1]
+    # three streams of different lengths (prefixes of the long utterance)
+    lengths = [len(x), len(x) - 37, len(x) // 2]
+    chunk = 50
+
+    dec = StreamingDecoder(bank, graph, chunk_frames=chunk, batch=3)
+    singles = [StreamingDecoder(bank, graph, chunk_frames=chunk) for _ in lengths]
+
+    t = 0
+    while t < max(lengths):
+        buf = np.zeros((3, chunk, d), np.float32)
+        nv = np.zeros(3, np.int32)
+        for b, L in enumerate(lengths):
+            c = max(0, min(chunk, L - t))
+            buf[b, :c] = x[t : t + c]
+            nv[b] = c
+            if c > 0:
+                sbuf = np.zeros((chunk, d), np.float32)
+                sbuf[:c] = x[t : t + c]
+                singles[b].push(sbuf, n_valid=int(c))
+        dec.push(buf, n_valid=nv)
+        t += chunk
+
+    batched = dec.finish()
+    for b in range(3):
+        words_s, states_s, cost_s = singles[b].finish()
+        words_b, states_b, cost_b = batched[b]
+        assert words_b == words_s
+        np.testing.assert_allclose(cost_b, cost_s, rtol=1e-5)
+        np.testing.assert_array_equal(states_b, states_s)
