@@ -83,16 +83,17 @@ def _decode_graph_batch(
     return jax.vmap(one)(feats, n_frames)
 
 
-@functools.partial(jax.jit, static_argnames=("eps_depth",))
+@functools.partial(jax.jit, static_argnames=("eps_depth", "beam_width"))
 def _decode_banded_batch(bank: HMMBank, feats, n_frames, g: BandedGraph,
-                         eps_depth: int = 1):
+                         eps_depth: int = 1, beam_width: int = 0):
     """Banded fast path: O(3S + V^2) per frame instead of O(S^2)."""
     b, t, d = feats.shape
 
     def one(x, nf):
         frame_mask = jnp.arange(t) < nf
         nll = bank_nll(bank, x, frame_mask)[:, g.bank_state]
-        final, bp8 = viterbi_banded(nll, g, nf, eps_depth=eps_depth)
+        final, bp8 = viterbi_banded(nll, g, nf, eps_depth=eps_depth,
+                                    beam_width=beam_width)
         end_costs = final[g.end_states] + g.end_bonus
         best = jnp.argmin(end_costs)
         states, eps_flags = banded_backtrace(
@@ -105,12 +106,13 @@ def _decode_banded_batch(bank: HMMBank, feats, n_frames, g: BandedGraph,
 
 def decode_connected(
     bank: HMMBank, graph: WordGraph, feats, n_frames, backend: str = "auto",
-    drop_labels=None,
+    drop_labels=None, beam_width: int = 0,
 ) -> Tuple[List[List[int]], np.ndarray]:
     """Decode a batch of utterances to word-id sequences.
 
     ``backend``: 'banded' (word-graph fast path), 'dense', or 'auto'
     (banded when the graph structure allows, else dense).
+    ``beam_width`` > 0 enables per-frame rank pruning of the frontier.
 
     Returns ``(word_sequences, costs)`` where each sequence is the
     consecutive-deduped slot labels along the best path.
@@ -125,7 +127,7 @@ def decode_connected(
         if bg is not None:
             states, eps_flags, costs = _decode_banded_batch(
                 bank, jnp.asarray(feats), jnp.asarray(n_frames), bg,
-                eps_depth=graph.eps_depth,
+                eps_depth=graph.eps_depth, beam_width=beam_width,
             )
             states = np.asarray(states)
             eps_flags = np.asarray(eps_flags)
