@@ -263,7 +263,7 @@ def cmd_continuous_train(args):
         labels_from_transcript,
         transcript_from_filename,
     )
-    from speech_recognition_tpu.models.graph import build_word_graph, pad_graphs
+    from speech_recognition_tpu.models.graph import pad_graphs, transcript_graph
     from speech_recognition_tpu.train.embedded_step import embedded_step, embedded_step_soft
     from speech_recognition_tpu.utils.checkpoint import (
         latest_iteration,
@@ -293,9 +293,12 @@ def cmd_continuous_train(args):
     feats, lens = _featurize_files(files, cfg, args.max_samples, norm=norm, cmvn=cmvn)
     fb, nb = _stack(feats, lens)
 
+    sil = meta.get("silence_index")
+    if sil is not None:
+        print(f"using optional silence arcs (model {sil}) in alignment graphs")
     for it in range(start_it, start_it + args.iterations):
         trans_np = [np.asarray(bank.trans_cost[i]) for i in range(bank.n_models)]
-        graphs = [build_word_graph(trans_np, [[l] for l in ls]) for ls in labels]
+        graphs = [transcript_graph(trans_np, ls, sil=sil) for ls in labels]
         gb, eps_depth = pad_graphs(graphs)
         keys = ("trans", "eps_trans", "init_cost", "end_states", "bank_state")
         if args.algo == "soft":

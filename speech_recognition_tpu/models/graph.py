@@ -30,7 +30,7 @@ import numpy as np
 
 from speech_recognition_tpu.utils.numerics import POS_INF
 
-__all__ = ["WordGraph", "build_word_graph", "build_loop_graph", "pad_graphs"]
+__all__ = ["WordGraph", "build_word_graph", "build_loop_graph", "transcript_graph", "pad_graphs"]
 
 
 @dataclasses.dataclass
@@ -70,6 +70,9 @@ def build_word_graph(
     lm=None,
     word_insertion_cost: float = 0.0,
     allow_early_exit: bool = False,
+    optional_layers=None,
+    layer_skip_cost: float = 0.0,
+    end_layers=None,
 ) -> WordGraph:
     """Compose a layered word graph.
 
@@ -88,6 +91,12 @@ def build_word_graph(
       word_insertion_cost: extra cost per word transition.
       allow_early_exit: accept word ends of *every* layer as final states
         (variable-length strings in a fixed-depth sausage).
+      optional_layers: layer indices that may be skipped entirely (an
+        NES -> NES epsilon edge bypasses the layer at ``layer_skip_cost``)
+        — e.g. optional inter-word silence in forced-alignment graphs.
+      end_layers: layers whose word ends are accepted as final states
+        (default: last layer only) — needed when trailing optional
+        layers may be skipped.
 
     Topology matches the reference exactly: an NES before layer 0, one
     after every layer; NES -> word-start and word-end -> NES edges cost 0
@@ -130,6 +139,9 @@ def build_word_graph(
     # reference, but closure handles them if a caller adds any.
     n_nes = n_layers + 1
     nes_nes = np.full((n_nes, n_nes), POS_INF)
+    for l in optional_layers or ():
+        # skip layer l: NES_l -> NES_{l+1}
+        nes_nes[l + 1, l] = layer_skip_cost
     nes_closure = _close_nes(nes_nes)
 
     # emitting -> NES and NES -> emitting cost tables.
@@ -166,6 +178,8 @@ def build_word_graph(
 
     if allow_early_exit:
         end_slots = list(range(n_slots))
+    elif end_layers is not None:
+        end_slots = [s for s in range(n_slots) if slot_layer[s] in end_layers]
     else:
         end_slots = [s for s in range(n_slots) if slot_layer[s] == n_layers - 1]
     end_states = np.array([word_end[s] for s in end_slots], dtype=np.int32)
@@ -195,6 +209,41 @@ def build_word_graph(
         slot_layer=np.asarray(slot_layer, dtype=np.int32),
         state_in_word=np.asarray(states_j, dtype=np.int32),
         eps_depth=eps_depth,
+    )
+
+
+def transcript_graph(
+    model_trans: Sequence[np.ndarray],
+    labels: List[int],
+    sil: int = None,
+    edge_sil: bool = True,
+) -> WordGraph:
+    """Forced-alignment graph for one transcript, optionally with
+    skippable silence between (and around) the words — the standard
+    embedded-training topology the reference lacks (its linear graphs
+    force every frame into word states, ``continuous_speech.py:80``).
+
+    With ``sil=None`` this is exactly the reference's linear graph."""
+    if sil is None:
+        return build_word_graph(model_trans, [[l] for l in labels])
+    layers: List[List[int]] = []
+    optional = set()
+    if edge_sil:
+        optional.add(len(layers))
+        layers.append([sil])
+    for i, l in enumerate(labels):
+        layers.append([l])
+        if i + 1 < len(labels):
+            optional.add(len(layers))
+            layers.append([sil])
+    last_word_layer = len(layers) - 1
+    end_layers = {last_word_layer}
+    if edge_sil:
+        optional.add(len(layers))
+        layers.append([sil])
+        end_layers.add(len(layers) - 1)
+    return build_word_graph(
+        model_trans, layers, optional_layers=optional, end_layers=end_layers
     )
 
 

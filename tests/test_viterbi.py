@@ -168,3 +168,115 @@ def test_beam_pruning_keeps_best_path_when_wide(rng):
     full = viterbi(emis, trans, linear_init_cost(S), np.int32(T))
     pruned = viterbi(emis, trans, linear_init_cost(S), np.int32(T), beam_width=S)
     np.testing.assert_allclose(full.final_cost, pruned.final_cost, rtol=1e-6)
+
+
+def test_optional_layer_matches_nes_oracle(rng):
+    """Skippable (optional) layers: NES->NES skip edges, closed through
+    the same epsilon machinery, vs the explicit-NES reference oracle."""
+    S = 3
+    model_trans = [left_to_right_trans(S, rng, skip=False) for _ in range(2)]
+    # layers: [w0] [w1 optional] [w0]
+    g = build_word_graph(model_trans, [[0], [1], [0]], optional_layers={1})
+
+    # explicit-NES construction with the extra NES1 -> NES2 edge
+    n_ref = 1 + 3 * (S + 1)
+    ref_trans = np.full((n_ref, n_ref), np.inf)
+    is_nes = np.zeros(n_ref, dtype=bool)
+    is_nes[0] = True
+    idx, nes = 1, [0]
+    starts, ends = [], []
+    for layer, w in enumerate([0, 1, 0]):
+        starts.append((layer, idx))
+        ends.append((layer, idx + S - 1))
+        ref_trans[idx : idx + S, idx : idx + S] = model_trans[w]
+        idx += S
+        is_nes[idx] = True
+        nes.append(idx)
+        idx += 1
+    for layer, s in starts:
+        ref_trans[s, nes[layer]] = 0.0
+    for layer, e in ends:
+        ref_trans[nes[layer + 1], e] = 0.0
+    ref_trans[nes[2], nes[1]] = 0.0  # skip the optional layer
+
+    T = 20
+    emis_graph = rng.uniform(0, 5, (T, g.n_states))
+    emis_ref = np.zeros((T, n_ref))
+    emit_cols = [i for i in range(n_ref) if not is_nes[i]]
+    emis_ref[:, emit_cols] = emis_graph
+    end_points = [[e, -1] for layer, e in ends if layer == 2]
+
+    ref_costs, ref_path, ref_best = decode_hmm_states_oracle(
+        emis_ref, ref_trans, is_nes, end_points
+    )
+    res = viterbi(
+        emis_graph.astype(np.float32), g.trans, g.init_cost, np.int32(T),
+        eps_trans=g.eps_trans, eps_depth=g.eps_depth,
+    )
+    best = np.min(np.asarray(res.final_cost)[g.end_states])
+    np.testing.assert_allclose(best, ref_best, rtol=1e-5)
+
+
+def test_transcript_graph_with_silence_decodes(rng):
+    """transcript_graph with skippable silence aligns word-only audio
+    (silence layers skipped) and silence-padded audio (layers used)."""
+    from speech_recognition_tpu.models.graph import transcript_graph
+    from speech_recognition_tpu.ops.viterbi_banded import (
+        banded_arrays,
+        banded_backtrace,
+        viterbi_banded,
+    )
+    import jax.numpy as jnp
+
+    S = 3
+    model_trans = [left_to_right_trans(S, rng, skip=False) for _ in range(3)]
+    SIL = 2
+    g = transcript_graph(model_trans, [0, 1], sil=SIL)
+    bg = banded_arrays(g)
+
+    # emissions preferring: sil(4) w0(5) sil(3) w1(5) sil(3)
+    segs = [(SIL, 4), (0, 5), (SIL, 3), (1, 5), (SIL, 3)]
+    # map (word occurrence order) -> graph slots: layers [sil][w0][sil][w1][sil]
+    T = sum(n for _, n in segs)
+    emis = np.full((T, g.n_states), 10.0, np.float32)
+    t = 0
+    layer_for_seg = [0, 1, 2, 3, 4]
+    for (wid, n), layer in zip(segs, layer_for_seg):
+        # favor the states of the slot in this layer
+        slot_ids = [s for s in range(len(g.slot_label))
+                    if g.slot_layer[s] == layer]
+        state_ids = np.nonzero(np.isin(g.slot, slot_ids))[0]
+        for k in range(n):
+            emis[t + k, state_ids] = 0.1
+        t += n
+    fin, bp8 = viterbi_banded(jnp.asarray(emis), bg, jnp.int32(T),
+                              eps_depth=g.eps_depth)
+    ends = np.asarray(bg.end_states)
+    best = int(ends[np.argmin(np.asarray(fin)[ends])])
+    states, flags = banded_backtrace(bp8, bg, jnp.int32(best), jnp.int32(T),
+                                     eps_depth=g.eps_depth)
+    from speech_recognition_tpu.decode.connected import states_to_words
+
+    words = states_to_words(g, np.asarray(states), T, np.asarray(flags),
+                            drop_labels={SIL})
+    assert words == [0, 1]
+
+    # word-only audio: the silence layers must be skipped
+    segs2 = [(0, 6), (1, 6)]
+    T2 = sum(n for _, n in segs2)
+    emis2 = np.full((T2, g.n_states), 10.0, np.float32)
+    t = 0
+    for (wid, n), layer in zip(segs2, [1, 3]):
+        slot_ids = [s for s in range(len(g.slot_label)) if g.slot_layer[s] == layer]
+        state_ids = np.nonzero(np.isin(g.slot, slot_ids))[0]
+        for k in range(n):
+            emis2[t + k, state_ids] = 0.1
+        t += n
+    fin2, bp82 = viterbi_banded(jnp.asarray(emis2), bg, jnp.int32(T2),
+                                eps_depth=g.eps_depth)
+    best2 = int(ends[np.argmin(np.asarray(fin2)[ends])])
+    states2, flags2 = banded_backtrace(bp82, bg, jnp.int32(best2), jnp.int32(T2),
+                                       eps_depth=g.eps_depth)
+    words2 = states_to_words(g, np.asarray(states2), T2, np.asarray(flags2),
+                             drop_labels={SIL})
+    assert words2 == [0, 1]
