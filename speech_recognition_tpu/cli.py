@@ -71,6 +71,29 @@ def _featurize_files(paths, cfg: FrontendConfig, cap_samples: int,
     return [fb[i] for i in range(len(paths))], lens
 
 
+def _featurize_arrays(sample_arrays, cfg: FrontendConfig, cap_samples: int,
+                      norm: str = "utterance", cmvn=None):
+    """Like :func:`_featurize_files` but for in-memory sample arrays."""
+    import jax.numpy as jnp
+
+    from speech_recognition_tpu.ops.frontend import apply_cmvn, mfcc39_batch, padded_length
+
+    L = padded_length(cfg, cap_samples)
+    b = len(sample_arrays)
+    buf = np.zeros((b, L), np.float32)
+    lens = np.zeros((b,), np.int32)
+    for i, seg in enumerate(sample_arrays):
+        n = min(len(seg), L)
+        buf[i, :n] = seg[:n]
+        lens[i] = n
+    mode = "utterance" if norm == "utterance" else "none"
+    fb, nfb = mfcc39_batch(jnp.asarray(buf), jnp.asarray(lens), cfg, None, mode)
+    if norm == "cmvn" and cmvn is not None:
+        fb = apply_cmvn(fb, nfb, jnp.asarray(cmvn[0]), jnp.asarray(cmvn[1]))
+    fb = np.asarray(fb)
+    return [fb[i] for i in range(b)], [int(n) for n in np.asarray(nfb)]
+
+
 def _norm_from_meta(meta):
     """(norm, cmvn) from a bank's metadata."""
     norm = meta.get("norm", "utterance")
@@ -186,12 +209,11 @@ def cmd_isolated_train(args):
         arrays = {"cmvn_mean": cmvn[0], "cmvn_std": cmvn[1]}
     if args.silence:
         from speech_recognition_tpu.runtime.loader import load_wav_batch
-        from speech_recognition_tpu.ops.frontend import mfcc39 as _m39, padded_length as _pl
+        from speech_recognition_tpu.ops.frontend import padded_length as _pl
         from speech_recognition_tpu.train.silence import (
             fit_silence_hmm,
             harvest_silence_samples,
         )
-        import jax.numpy as jnp
 
         all_files = [f for fs in by_digit_files.values() for f in fs]
         L = _pl(cfg, args.max_samples)
@@ -199,18 +221,11 @@ def cmd_isolated_train(args):
         segs = harvest_silence_samples(
             [samples[i, : lengths[i]] for i in range(len(all_files))]
         )
-        sil_frames = []
-        from speech_recognition_tpu.ops.frontend import apply_cmvn
-
-        for seg in segs:
-            buf = np.zeros(L, np.float32)
-            n = min(len(seg), L)
-            buf[:n] = seg[:n]
-            mode = "utterance" if args.norm == "utterance" else "none"
-            f, nf = _m39(jnp.asarray(buf), np.int32(n), cfg, norm=mode)
-            if cmvn is not None:
-                f = apply_cmvn(f, np.int32(int(nf)), jnp.asarray(cmvn[0]), jnp.asarray(cmvn[1]))
-            sil_frames.append(np.asarray(f)[: int(nf)])
+        sil_frames = [
+            f[:n]
+            for f, n in zip(*_featurize_arrays(segs, cfg, args.max_samples,
+                                               norm=args.norm, cmvn=cmvn))
+        ]
         if sil_frames:
             sil = fit_silence_hmm(
                 jax.random.PRNGKey(4242), np.concatenate(sil_frames),

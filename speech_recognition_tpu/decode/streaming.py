@@ -24,7 +24,7 @@ a few kilobytes regardless of audio length.
 from __future__ import annotations
 
 import functools
-from typing import List, Optional
+from typing import List
 
 import jax
 import jax.numpy as jnp

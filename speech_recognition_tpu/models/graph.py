@@ -102,7 +102,6 @@ def build_word_graph(
     after every layer; NES -> word-start and word-end -> NES edges cost 0
     (``continuous_speech.py:43-51``).
     """
-    n_states_per_word = [np.asarray(model_trans[l]).shape[0] for l in label_matrix[0]]
     # Enumerate emitting states layer-major, preserving reference order.
     states_model = []  # model id per emitting state
     states_slot = []

@@ -136,7 +136,7 @@ def forward_backward(
 
     log_gamma = alphas + betas - log_z
     valid = (frame_idx < n_frames)[:, None]
-    gamma = jnp.where(valid, jnp.exp(jnp.minimum(log_gamma, 0.0 + 50.0)), 0.0)
+    gamma = jnp.where(valid, jnp.exp(jnp.minimum(log_gamma, 50.0)), 0.0)
 
     # expected frame-edge transition counts:
     # xi[t][v,u] = alpha[t-1,u] + logT[v,u] + emis[t,v] + beta[t,v] - logZ

@@ -43,8 +43,11 @@ __all__ = [
     "max_frames",
     "mfcc",
     "mfcc39",
+    "mfcc39_batch",
     "delta_feature",
     "standardize",
+    "cmvn_stats",
+    "apply_cmvn",
 ]
 
 

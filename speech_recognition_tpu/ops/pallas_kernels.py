@@ -25,7 +25,6 @@ unreachable: POS_INF in/out transitions, POS_INF init).  Use
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -35,7 +35,7 @@ import jax.numpy as jnp
 
 from speech_recognition_tpu.utils.numerics import POS_INF
 
-__all__ = ["viterbi", "viterbi_backtrace", "ViterbiResult"]
+__all__ = ["viterbi", "viterbi_backtrace", "viterbi_path_cost", "ViterbiResult"]
 
 
 class ViterbiResult(NamedTuple):
@@ -96,7 +96,7 @@ def viterbi(
     T, S = nll.shape
     nll = jnp.minimum(nll, POS_INF)
 
-    def column(prev_cost, base_cost, base_bp, emis):
+    def column(base_cost, emis):
         """Finish one column given frame-edge arrivals."""
         cost = jnp.minimum(base_cost + emis, POS_INF)
         eps_bp = jnp.full((S,), -1, jnp.int32)
@@ -110,7 +110,7 @@ def viterbi(
         return cost, eps_bp
 
     # Column 0: init_cost plays the role of frame-edge arrivals.
-    cost0, eps_bp0 = column(None, init_cost, None, nll[0])
+    cost0, eps_bp0 = column(init_cost, nll[0])
     if beam_width:
         cost0 = _beam_prune(cost0, beam_width)
 
@@ -118,7 +118,7 @@ def viterbi(
         prev_cost, final_cost = carry
         t, emis = inputs
         base, bp = _relax(prev_cost, trans_cost)
-        cost, eps_bp = column(prev_cost, base, bp, emis)
+        cost, eps_bp = column(base, emis)
         if beam_width:
             cost = _beam_prune(cost, beam_width)
         active = t < n_frames

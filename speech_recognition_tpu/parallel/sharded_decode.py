@@ -22,7 +22,6 @@ to :func:`ops.viterbi_banded.viterbi_banded` (asserted in tests on the
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax

@@ -20,12 +20,11 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from speech_recognition_tpu.models.hmm import HMMBank
 from speech_recognition_tpu.train.embedded_step import embedded_step
-from speech_recognition_tpu.parallel.mesh import batch_sharding, bank_sharding, replicated
+from speech_recognition_tpu.parallel.mesh import batch_sharding, bank_sharding
 
 GRAPH_KEYS = ("trans", "eps_trans", "init_cost", "end_states", "bank_state")
 
@@ -53,7 +52,6 @@ def make_sharded_embedded_step(
     with replicated outputs.
     """
     data = NamedSharding(mesh, P("data"))
-    repl = NamedSharding(mesh, P())
     bank_sh = bank_sharding(mesh, shard_models)
 
     fn = functools.partial(embedded_step, eps_depth=eps_depth, var_floor=var_floor)

@@ -21,17 +21,9 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from speech_recognition_tpu.ops.gmm import pairwise_gaussian_nll
+
 __all__ = ["em_fit", "em_step_stats", "em_update_from_stats"]
-
-
-def _log_gauss(x, means, log_vars):
-    """[N, D] x [M, D] -> [N, M] diagonal Gaussian log pdf."""
-    d = x.shape[-1]
-    inv_var = jnp.exp(-log_vars)
-    xx = (x * x) @ (0.5 * inv_var).T
-    xm = x @ (means * inv_var).T
-    const = 0.5 * (jnp.sum(means * means * inv_var, axis=-1) + jnp.sum(log_vars, axis=-1))
-    return -(xx - xm + const[None, :]) - 0.5 * d * jnp.log(2.0 * jnp.pi)
 
 
 def em_step_stats(x, mask, means, log_vars, log_w):
@@ -40,7 +32,7 @@ def em_step_stats(x, mask, means, log_vars, log_w):
     Returns ``(r_sum [M], rx [M, D], rxx [M, D])`` — the per-shard
     statistics that a data-parallel trainer ``psum``s before the M-step.
     """
-    lp = _log_gauss(x, means, log_vars) + log_w[None, :]
+    lp = -pairwise_gaussian_nll(x, means, jnp.exp(log_vars)) + log_w[None, :]
     lse = jax.scipy.special.logsumexp(lp, axis=1, keepdims=True)
     resp = jnp.exp(lp - lse)
     resp = jnp.where(mask[:, None], resp, 0.0)

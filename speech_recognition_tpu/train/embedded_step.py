@@ -32,11 +32,15 @@ import jax
 import jax.numpy as jnp
 
 from speech_recognition_tpu.models.hmm import HMMBank
-from speech_recognition_tpu.ops.gmm import augment_features, gmm_emission_weights
+from speech_recognition_tpu.ops.gmm import (
+    augment_features,
+    gmm_emission_weights,
+    gmm_neg_log_lik,
+)
 from speech_recognition_tpu.ops.viterbi import viterbi, viterbi_backtrace
 from speech_recognition_tpu.utils.numerics import POS_INF
 
-__all__ = ["embedded_step", "EmbeddedStats"]
+__all__ = ["embedded_step", "embedded_step_soft", "EmbeddedStats"]
 
 
 class EmbeddedStats(NamedTuple):
@@ -53,17 +57,10 @@ def _align_ids(bank, feats, n_frames, g, eps_depth):
     b, t, d = feats.shape
     n, s = bank.n_models, bank.n_states
     w, lw = gmm_emission_weights(*bank.flat_states())
-    ns, m, a = w.shape
 
     def one(x, nf, tr, eps, init, ends, bstate):
         frame_mask = jnp.arange(t) < nf
-        xa = augment_features(x)
-        per_mix = (xa @ w.reshape(ns * m, a).T).reshape(t, ns, m)
-        z = lw[None] - per_mix
-        zmax = jnp.max(z, axis=-1, keepdims=True)
-        nll_bank = -(jnp.log(jnp.sum(jnp.exp(z - zmax), axis=-1)) + zmax[..., 0])
-        nll_bank = jnp.where(frame_mask[:, None], nll_bank, 0.0)
-        nll = nll_bank[:, bstate]
+        nll = gmm_neg_log_lik(x, w, lw, frame_mask)[:, bstate]
         res = viterbi(nll, tr, init, nf, eps_trans=eps, eps_depth=eps_depth)
         end_costs = res.final_cost[ends]
         best = jnp.argmin(end_costs)

@@ -163,8 +163,10 @@ def skmeans(
     states = np.minimum(t_idx // np.maximum(seg_len0[:, None], 1), n_segments - 1)
     states = states.astype(np.int32)
 
+    x_dev = jnp.asarray(x)
+    nf_dev = jnp.asarray(n_frames)
     counts, means, variances, seg_lens = segment_stats(
-        jnp.asarray(x), jnp.asarray(n_frames), jnp.asarray(states), n_segments
+        x_dev, nf_dev, jnp.asarray(states), n_segments
     )
     seg_lens_np = np.asarray(seg_lens, dtype=np.int64)
     trans = calc_transition_costs(b, seg_lens_np)
@@ -172,11 +174,9 @@ def skmeans(
     for _ in range(max_iters):
         trans_dev = jnp.where(jnp.isfinite(jnp.asarray(trans, jnp.float32)),
                               jnp.asarray(trans, jnp.float32), POS_INF)
-        states = _align_batch(
-            jnp.asarray(x), jnp.asarray(n_frames), means, trans_dev, n_segments
-        )
+        states = _align_batch(x_dev, nf_dev, means, trans_dev, n_segments)
         counts, new_means, variances, seg_lens = segment_stats(
-            jnp.asarray(x), jnp.asarray(n_frames), states, n_segments
+            x_dev, nf_dev, states, n_segments
         )
         if update_seg_lens:
             seg_lens_np = np.asarray(seg_lens, dtype=np.int64)

@@ -86,30 +86,17 @@ def test_continuous_training_improves_connected_decode():
 
     def wer_digits(b):
         errs = tot = 0
+        from speech_recognition_tpu.utils.metrics import edit_distance
+
         for i, u in enumerate(test):
             g = connected_graph_arrays(b, len(u.labels))
             seqs, _ = decode_connected(
                 b, g, tb[i : i + 1], tn[i : i + 1]
             )
             hyp = seqs[0]
-            errs += _edit_distance(hyp, u.labels)
+            errs += edit_distance(hyp, u.labels)
             tot += len(u.labels)
         return errs / tot
 
     wer_after = wer_digits(trained)
     assert wer_after <= 0.15, f"digit WER after embedded training {wer_after}"
-
-
-def _edit_distance(a, b):
-    m, n = len(a), len(b)
-    dp = np.zeros((m + 1, n + 1), dtype=np.int64)
-    dp[:, 0] = np.arange(m + 1)
-    dp[0, :] = np.arange(n + 1)
-    for i in range(1, m + 1):
-        for j in range(1, n + 1):
-            dp[i, j] = min(
-                dp[i - 1, j] + 1,
-                dp[i, j - 1] + 1,
-                dp[i - 1, j - 1] + (a[i - 1] != b[j - 1]),
-            )
-    return int(dp[m, n])
