@@ -37,6 +37,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from speech_recognition_tpu.config import FrontendConfig
+from speech_recognition_tpu.utils.numerics import MATMUL_PRECISION
 
 __all__ = [
     "padded_length",
@@ -263,20 +264,21 @@ def mfcc(signal, length, cfg: FrontendConfig = FrontendConfig(), n_frames_cap: i
 
     # Windowed power spectrum.
     if cfg.dft_as_gemm:
-        re = frames @ consts["dft_cos"]
-        im = frames @ consts["dft_sin"]
+        re = jnp.dot(frames, consts["dft_cos"], precision=MATMUL_PRECISION)
+        im = jnp.dot(frames, consts["dft_sin"], precision=MATMUL_PRECISION)
         power = (re * re + im * im) * (1.0 / cfg.n_fft)
     else:
         spec = jnp.fft.rfft(frames * consts["window"][None, :], cfg.n_fft)
         power = (jnp.abs(spec) ** 2) * (1.0 / cfg.n_fft)
 
     # Mel energies -> log -> DCT -> lifter.
-    mel = power @ consts["mel_w"]
+    mel = jnp.dot(power, consts["mel_w"], precision=MATMUL_PRECISION)
     # reference floors exact zeros to float64 eps (cast so f32 stays f32)
     eps = jnp.asarray(np.finfo(np.float64).eps, dtype=dt)
     mel = jnp.where(mel <= 0.0, eps, mel)
     log_mel = jnp.log(mel) if cfg.variant == "psf" else jnp.log10(mel)
-    ceps = (log_mel @ consts["dct_m"]) * consts["lifter"][None, :]
+    ceps = jnp.dot(log_mel, consts["dct_m"], precision=MATMUL_PRECISION)
+    ceps = ceps * consts["lifter"][None, :]
     ceps = jnp.where(frame_mask[:, None], ceps, 0.0)
     return ceps, nf
 

@@ -28,6 +28,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from speech_recognition_tpu.utils.numerics import MATMUL_PRECISION
+
 __all__ = ["gmm_emission_weights", "gmm_neg_log_lik", "mahalanobis", "augment_features"]
 
 _LOG_2PI = float(np.log(2.0 * np.pi))
@@ -81,7 +83,7 @@ def gmm_neg_log_lik(x, w, log_weights, frame_mask=None):
     """
     s, m, a = w.shape
     xa = augment_features(x)  # [T, 2D+1]
-    per_mix = xa @ w.reshape(s * m, a).T  # [T, S*M] Gaussian NLLs
+    per_mix = jnp.dot(xa, w.reshape(s * m, a).T, precision=MATMUL_PRECISION)
     per_mix = per_mix.reshape(x.shape[0], s, m)
     # -logsumexp(log_w - nll) over mixtures, stable.
     z = log_weights[None, :, :] - per_mix
@@ -111,11 +113,13 @@ def pairwise_gaussian_nll(x, means, variances):
     ``variances`` may be ``[K, D]`` or ``[D]`` (shared)."""
     variances = jnp.broadcast_to(variances, means.shape)
     w, _ = gmm_emission_weights(means, jnp.log(variances), jnp.zeros(means.shape[:-1]))
-    return augment_features(x) @ w.reshape(means.shape[0], -1).T
+    return jnp.dot(augment_features(x), w.reshape(means.shape[0], -1).T,
+                   precision=MATMUL_PRECISION)
 
 
 def pairwise_sq_euclidean(x, y):
     """``[T, D] x [K, D] -> [T, K]`` squared L2, one GEMM + norms."""
     xn = jnp.sum(x * x, axis=-1, keepdims=True)
     yn = jnp.sum(y * y, axis=-1)
-    return jnp.maximum(xn + yn[None, :] - 2.0 * (x @ y.T), 0.0)
+    xy = jnp.dot(x, y.T, precision=MATMUL_PRECISION)
+    return jnp.maximum(xn + yn[None, :] - 2.0 * xy, 0.0)

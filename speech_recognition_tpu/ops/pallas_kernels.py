@@ -34,7 +34,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from speech_recognition_tpu.utils.numerics import POS_INF
 
-__all__ = ["pallas_viterbi", "pad_graph_for_pallas"]
+__all__ = ["pallas_viterbi", "pallas_mfcc", "pad_graph_for_pallas"]
 
 
 def _first_argmin(scores):
@@ -220,3 +220,122 @@ def pad_graph_for_pallas(graph, lane: int = 128):
         },
         s_pad,
     )
+
+
+# ---------------------------------------------------------------------------
+# Fused MFCC frontend kernel
+# ---------------------------------------------------------------------------
+
+
+def pallas_mfcc(signals, lengths, cfg=None):
+    """Fused MFCC spectral chain as one Pallas kernel per utterance:
+    windowed-DFT GEMMs -> power -> mel -> log -> DCT+lifter, all
+    VMEM-resident with no HBM round-trips between stages (grid over the
+    batch; the frame block streams in through the BlockSpec pipeline).
+
+    Pre-emphasis and framing stay in XLA (static-slice form from
+    ``ops.frontend``): Mosaic rejects the large unaligned 1-D
+    concatenates/reshapes in-kernel framing needs, and those stages are
+    bandwidth-trivial anyway — the GEMM chain is where the FLOPs are.
+
+    Matches ``ops.frontend.mfcc`` (psf variant) numerically; on this
+    environment's backend the XLA pipeline is already fusion-friendly,
+    so this kernel is a capability/parity artifact more than a speedup
+    (see RESULTS.md kernel notes).
+
+    Args:
+      signals: ``[B, L]`` float32, padded per ``padded_length``.
+      lengths: ``[B]`` int32 true sample counts.
+
+    Returns ``(ceps [B, F, n_ceps], n_frames [B])``.
+    """
+    from speech_recognition_tpu.config import FrontendConfig
+    from speech_recognition_tpu.ops.frontend import (
+        _frame_signal,
+        _frontend_constants,
+        _num_frames,
+    )
+
+    cfg = cfg or FrontendConfig()
+    assert cfg.variant == "psf", "pallas_mfcc implements the production variant"
+    consts = {k: np.asarray(v, np.float32) for k, v in _frontend_constants(cfg).items()}
+    b, L = signals.shape
+    fl, fs = cfg.frame_len, cfg.frame_step
+    F = 1 + max(0, (L - fl) // fs)
+    F_pad = ((F + 7) // 8) * 8
+    n_bins = consts["dft_cos"].shape[1]
+    ceps_pad = 128  # lane-align the tiny cep axis
+
+    def pad2(a, r, c):
+        out = np.zeros((r, c), np.float32)
+        out[: a.shape[0], : a.shape[1]] = a
+        return out
+
+    bins_pad = ((n_bins + 127) // 128) * 128
+    mels_pad = 128
+    dft_cos = jnp.asarray(pad2(consts["dft_cos"], fl, bins_pad))
+    dft_sin = jnp.asarray(pad2(consts["dft_sin"], fl, bins_pad))
+    mel_w = jnp.asarray(pad2(consts["mel_w"], bins_pad, mels_pad))
+    dct_m = jnp.asarray(
+        pad2(consts["dct_m"] * consts["lifter"][None, :], mels_pad, ceps_pad)
+    )
+    eps = float(np.finfo(np.float64).eps)
+
+    def kernel(nf_ref, fr_ref, cos_ref, sin_ref, mel_ref, dct_ref, out_ref):
+        i = pl.program_id(0)
+        nf = nf_ref[i]
+        frames = fr_ref[0]
+        re = jnp.dot(frames, cos_ref[...], preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+        im = jnp.dot(frames, sin_ref[...], preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+        power = (re * re + im * im) * (1.0 / cfg.n_fft)
+        # zero the padded spectral lanes so they stay out of the mel sums
+        lane = jax.lax.broadcasted_iota(jnp.int32, power.shape, 1)
+        power = jnp.where(lane < n_bins, power, 0.0)
+        mel = jnp.dot(power, mel_ref[...], preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+        mel = jnp.where(mel <= 0.0, eps, mel)
+        log_mel = jnp.log(mel)
+        # padded mel lanes produce log(eps) but their DCT rows are zero
+        ceps = jnp.dot(log_mel, dct_ref[...], preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+        fidx = jax.lax.broadcasted_iota(jnp.int32, (F_pad, ceps_pad), 0)
+        out_ref[0] = jnp.where(fidx < nf, ceps, 0.0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, F_pad, fl), lambda i, ln: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((fl, bins_pad), lambda i, ln: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((fl, bins_pad), lambda i, ln: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bins_pad, mels_pad), lambda i, ln: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((mels_pad, ceps_pad), lambda i, ln: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, F_pad, ceps_pad), lambda i, ln: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+    )
+
+    signals = jnp.asarray(signals, jnp.float32)
+    lengths = jnp.asarray(lengths, jnp.int32)
+
+    # pre-emphasis + framing in XLA (static slices, no gathers)
+    def prep(sig, length):
+        emph = jnp.concatenate([sig[:1], sig[1:] - cfg.effective_preemph * sig[:-1]])
+        emph = jnp.where(jnp.arange(L) < length, emph, 0.0)
+        fr = _frame_signal(emph, F, fl, fs)
+        if F_pad != F:
+            fr = jnp.concatenate([fr, jnp.zeros((F_pad - F, fl), fr.dtype)], axis=0)
+        return fr
+
+    frames = jax.vmap(prep)(signals, lengths)
+    n_frames = jnp.minimum(_num_frames(cfg, lengths), F)
+
+    ceps = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, F_pad, ceps_pad), jnp.float32),
+    )(n_frames, frames, dft_cos, dft_sin, mel_w, dct_m)
+    return ceps[:, :F, : cfg.n_ceps], n_frames

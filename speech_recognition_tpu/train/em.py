@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from speech_recognition_tpu.ops.gmm import pairwise_gaussian_nll
+from speech_recognition_tpu.utils.numerics import MATMUL_PRECISION
 
 __all__ = ["em_fit", "em_step_stats", "em_update_from_stats"]
 
@@ -37,8 +38,8 @@ def em_step_stats(x, mask, means, log_vars, log_w):
     resp = jnp.exp(lp - lse)
     resp = jnp.where(mask[:, None], resp, 0.0)
     r_sum = jnp.sum(resp, axis=0)
-    rx = resp.T @ x
-    rxx = resp.T @ (x * x)
+    rx = jnp.dot(resp.T, x, precision=MATMUL_PRECISION)
+    rxx = jnp.dot(resp.T, x * x, precision=MATMUL_PRECISION)
     return r_sum, rx, rxx
 
 

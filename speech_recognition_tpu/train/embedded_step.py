@@ -38,7 +38,7 @@ from speech_recognition_tpu.ops.gmm import (
     gmm_neg_log_lik,
 )
 from speech_recognition_tpu.ops.viterbi import viterbi, viterbi_backtrace
-from speech_recognition_tpu.utils.numerics import POS_INF
+from speech_recognition_tpu.utils.numerics import MATMUL_PRECISION, POS_INF
 
 __all__ = ["embedded_step", "embedded_step_soft", "EmbeddedStats"]
 
@@ -125,7 +125,8 @@ def embedded_step(
     w, lw = gmm_emission_weights(*bank.flat_states())
     a = w.shape[-1]
     xa = augment_features(flat_x)
-    per_mix = (xa @ w.reshape(ns * m, a).T).reshape(b * t, ns, m)
+    per_mix = jnp.dot(xa, w.reshape(ns * m, a).T,
+                      precision=MATMUL_PRECISION).reshape(b * t, ns, m)
     own = jnp.take_along_axis(
         per_mix, jnp.maximum(flat_ids, 0)[:, None, None], axis=1
     )[:, 0, :]  # [BT, M] Gaussian NLL under the frame's own state
@@ -139,8 +140,8 @@ def embedded_step(
     wts = onehot_f[:, :, None] * resp[:, None, :]  # [BT, NS, M]
     wts2 = wts.reshape(b * t, ns * m)
     r_sum = jnp.sum(wts2, axis=0).reshape(ns, m)
-    rx = (wts2.T @ flat_x).reshape(ns, m, d)
-    rxx = (wts2.T @ (flat_x * flat_x)).reshape(ns, m, d)
+    rx = jnp.dot(wts2.T, flat_x, precision=MATMUL_PRECISION).reshape(ns, m, d)
+    rxx = jnp.dot(wts2.T, flat_x * flat_x, precision=MATMUL_PRECISION).reshape(ns, m, d)
 
     # M-step
     denom = jnp.maximum(r_sum, 1e-6)[..., None]
@@ -228,7 +229,7 @@ def embedded_step_soft(
         )
         # map graph-state gamma onto bank states: [T, Sg] @ [Sg, NS]
         onehot_bank = (bstate[:, None] == jnp.arange(ns)[None, :]).astype(x.dtype)
-        gamma_bank = res.gamma @ onehot_bank  # [T, NS]
+        gamma_bank = jnp.dot(res.gamma, onehot_bank, precision=MATMUL_PRECISION)
         # band-restricted expected transition counts per graph state
         diag_xi = jnp.diagonal(res.xi_sum)  # self transitions
         sub_xi = jnp.diagonal(res.xi_sum, offset=-1)  # sg -> sg+1
@@ -249,7 +250,8 @@ def embedded_step_soft(
     flat_x = feats.reshape(b * t, d)
     # mixture responsibilities within each state, weighted by gamma
     xa = augment_features(flat_x)
-    per_mix = (xa @ w.reshape(ns * m, a).T).reshape(b * t, ns, m)
+    per_mix = jnp.dot(xa, w.reshape(ns * m, a).T,
+                      precision=MATMUL_PRECISION).reshape(b * t, ns, m)
     lp = lw[None] - per_mix  # [BT, NS, M]
     lp_max = jnp.max(lp, axis=-1, keepdims=True)
     resp = jnp.exp(lp - lp_max)
@@ -257,8 +259,8 @@ def embedded_step_soft(
     wts2 = (gamma[:, :, None] * resp).reshape(b * t, ns * m)
 
     r_sum = jnp.sum(wts2, axis=0).reshape(ns, m)
-    rx = (wts2.T @ flat_x).reshape(ns, m, d)
-    rxx = (wts2.T @ (flat_x * flat_x)).reshape(ns, m, d)
+    rx = jnp.dot(wts2.T, flat_x, precision=MATMUL_PRECISION).reshape(ns, m, d)
+    rxx = jnp.dot(wts2.T, flat_x * flat_x, precision=MATMUL_PRECISION).reshape(ns, m, d)
     frame_counts = jnp.sum(gamma, axis=0)  # [NS] soft occupancy
 
     denom = jnp.maximum(r_sum, 1e-6)[..., None]

@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from speech_recognition_tpu.ops.gmm import pairwise_gaussian_nll
+from speech_recognition_tpu.utils.numerics import MATMUL_PRECISION
 
 __all__ = ["kmeans", "cluster_stats"]
 
@@ -39,8 +40,8 @@ def cluster_stats(x, mask, assign, k: int, var_floor: float = 1e-6):
     onehot = onehot.astype(x.dtype)  # [N, k]
     counts = jnp.sum(onehot, axis=0)  # [k]
     denom = jnp.maximum(counts, 1.0)[:, None]
-    means = (onehot.T @ x) / denom
-    sq = onehot.T @ (x * x)
+    means = jnp.dot(onehot.T, x, precision=MATMUL_PRECISION) / denom
+    sq = jnp.dot(onehot.T, x * x, precision=MATMUL_PRECISION)
     var = (sq - counts[:, None] * means * means) / jnp.maximum(counts - 1.0, 1.0)[:, None]
     return counts, means, jnp.maximum(var, var_floor)
 

@@ -35,7 +35,7 @@ import numpy as np
 from speech_recognition_tpu.models.hmm import linear_init_cost
 from speech_recognition_tpu.ops.gmm import pairwise_sq_euclidean
 from speech_recognition_tpu.ops.viterbi import viterbi, viterbi_backtrace
-from speech_recognition_tpu.utils.numerics import POS_INF
+from speech_recognition_tpu.utils.numerics import MATMUL_PRECISION, POS_INF
 
 __all__ = ["skmeans", "calc_transition_costs", "pad_templates", "segment_stats"]
 
@@ -126,8 +126,8 @@ def segment_stats(x, n_frames, states, n_segments: int):
     flat_oh = onehot.reshape(b * t, n_segments)
     flat_x = x.reshape(b * t, d)
     denom = jnp.maximum(counts, 1.0)[:, None]
-    means = (flat_oh.T @ flat_x) / denom
-    sq = flat_oh.T @ (flat_x * flat_x)
+    means = jnp.dot(flat_oh.T, flat_x, precision=MATMUL_PRECISION) / denom
+    sq = jnp.dot(flat_oh.T, flat_x * flat_x, precision=MATMUL_PRECISION)
     var = (sq - counts[:, None] * means * means) / jnp.maximum(counts - 1.0, 1.0)[
         :, None
     ]

@@ -18,6 +18,14 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
+# TPU matmuls default to bf16 passes; the spectral chain (log-amplified)
+# and cost/statistics GEMMs need true f32 — measured on-chip: the default
+# precision puts MFCC features off by ~4.7 absolute vs the float64 oracle,
+# while HIGHEST is within 1.3e-3 (see RESULTS.md).
+import jax
+
+MATMUL_PRECISION = jax.lax.Precision.HIGHEST
+
 # A finite stand-in for +inf cost.  Using a finite sentinel keeps
 # min-plus arithmetic free of inf-inf NaN traps while being large enough
 # that no real path can approach it.

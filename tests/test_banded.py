@@ -132,3 +132,37 @@ def test_banded_beam_wide_is_exact(rng):
     # narrow beam keeps the best end-state cost close to exact here
     e = int(g.end_states[-1])
     assert np.isfinite(np.asarray(narrow)[e])
+
+
+def test_pallas_mfcc_interpret_matches(rng):
+    """Fused Pallas spectral chain == the XLA frontend (interpret mode)."""
+    import jax.experimental.pallas as pl
+
+    import speech_recognition_tpu.ops.pallas_kernels as pk
+    from speech_recognition_tpu.config import FrontendConfig
+    from speech_recognition_tpu.ops.frontend import mfcc, padded_length
+
+    orig = pl.pallas_call
+
+    def interp(*a, **k):
+        k.setdefault("interpret", True)
+        return orig(*a, **k)
+
+    pk.pl.pallas_call = interp
+    try:
+        cfg = FrontendConfig()
+        L = padded_length(cfg, 8000)
+        sig = np.zeros((2, L), np.float32)
+        n = [8000, 5321]
+        for i in range(2):
+            sig[i, : n[i]] = rng.standard_normal(n[i]) * 2000
+        ceps, nf = pk.pallas_mfcc(jnp.asarray(sig), jnp.asarray(np.asarray(n, np.int32)), cfg)
+        for i in range(2):
+            ref, rnf = mfcc(jnp.asarray(sig[i]), np.int32(n[i]), cfg)
+            assert int(nf[i]) == int(rnf)
+            np.testing.assert_allclose(
+                np.asarray(ceps[i])[: int(rnf)], np.asarray(ref)[: int(rnf)],
+                rtol=1e-4, atol=1e-3,
+            )
+    finally:
+        pk.pl.pallas_call = orig
