@@ -24,6 +24,7 @@ import numpy as np
 
 from speech_recognition_tpu.config import (
     DIGIT_NAMES,
+    DecodeConfig,
     FrontendConfig,
     HMMConfig,
     TrainConfig,
@@ -418,6 +419,75 @@ def cmd_connected_test(args):
     print("WER:", wer(hyps, refs))
 
 
+def cmd_align(args):
+    """Forced alignment: per-utterance word segmentation with times."""
+    import json
+
+    import jax.numpy as jnp
+
+    from speech_recognition_tpu.data.aurora import (
+        labels_from_transcript,
+        transcript_from_filename,
+    )
+    from speech_recognition_tpu.models.graph import pad_graphs, transcript_graph
+    from speech_recognition_tpu.train.continuous import align_batch
+    from speech_recognition_tpu.utils.checkpoint import load_bank
+
+    cfg = FrontendConfig()
+    bank, meta = load_bank(args.input)
+    norm, cmvn = _norm_from_meta(meta)
+    sil = meta.get("silence_index")
+    files = sorted(glob.glob(os.path.join(args.data, "*.wav")))
+    files = [f for f in files if transcript_from_filename(os.path.basename(f))]
+    labels = [
+        labels_from_transcript(transcript_from_filename(os.path.basename(f)))
+        for f in files
+    ]
+    feats, lens = _featurize_files(files, cfg, args.max_samples, norm=norm, cmvn=cmvn)
+    fb, nb = _stack(feats, lens)
+
+    trans_np = [np.asarray(bank.trans_cost[i]) for i in range(bank.n_models)]
+    graphs = [transcript_graph(trans_np, ls, sil=sil) for ls in labels]
+    gb, eps_depth = pad_graphs(graphs)
+    g = {k: jnp.asarray(gb[k]) for k in
+         ("trans", "eps_trans", "init_cost", "end_states", "bank_state")}
+    ids, costs = align_batch(
+        bank, jnp.asarray(fb), jnp.asarray(nb),
+        g["trans"], g["eps_trans"], g["init_cost"], g["end_states"],
+        g["bank_state"], eps_depth=eps_depth,
+    )
+    ids = np.asarray(ids)
+    step_s = cfg.frame_step_s
+    s_per_model = bank.n_states
+    with open(args.output, "w") as out:
+        for i, f in enumerate(files):
+            # contiguous runs of model id -> word segments; a repeated
+            # word ("44") shows as the state index dropping within the
+            # same model, so split on that too
+            valid = ids[i, : int(nb[i])]
+            mids = valid // s_per_model
+            sids = valid % s_per_model
+            segs = []
+            start = 0
+            for t in range(1, len(mids) + 1):
+                if (t == len(mids) or mids[t] != mids[start]
+                        or sids[t] < sids[t - 1]):
+                    m = int(mids[start])
+                    name = DIGIT_NAMES[m] if m < len(DIGIT_NAMES) else "sil"
+                    segs.append({
+                        "word": name,
+                        "start_s": round(start * step_s, 3),
+                        "end_s": round(t * step_s, 3),
+                    })
+                    start = t
+            out.write(json.dumps({
+                "file": os.path.basename(f),
+                "cost": float(costs[i]),
+                "segments": segs,
+            }) + "\n")
+    print(f"wrote alignments for {len(files)} files to {args.output}")
+
+
 def cmd_record(args):
     from speech_recognition_tpu.data.capture import record
 
@@ -486,17 +556,27 @@ def main(argv=None):
     p = sub.add_parser("connected_test")
     p.add_argument("-i", "--input", required=True, help="bank .npz")
     p.add_argument("-d", "--data", required=True, help="wav dir")
+    _dc = DecodeConfig()
     p.add_argument("--graph", choices=["loop", "sausage"], default="loop")
     p.add_argument("--lm", choices=["none", "bigram"], default="none")
     p.add_argument("--n-slots", type=int, default=0,
-                   help="sausage slots (0 = per-utterance ref length)")
-    p.add_argument("--word-insertion-cost", type=float, default=0.0)
-    p.add_argument("--lm-weight", type=float, default=1.0)
+                   help=f"sausage slots (0 = per-utterance ref length; "
+                        f"reference uses {_dc.n_slots})")
+    p.add_argument("--word-insertion-cost", type=float,
+                   default=_dc.word_insertion_cost)
+    p.add_argument("--lm-weight", type=float, default=_dc.lm_weight)
     p.add_argument("--lm-train", default=None,
                    help="wav dir whose filenames provide bigram training "
                         "transcripts (default: test transcripts, with warning)")
     p.add_argument("--max-samples", type=int, default=120000)
     p.set_defaults(fn=cmd_connected_test)
+
+    p = sub.add_parser("align", help="forced alignment -> word segments")
+    p.add_argument("-i", "--input", required=True, help="bank .npz")
+    p.add_argument("-d", "--data", required=True, help="wav dir (Aurora names)")
+    p.add_argument("-o", "--output", default="alignments.jsonl")
+    p.add_argument("--max-samples", type=int, default=120000)
+    p.set_defaults(fn=cmd_align)
 
     p = sub.add_parser("record")
     p.add_argument("-i", "--input", default=None, help="bank .npz for classify")

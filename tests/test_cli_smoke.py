@@ -61,3 +61,31 @@ def test_cli_pipeline_cmvn_silence(tmp_path, capsys, monkeypatch):
     out = capsys.readouterr().out
     wer = float([l for l in out.splitlines() if l.startswith("WER:")][0].split()[1])
     assert wer <= 0.3, wer
+
+
+def test_cli_align(tmp_path, capsys, monkeypatch):
+    """Forced-alignment command produces sane word segments."""
+    import json
+
+    monkeypatch.chdir(tmp_path)
+    main(["synth", "-o", "data", "--n-train", "3", "--n-test", "1",
+          "--n-continuous", "6"])
+    main(["isolated_train", "-i", "data/train", "-o", "models/bank.npz",
+          "--n-gaussians", "2"])
+    main(["align", "-i", "models/bank.npz", "-d", "data/train",
+          "-o", "align.jsonl"])
+    rows = [json.loads(l) for l in open("align.jsonl")]
+    assert len(rows) > 10
+    for r in rows:
+        assert r["segments"], r
+        # segments tile the utterance without gaps
+        assert r["segments"][0]["start_s"] == 0.0
+        for a, b in zip(r["segments"], r["segments"][1:]):
+            assert a["end_s"] == b["start_s"]
+        # words (ignoring silence) spell the filename transcript
+        from speech_recognition_tpu.data.aurora import transcript_from_filename
+
+        words = [s["word"] for s in r["segments"] if s["word"] != "sil"]
+        # consecutive duplicates can appear only for repeated digits;
+        # compare against the transcript directly
+        assert "".join(words) == transcript_from_filename(r["file"])
