@@ -488,6 +488,31 @@ def cmd_align(args):
     print(f"wrote alignments for {len(files)} files to {args.output}")
 
 
+def cmd_spellcheck(args):
+    """Correct text against a dictionary (the reference's lextree +
+    text-Viterbi subsystem, ``sr/langmodel/spellchecker.py:15-135``,
+    with the fit/spell_check stubs implemented)."""
+    from speech_recognition_tpu.langmodel.spellcheck import SpellChecker
+
+    with open(args.dict) as f:
+        words = [ln.strip().lower() for ln in f if ln.strip()]
+    # accept the reference's CSV-with-header format (tests/test_data/dict1.txt)
+    if words and words[0] == "words":
+        words = words[1:]
+    sc = SpellChecker().fit(words)
+    if args.text is not None:
+        text = args.text
+    elif args.file:
+        with open(args.file) as f:
+            text = f.read()
+    else:
+        text = sys.stdin.read()
+    for line in text.splitlines():
+        line = line.strip().lower()
+        if line:
+            print(sc.spell_check(line))
+
+
 def cmd_record(args):
     from speech_recognition_tpu.data.capture import record
 
@@ -577,6 +602,15 @@ def main(argv=None):
     p.add_argument("-o", "--output", default="alignments.jsonl")
     p.add_argument("--max-samples", type=int, default=120000)
     p.set_defaults(fn=cmd_align)
+
+    p = sub.add_parser("spellcheck", help="correct text against a dictionary")
+    p.add_argument("-d", "--dict", required=True,
+                   help="dictionary file (one word per line, or the "
+                        "reference's 'words' CSV)")
+    p.add_argument("-t", "--text", default=None, help="text to correct")
+    p.add_argument("-f", "--file", default=None,
+                   help="file of text to correct (default: stdin)")
+    p.set_defaults(fn=cmd_spellcheck)
 
     p = sub.add_parser("record")
     p.add_argument("-i", "--input", default=None, help="bank .npz for classify")

@@ -27,6 +27,7 @@ from speech_recognition_tpu.models.graph import WordGraph, build_word_graph
 from speech_recognition_tpu.models.hmm import HMMBank, bank_nll
 from speech_recognition_tpu.ops.viterbi import viterbi, viterbi_backtrace
 from speech_recognition_tpu.ops.viterbi_banded import (
+    DEFAULT_UNROLL,
     BandedGraph,
     banded_arrays,
     banded_backtrace,
@@ -83,9 +84,10 @@ def _decode_graph_batch(
     return jax.vmap(one)(feats, n_frames)
 
 
-@functools.partial(jax.jit, static_argnames=("eps_depth", "beam_width"))
+@functools.partial(jax.jit, static_argnames=("eps_depth", "beam_width", "unroll"))
 def _decode_banded_batch(bank: HMMBank, feats, n_frames, g: BandedGraph,
-                         eps_depth: int = 1, beam_width: int = 0):
+                         eps_depth: int = 1, beam_width: int = 0,
+                         unroll: int = DEFAULT_UNROLL):
     """Banded fast path: O(3S + V^2) per frame instead of O(S^2)."""
     b, t, d = feats.shape
 
@@ -93,11 +95,11 @@ def _decode_banded_batch(bank: HMMBank, feats, n_frames, g: BandedGraph,
         frame_mask = jnp.arange(t) < nf
         nll = bank_nll(bank, x, frame_mask)[:, g.bank_state]
         final, bp8 = viterbi_banded(nll, g, nf, eps_depth=eps_depth,
-                                    beam_width=beam_width)
+                                    beam_width=beam_width, unroll=unroll)
         end_costs = final[g.end_states] + g.end_bonus
         best = jnp.argmin(end_costs)
         states, eps_flags = banded_backtrace(
-            bp8, g, g.end_states[best], nf, eps_depth=eps_depth
+            bp8, g, g.end_states[best], nf, eps_depth=eps_depth, unroll=unroll
         )
         return states, eps_flags, end_costs[best]
 

@@ -124,14 +124,12 @@ def _text_viterbi_device(
     return costs, bp_r, bp_kind
 
 
-def text_viterbi(x: str, tree: LexTree) -> Tuple[float, str]:
-    """Best dictionary match for an input string.
-
-    Returns ``(best_cost, matched_string)`` like the reference
-    (``spellchecker.py:15-135``) — ``matched_string`` is the
-    concatenation of matched dictionary words (spaces included when the
-    path crosses the space node).
-    """
+def _viterbi_path(x: str, tree: LexTree) -> Tuple[float, list, np.ndarray]:
+    """Shared DP + backtrace.  Returns ``(best_cost, visited_nodes,
+    val)`` where ``visited_nodes`` is the forward-order sequence of trie
+    node indices on the best path (insertion hops included, root
+    excluded) — exactly the nodes whose chars the reference's backtrace
+    concatenates (``spellchecker.py:126-135``)."""
     n = tree.n_nodes + 1  # + synthetic space node (spellchecker.py:37)
     val = np.zeros(n, dtype=np.int32)
     val[:-1] = tree.val
@@ -165,11 +163,11 @@ def text_viterbi(x: str, tree: LexTree) -> Tuple[float, str]:
 
     # host backtrace (columns are bp rows; column c corresponds to input
     # char c+1 because codes[0] is the '*' sentinel)
-    out = []
+    visited = []
     r, c = best_end, len(codes) - 2
     while c >= 0:
         if r != 0:
-            out.append(chr(val[r]))
+            visited.append(r)
         kind = bp_kind[c, r]
         r_prev = int(bp_r[c, r])
         if kind == _MOVE_INS:
@@ -177,7 +175,22 @@ def text_viterbi(x: str, tree: LexTree) -> Tuple[float, str]:
         else:
             r = r_prev
             c -= 1
-    return best_cost, "".join(reversed(out))
+    visited.reverse()
+    return best_cost, visited, val
+
+
+def text_viterbi(x: str, tree: LexTree) -> Tuple[float, str]:
+    """Best dictionary match for an input string.
+
+    Returns ``(best_cost, matched_string)`` like the reference
+    (``spellchecker.py:15-135``) — ``matched_string`` is the
+    concatenation of the chars of the trie nodes on the best path
+    (bit-identical to the reference, including its quirk that an
+    insertion-chain entry shows only the suffix of the first word's
+    nodes actually visited: 'aple' -> 'pple' in both).
+    """
+    cost, visited, val = _viterbi_path(x, tree)
+    return cost, "".join(chr(val[r]) for r in visited)
 
 
 class SpellChecker:
@@ -194,7 +207,20 @@ class SpellChecker:
         return self
 
     def spell_check(self, text: str) -> str:
+        """Correct ``text`` to a sequence of complete dictionary words.
+
+        Unlike :func:`text_viterbi` (reference-exact, can emit a word
+        *suffix* when the best path enters mid-word via an insertion
+        chain), this reconstructs each word from the word-end leaf the
+        path crosses — every leaf identifies exactly one dictionary
+        word (``lextree.py:42-48``)."""
         if self.tree is None:
             raise ValueError("call fit() first")
-        _, matched = text_viterbi(text, self.tree)
-        return matched
+        _, visited, _ = _viterbi_path(text, self.tree)
+        ends = set(int(e) for e in self.tree.word_ends)
+        words, prev = [], -1
+        for r in visited:
+            if r in ends and r != prev:
+                words.append(self.tree.word_of(r))
+            prev = r
+        return " ".join(words)

@@ -47,6 +47,11 @@ __all__ = [
 MAX_BAND = 2  # reference max_jump_dist
 _EPS_BASE = MAX_BAND + 1  # bp8 code for eps arrival from end u: _EPS_BASE + u
 
+# Production scan-unroll factor.  The per-frame step is tiny relative to
+# the TPU while-loop iteration overhead; unrolling amortizes it (sweep in
+# RESULTS.md).  1 until measured otherwise.
+DEFAULT_UNROLL = 1
+
 
 class BandedGraph(NamedTuple):
     """Device-ready banded form of a WordGraph."""
@@ -163,9 +168,11 @@ def _eps_relax(cost, emis, g: BandedGraph):
     return cost, bp_upd
 
 
-@functools.partial(jax.jit, static_argnames=("eps_depth", "need_bp", "beam_width"))
+@functools.partial(jax.jit,
+                   static_argnames=("eps_depth", "need_bp", "beam_width", "unroll"))
 def viterbi_banded(nll, g: BandedGraph, n_frames, eps_depth: int = 1,
-                   need_bp: bool = True, beam_width: int = 0):
+                   need_bp: bool = True, beam_width: int = 0,
+                   unroll: int = 1):
     """Banded Viterbi for one utterance.
 
     Returns ``(final_cost [S], bp8 [T, S] int8)`` — decode bp8 with
@@ -174,6 +181,9 @@ def viterbi_banded(nll, g: BandedGraph, n_frames, eps_depth: int = 1,
     ``beam_width > 0`` enables rank-based frontier pruning per frame
     (threshold form, exact ties with the k-th best survive — the
     reference's ``dtw`` beam semantics, ``decode.py:62-68``).
+    ``unroll`` is passed to the frame scan: the step is tiny relative
+    to TPU loop overhead, so unrolling amortizes the per-iteration
+    latency (measured sweep in RESULTS.md).
     """
     t_len, s = nll.shape
     nll = jnp.minimum(nll, POS_INF)
@@ -204,7 +214,8 @@ def viterbi_banded(nll, g: BandedGraph, n_frames, eps_depth: int = 1,
 
     ts = jnp.arange(1, t_len)
     init_final = jnp.where(n_frames == 1, cost0, POS_INF)
-    (last, final), bps = jax.lax.scan(step, (cost0, init_final), (ts, nll[1:]))
+    (last, final), bps = jax.lax.scan(step, (cost0, init_final), (ts, nll[1:]),
+                                      unroll=unroll)
     if need_bp:
         bp8 = jnp.concatenate([bp0[None], bps], axis=0)
     else:
@@ -212,8 +223,9 @@ def viterbi_banded(nll, g: BandedGraph, n_frames, eps_depth: int = 1,
     return final, bp8
 
 
-@functools.partial(jax.jit, static_argnames=("eps_depth",))
-def banded_backtrace(bp8, g: BandedGraph, end_state, n_frames, eps_depth: int = 1):
+@functools.partial(jax.jit, static_argnames=("eps_depth", "unroll"))
+def banded_backtrace(bp8, g: BandedGraph, end_state, n_frames, eps_depth: int = 1,
+                     unroll: int = 1):
     """Decode int8 backpointers to (states [T], eps_entered [T]) with the
     same semantics as :func:`ops.viterbi.viterbi_backtrace`."""
     t_len, s = bp8.shape
@@ -233,5 +245,6 @@ def banded_backtrace(bp8, g: BandedGraph, end_state, n_frames, eps_depth: int = 
         return jnp.where(active, prev, rec), (rec, used_eps & (t < n_frames))
 
     ts = jnp.arange(t_len - 1, -1, -1)
-    _, (states_rev, eps_rev) = jax.lax.scan(step, end_state.astype(jnp.int32), ts)
+    _, (states_rev, eps_rev) = jax.lax.scan(step, end_state.astype(jnp.int32), ts,
+                                            unroll=unroll)
     return states_rev[::-1], eps_rev[::-1]

@@ -50,6 +50,22 @@ def test_spellchecker_corrects():
     assert matched_typo.startswith("door")
 
 
+def test_spellchecker_emits_whole_words():
+    """spell_check reconstructs complete dictionary words from the
+    word-end leaves on the path — even when the reference-exact
+    text_viterbi string is a mid-word suffix (insertion-chain entry)."""
+    sc = SpellChecker().fit(WORDS)
+    assert sc.spell_check("dog and cat") == "dog and cat"
+    assert sc.spell_check("czrd") == "card"
+    # repeated word -> two leaf runs, both emitted
+    assert sc.spell_check("cat cat") == "cat cat"
+    # text_viterbi('at') enters mid-word ('at' of cat via insertion);
+    # spell_check still names the whole word
+    cost, matched = text_viterbi("at", sc.tree)
+    assert matched in ("at", "cat")  # suffix quirk is cost-tied
+    assert sc.spell_check("at") in ("cat", "a")
+
+
 def test_bigram_fit_and_costs():
     seqs = [[0, 1, 2], [0, 1, 1], [2, 0, 1]]
     lm = fit_bigram(seqs, 3, add_k=0.5)
