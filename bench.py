@@ -204,45 +204,33 @@ def bench_embedded_train(batch=32, frames=300):
 
 def bench_pipeline(batch=256, samples=80000, n_slots=7):
     """Device-resident wav -> words: one jit for MFCC + emissions +
-    banded Viterbi + backtrace."""
+    banded Viterbi + backtrace, via the production batched decode."""
     import jax
     import jax.numpy as jnp
 
     from speech_recognition_tpu.config import FrontendConfig
-    from speech_recognition_tpu.decode.connected import connected_graph_arrays
-    from speech_recognition_tpu.ops.frontend import mfcc39, padded_length, max_frames
-    from speech_recognition_tpu.ops.viterbi_banded import (
-        banded_arrays,
-        banded_backtrace,
-        viterbi_banded,
+    from speech_recognition_tpu.decode.connected import (
+        _decode_banded_batch,
+        connected_graph_arrays,
     )
-    from speech_recognition_tpu.models.hmm import bank_nll
+    from speech_recognition_tpu.ops.frontend import mfcc39_batch, padded_length
+    from speech_recognition_tpu.ops.viterbi_banded import banded_arrays
 
     cfg = FrontendConfig()
     bank = _bank()
     graph = connected_graph_arrays(bank, n_slots)
     bg = banded_arrays(graph)
     L = padded_length(cfg, samples)
-    F = max_frames(cfg, samples)
     rng = np.random.default_rng(0)
     sig = jnp.asarray(rng.standard_normal((batch, L)) * 3000, jnp.float32)
     lens = jnp.full((batch,), samples, jnp.int32)
 
     @jax.jit
     def pipeline(sig, lens):
-        def one(s, l):
-            feats, nf = mfcc39(s, l, cfg)
-            frame_mask = jnp.arange(feats.shape[0]) < nf
-            nll = bank_nll(bank, feats, frame_mask)[:, bg.bank_state]
-            final, bp8 = viterbi_banded(nll, bg, nf, eps_depth=graph.eps_depth)
-            end_costs = final[bg.end_states] + bg.end_bonus
-            best = jnp.argmin(end_costs)
-            states, _ = banded_backtrace(bp8, bg, bg.end_states[best], nf,
-                                         eps_depth=graph.eps_depth)
-            return end_costs[best], states[0]
-
-        costs, s0 = jax.vmap(one)(sig, lens)
-        return jnp.sum(costs) + jnp.sum(s0)
+        feats, nf = mfcc39_batch(sig, lens, cfg)
+        states, _, costs = _decode_banded_batch(bank, feats, nf, bg,
+                                                eps_depth=graph.eps_depth)
+        return jnp.sum(costs) + jnp.sum(states[:, 0])
 
     dt = _timeit(lambda: pipeline(sig, lens))
     audio_s = batch * samples / cfg.sample_rate
@@ -259,6 +247,11 @@ def main():
                          "42k audio-s/s) but the remote AOT compile grows "
                          "with shape; 64 keeps a fresh run fast")
     ap.add_argument("--frames", type=int, default=500)
+    ap.add_argument("--hedge-batch", type=int, default=512,
+                    help="headline only: also try this batch in a "
+                         "time-boxed subprocess and report the best "
+                         "(0 disables)")
+    ap.add_argument("--hedge-timeout", type=float, default=480.0)
     args = ap.parse_args()
 
     import jax
@@ -289,8 +282,33 @@ def main():
         print(json.dumps({"metric": "embedded-EM", "value": round(v, 1),
                           "unit": "utterances/s/chip", "vs_baseline": 0}))
         return
+    if args.what == "decode":
+        v = bench_connected_decode(args.batch, args.frames)
+        print(json.dumps({"metric": "connected-digit-decode", "value": round(v, 1),
+                          "unit": "audio-seconds/s/chip", "vs_baseline": 0}))
+        return
 
     thr = bench_connected_decode(args.batch, args.frames)
+    # Hedged attempt at the big-batch shape: throughput rises ~5x from
+    # batch 64 -> 512 (scan latency amortizes over the batch), but a
+    # COLD remote-AOT compile of the 512 shape can take ~10 min.  Run it
+    # in a time-boxed subprocess: cached compile -> ~30 s and the better
+    # number wins; cold + slow -> we keep the batch-64 number.
+    if args.hedge_batch > args.batch:
+        import subprocess
+
+        try:
+            r = subprocess.run(
+                [sys.executable, "bench.py", "--what", "decode",
+                 "--batch", str(args.hedge_batch), "--frames", str(args.frames)],
+                capture_output=True, text=True, timeout=args.hedge_timeout,
+            )
+            big = json.loads(r.stdout.strip().splitlines()[-1])["value"]
+            log(f"hedge batch {args.hedge_batch}: {big:.0f} audio-s/s")
+            if big > thr:
+                thr = big
+        except Exception as e:
+            log(f"hedge batch {args.hedge_batch} skipped ({type(e).__name__})")
     base = bench_reference_baseline()
     out = {
         "metric": "connected-digit-decode",

@@ -31,7 +31,9 @@ from speech_recognition_tpu.ops.viterbi_banded import (
     BandedGraph,
     banded_arrays,
     banded_backtrace,
+    banded_backtrace_tb,
     viterbi_banded,
+    viterbi_banded_tb,
 )
 
 __all__ = [
@@ -88,22 +90,48 @@ def _decode_graph_batch(
 def _decode_banded_batch(bank: HMMBank, feats, n_frames, g: BandedGraph,
                          eps_depth: int = 1, beam_width: int = 0,
                          unroll: int = DEFAULT_UNROLL):
-    """Banded fast path: O(3S + V^2) per frame instead of O(S^2)."""
+    """Banded fast path: O(3S + V^2) per frame instead of O(S^2).
+
+    Without a beam the batch runs through the state-major ``[T, S, B]``
+    kernel (batch on the TPU lane axis — 23% faster at B=512, see
+    ``viterbi_banded_tb``); the bank emissions are transposed *before*
+    the gather to graph states (55 bank states, 7x cheaper than
+    transposing the [T, 385, B] plane).  Beam pruning needs per-item
+    top-k along S, so ``beam_width > 0`` takes the vmapped layout.
+    Both layouts are bit-identical (asserted in tests).
+    """
     b, t, d = feats.shape
 
-    def one(x, nf):
-        frame_mask = jnp.arange(t) < nf
-        nll = bank_nll(bank, x, frame_mask)[:, g.bank_state]
-        final, bp8 = viterbi_banded(nll, g, nf, eps_depth=eps_depth,
-                                    beam_width=beam_width, unroll=unroll)
-        end_costs = final[g.end_states] + g.end_bonus
-        best = jnp.argmin(end_costs)
-        states, eps_flags = banded_backtrace(
-            bp8, g, g.end_states[best], nf, eps_depth=eps_depth, unroll=unroll
-        )
-        return states, eps_flags, end_costs[best]
+    if beam_width:
+        def one(x, nf):
+            frame_mask = jnp.arange(t) < nf
+            nll = bank_nll(bank, x, frame_mask)[:, g.bank_state]
+            final, bp8 = viterbi_banded(nll, g, nf, eps_depth=eps_depth,
+                                        beam_width=beam_width, unroll=unroll)
+            end_costs = final[g.end_states] + g.end_bonus
+            best = jnp.argmin(end_costs)
+            states, eps_flags = banded_backtrace(
+                bp8, g, g.end_states[best], nf, eps_depth=eps_depth, unroll=unroll
+            )
+            return states, eps_flags, end_costs[best]
 
-    return jax.vmap(one)(feats, n_frames)
+        return jax.vmap(one)(feats, n_frames)
+
+    def emis(x, nf):
+        frame_mask = jnp.arange(t) < nf
+        return bank_nll(bank, x, frame_mask)
+
+    nll_bank = jax.vmap(emis)(feats, n_frames)  # [B, T, S_bank]
+    nll_tb = jnp.transpose(nll_bank, (1, 2, 0))[:, g.bank_state, :]  # [T, S, B]
+    final, bp8 = viterbi_banded_tb(nll_tb, g, n_frames, eps_depth=eps_depth,
+                                   unroll=unroll)
+    end_costs = final[g.end_states, :] + g.end_bonus[:, None]  # [E, B]
+    best = jnp.argmin(end_costs, axis=0)  # [B]
+    states, eps_flags = banded_backtrace_tb(
+        bp8, g, g.end_states[best], n_frames, eps_depth=eps_depth, unroll=unroll
+    )
+    costs = jnp.take_along_axis(end_costs, best[None, :], axis=0)[0]
+    return states.T, eps_flags.T, costs
 
 
 def decode_connected(

@@ -56,6 +56,49 @@ def test_banded_matches_dense(rng, nf):
         np.testing.assert_array_equal(np.asarray(f1)[:nf], np.asarray(f2)[:nf], err_msg=name)
 
 
+def test_state_major_layout_bit_parity(rng):
+    """viterbi_banded_tb / banded_backtrace_tb ([T,S,B] layout) are
+    bit-identical to the vmapped [B,S] kernels, incl. tie-breaking and
+    variable lengths."""
+    from speech_recognition_tpu.ops.viterbi_banded import (
+        banded_backtrace_tb,
+        viterbi_banded_tb,
+    )
+    import jax
+
+    for name, g in graphs(rng):
+        bg = banded_arrays(g)
+        B, T = 5, 31
+        nll = rng.uniform(0, 5, (B, T, g.n_states)).astype(np.float32)
+        # force exact ties so tie-breaking is exercised
+        nll[:, :, 1::3] = nll[:, :, 0::3][:, :, : nll[:, :, 1::3].shape[2]]
+        nfs = np.array([31, 17, 1, 30, 8], np.int32)
+        f_ref, bp_ref = jax.vmap(
+            lambda x, nf: viterbi_banded(x, bg, nf, eps_depth=g.eps_depth)
+        )(jnp.asarray(nll), jnp.asarray(nfs))
+        f_tb, bp_tb = viterbi_banded_tb(
+            jnp.asarray(nll.transpose(1, 2, 0)), bg, jnp.asarray(nfs),
+            eps_depth=g.eps_depth,
+        )
+        np.testing.assert_array_equal(np.asarray(f_ref), np.asarray(f_tb).T,
+                                      err_msg=name)
+        np.testing.assert_array_equal(
+            np.asarray(bp_ref), np.transpose(np.asarray(bp_tb), (2, 0, 1)),
+            err_msg=name)
+        ends = np.full((B,), int(g.end_states[-1]), np.int32)
+        s_ref, e_ref = jax.vmap(
+            lambda bp, nf: banded_backtrace(bp, bg, jnp.int32(ends[0]), nf,
+                                            eps_depth=g.eps_depth)
+        )(bp_ref, jnp.asarray(nfs))
+        s_tb, e_tb = banded_backtrace_tb(bp_tb, bg, jnp.asarray(ends),
+                                         jnp.asarray(nfs), eps_depth=g.eps_depth)
+        for i, nf in enumerate(nfs):
+            np.testing.assert_array_equal(np.asarray(s_ref)[i, :nf],
+                                          np.asarray(s_tb).T[i, :nf], err_msg=name)
+            np.testing.assert_array_equal(np.asarray(e_ref)[i, :nf],
+                                          np.asarray(e_tb).T[i, :nf], err_msg=name)
+
+
 def test_need_bp_false_same_costs(rng):
     _, g = graphs(rng)[0]
     bg = banded_arrays(g)
