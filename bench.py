@@ -70,13 +70,14 @@ def bench_connected_decode(batch=64, frames=500, n_slots=7, frame_step_s=0.01):
 
     from speech_recognition_tpu.decode.connected import _decode_banded_batch
     from speech_recognition_tpu.decode.connected import connected_graph_arrays
-    from speech_recognition_tpu.ops.viterbi_banded import banded_arrays
+    from speech_recognition_tpu.ops.viterbi_banded import banded_arrays, eps_ranges
 
     bank = _bank()
     graph = connected_graph_arrays(bank, n_slots)
     bg = banded_arrays(graph)
-    log(f"graph: {graph.n_states} emitting states ({bg.n_words} word arcs), "
-        f"eps_depth {graph.eps_depth}, banded backend")
+    er = eps_ranges(bg)
+    log(f"graph: {graph.n_states} emitting states ({bg.n_words} word arcs, "
+        f"{len(er)} eps blocks), eps_depth {graph.eps_depth}, banded backend")
 
     rng = np.random.default_rng(1)
     feats = jnp.asarray(rng.standard_normal((batch, frames, 39)), jnp.float32)

@@ -86,10 +86,11 @@ def _decode_graph_batch(
     return jax.vmap(one)(feats, n_frames)
 
 
-@functools.partial(jax.jit, static_argnames=("eps_depth", "beam_width", "unroll"))
+@functools.partial(jax.jit, static_argnames=("eps_depth", "beam_width", "unroll",
+                                             "eps_ranges"))
 def _decode_banded_batch(bank: HMMBank, feats, n_frames, g: BandedGraph,
                          eps_depth: int = 1, beam_width: int = 0,
-                         unroll: int = DEFAULT_UNROLL):
+                         unroll: int = DEFAULT_UNROLL, eps_ranges=None):
     """Banded fast path: O(3S + V^2) per frame instead of O(S^2).
 
     Without a beam the batch runs through the state-major ``[T, S, B]``
@@ -107,7 +108,8 @@ def _decode_banded_batch(bank: HMMBank, feats, n_frames, g: BandedGraph,
             frame_mask = jnp.arange(t) < nf
             nll = bank_nll(bank, x, frame_mask)[:, g.bank_state]
             final, bp8 = viterbi_banded(nll, g, nf, eps_depth=eps_depth,
-                                        beam_width=beam_width, unroll=unroll)
+                                        beam_width=beam_width, unroll=unroll,
+                                        eps_ranges=eps_ranges)
             end_costs = final[g.end_states] + g.end_bonus
             best = jnp.argmin(end_costs)
             states, eps_flags = banded_backtrace(
@@ -124,7 +126,7 @@ def _decode_banded_batch(bank: HMMBank, feats, n_frames, g: BandedGraph,
     nll_bank = jax.vmap(emis)(feats, n_frames)  # [B, T, S_bank]
     nll_tb = jnp.transpose(nll_bank, (1, 2, 0))[:, g.bank_state, :]  # [T, S, B]
     final, bp8 = viterbi_banded_tb(nll_tb, g, n_frames, eps_depth=eps_depth,
-                                   unroll=unroll)
+                                   unroll=unroll, eps_ranges=eps_ranges)
     end_costs = final[g.end_states, :] + g.end_bonus[:, None]  # [E, B]
     best = jnp.argmin(end_costs, axis=0)  # [B]
     states, eps_flags = banded_backtrace_tb(

@@ -15,6 +15,9 @@ from speech_recognition_tpu.ops.viterbi import viterbi, viterbi_backtrace
 from speech_recognition_tpu.ops.viterbi_banded import (
     banded_arrays,
     banded_backtrace,
+    banded_backtrace_tb,
+    eps_ranges,
     viterbi_banded,
+    viterbi_banded_tb,
 )
 from speech_recognition_tpu.ops.forward_backward import forward_backward

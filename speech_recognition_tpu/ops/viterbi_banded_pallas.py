@@ -1,0 +1,264 @@
+"""Pallas TPU kernel for the state-major batched banded Viterbi.
+
+The XLA ``lax.scan`` form of :func:`ops.viterbi_banded.viterbi_banded_tb`
+spends ~65 us per frame step at [S=385, B=512] — two orders of magnitude
+above the VPU/HBM bound for the actual per-frame work (a handful of
+elementwise passes over the [S, B] frontier plus an 11x11-block eps
+relaxation).  The overhead is scan machinery: per-iteration
+dynamic-slice/dynamic-update-slice of HBM-resident xs/ys and carry
+round-trips.
+
+This kernel removes all of it:
+
+* grid = (T,) with sequential ("arbitrary") semantics; the cost
+  frontier lives in a VMEM scratch buffer across grid steps — zero HBM
+  traffic for the carry;
+* the per-frame emission block [S, B] streams HBM->VMEM through the
+  BlockSpec pipeline (double-buffered by Pallas);
+* the graph TOPOLOGY is static (word_starts / word_ends / eps block
+  spans baked into the kernel at trace time): arc gathers become
+  one-hot f32 matmuls on the MXU (exact: one operand is 0/1, the other
+  is split exactly into bf16 triples under ``Precision.HIGHEST``), and
+  the eps min/argmin runs only over the finite eps blocks
+  (:func:`ops.viterbi_banded.eps_ranges`);
+* backpointers stream out as one int8 plane per frame.
+
+Bit-identical to ``viterbi_banded_tb`` (asserted in tests, interpret
+mode on CPU).  Replaces the per-frame relaxation of the reference's
+``decode_hmm_states`` Python loop (``/root/reference/sr/recognition/
+decode.py:97-124``) at the hardware's pace.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from speech_recognition_tpu.ops.viterbi_banded import (
+    _EPS_BASE,
+    MAX_BAND,
+    BandedGraph,
+    eps_ranges,
+)
+from speech_recognition_tpu.utils.numerics import POS_INF
+
+__all__ = ["BandedTopo", "banded_topology", "viterbi_banded_tb_pallas"]
+
+
+class BandedTopo(NamedTuple):
+    """Hashable (static) topology of a BandedGraph: everything the
+    kernel needs at trace time.  Costs stay runtime arrays."""
+
+    n_states: int
+    word_starts: Tuple[int, ...]
+    word_ends: Tuple[int, ...]
+    ranges: Tuple[Tuple[int, int, int, int], ...]  # eps_ranges()
+
+
+def banded_topology(g: BandedGraph) -> BandedTopo:
+    """Extract the static topology (host-side; concrete arrays only)."""
+    return BandedTopo(
+        n_states=int(g.init_cost.shape[0]),
+        word_starts=tuple(int(x) for x in np.asarray(g.word_starts)),
+        word_ends=tuple(int(x) for x in np.asarray(g.word_ends)),
+        ranges=eps_ranges(g),
+    )
+
+
+def _ceil(x, m):
+    return ((x + m - 1) // m) * m
+
+
+def _kernel(nll_ref, band_ref, eps_ref, e_end_ref, e_start_ref, p_start_ref,
+            pen_ref, init_ref, nf_ref, final_ref, bp_ref, cost_ref,
+            *, topo: BandedTopo, eps_depth: int, frames_per_step: int):
+    ti = pl.program_id(0)
+    s8, b = cost_ref.shape
+    v8 = e_end_ref.shape[0]
+
+    def dotf(a, x):
+        return jax.lax.dot_general(
+            a, x, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+
+    # All masks/backpointers are f32 in-kernel (one int8 cast at the
+    # write): Mosaic cannot relayout i1 masks between the f32 (8,128)
+    # and int8 (32,128) tilings.
+    prev = cost_ref[...]  # garbage at ti == 0 (discarded by selects below)
+    fin = final_ref[...]
+    nf_b = nf_ref[...] + jnp.zeros((s8, b), jnp.int32)  # broadcast [1,B]
+    inf = jnp.full((s8, b), POS_INF, jnp.float32)
+
+    for k in range(frames_per_step):
+        t_abs = ti * frames_per_step + k
+        emis = nll_ref[k]
+
+        # --- band relaxation of the previous frontier ---
+        best = inf
+        dsel = jnp.zeros((s8, b), jnp.float32)
+        for d in range(MAX_BAND + 1):
+            col = band_ref[:, d : d + 1]  # [S8, 1] arriving-from-offset-d
+            shifted = prev if d == 0 else jnp.concatenate(
+                [jnp.full((d, b), POS_INF, jnp.float32), prev[:-d]], axis=0)
+            cand = col + shifted
+            take = cand <= best
+            best = jnp.where(take, cand, best)
+            dsel = jnp.where(take, jnp.float32(d), dsel)
+        base = jnp.minimum(best, POS_INF)
+
+        if k == 0:  # only the first frame of step 0 seeds from init
+            is0 = ti == 0
+            init_b = init_ref[...] + jnp.zeros((s8, b), jnp.float32)
+            base = jnp.where(is0, init_b, base)
+            dsel = jnp.where(is0, jnp.float32(0), dsel)
+            prev = jnp.where(is0, inf, prev)
+            fin = jnp.where(is0, inf, fin)
+
+        cost = jnp.minimum(base + emis, POS_INF)
+        bp = dsel
+
+        # --- eps relaxation: static block spans, first-min tie-break ---
+        for _ in range(eps_depth):
+            end_vals = dotf(e_end_ref[...], cost)  # [V8, B] one-hot select
+            # build [V8, B] base/arg by concatenating the (ascending,
+            # disjoint) eps-block runs — Mosaic has no scatter
+            pieces_b, pieces_a = [], []
+            cursor = 0
+            for (v_lo, v_hi, u_lo, u_hi) in topo.ranges:
+                if v_lo > cursor:
+                    pieces_b.append(
+                        jnp.full((v_lo - cursor, b), POS_INF, jnp.float32))
+                    pieces_a.append(jnp.zeros((v_lo - cursor, b), jnp.float32))
+                bb = jnp.full((v_hi - v_lo, b), POS_INF, jnp.float32)
+                aa = jnp.zeros((v_hi - v_lo, b), jnp.float32)
+                for u in range(u_lo, u_hi):
+                    cand_u = (eps_ref[v_lo:v_hi, u : u + 1]
+                              + end_vals[u : u + 1, :])
+                    take = cand_u < bb  # strict: keep first minimum
+                    bb = jnp.where(take, cand_u, bb)
+                    aa = jnp.where(take, jnp.float32(u), aa)
+                pieces_b.append(bb)
+                pieces_a.append(aa)
+                cursor = v_hi
+            if cursor < v8:
+                pieces_b.append(jnp.full((v8 - cursor, b), POS_INF, jnp.float32))
+                pieces_a.append(jnp.zeros((v8 - cursor, b), jnp.float32))
+            arc_base = (jnp.concatenate(pieces_b, axis=0)
+                        if len(pieces_b) > 1 else pieces_b[0])
+            arc_arg = (jnp.concatenate(pieces_a, axis=0)
+                       if len(pieces_a) > 1 else pieces_a[0])
+            emis_starts = dotf(e_start_ref[...], emis)  # [V8, B]
+            cand_arc = jnp.minimum(arc_base + emis_starts, POS_INF)
+            cand_dense = dotf(p_start_ref[...], cand_arc)  # [S8, B]
+            arg_dense = dotf(p_start_ref[...], arc_arg)
+            # non-start rows: cand_dense is 0 (zero P rows); the additive
+            # POS_INF penalty keeps them from ever beating cost
+            better = (cand_dense + pen_ref[...]) < cost
+            cost = jnp.where(better, cand_dense, cost)
+            bp = jnp.where(better, _EPS_BASE + arg_dense, bp)
+
+        # --- variable-length masking + final capture (XLA semantics) ---
+        cost = jnp.where(t_abs < nf_b, cost, prev)
+        bp_ref[k] = bp.astype(jnp.int8)
+        fin = jnp.where(t_abs == nf_b - 1, cost, fin)
+        prev = cost
+
+    cost_ref[...] = prev
+    final_ref[...] = fin
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("topo", "eps_depth", "interpret",
+                                    "frames_per_step"))
+def viterbi_banded_tb_pallas(nll_tb, g: BandedGraph, n_frames,
+                             topo: BandedTopo, eps_depth: int = 1,
+                             interpret: bool = False,
+                             frames_per_step: int = 4):
+    """Drop-in Pallas replacement for
+    :func:`ops.viterbi_banded.viterbi_banded_tb`.
+
+    ``nll_tb [T, S, B]``, ``n_frames [B]`` -> ``(final [S, B],
+    bp8 [T, S, B])``, bit-identical to the XLA kernel for ``n_frames
+    >= 1`` (padded batch columns may carry garbage backpointers beyond
+    their length, exactly like padded frames in the XLA kernel).
+    ``topo`` must be ``banded_topology(g)`` for the same graph.
+    ``frames_per_step`` frames are processed per sequential grid step
+    to amortize per-step overhead (padded tail frames are inert).
+    """
+    t_len, s, b = nll_tb.shape
+    if s != topo.n_states:
+        raise ValueError(f"graph/topology mismatch: {s} vs {topo.n_states}")
+    v = len(topo.word_starts)
+    s8 = _ceil(s, 8)
+    v8 = _ceil(v, 8)
+    # VMEM budget: the nll in-block and bp8 out-block are double-buffered
+    # (4+4 and 1+1 bytes per element per frame) plus the resident
+    # frontier/final/selector buffers — clamp k to stay under ~12 MB.
+    per_k = 10 * s8 * b
+    k = max(1, min(frames_per_step, (12 * 2**20 - 4 * s8 * b) // max(per_k, 1)))
+    t8 = _ceil(t_len, k)
+
+    # static one-hot selectors from the topology
+    e_end = np.zeros((v8, s8), np.float32)
+    e_end[np.arange(v), list(topo.word_ends)] = 1.0
+    e_start = np.zeros((v8, s8), np.float32)
+    e_start[np.arange(v), list(topo.word_starts)] = 1.0
+    p_start = np.zeros((s8, v8), np.float32)
+    p_start[list(topo.word_starts), np.arange(v)] = 1.0
+    penalty = np.full((s8, 1), POS_INF, np.float32)  # non-start rows
+    penalty[list(topo.word_starts), 0] = 0.0
+
+    # runtime cost arrays, padded (pad states unreachable: POS_INF)
+    band_t = jnp.full((s8, 8), POS_INF, jnp.float32)
+    band_t = band_t.at[:s, : MAX_BAND + 1].set(g.band.T)
+    eps_vals = jnp.full((v8, v8), POS_INF, jnp.float32)
+    eps_vals = eps_vals.at[:v, :v].set(g.eps_block)
+    init_col = jnp.full((s8, 1), POS_INF, jnp.float32)
+    init_col = init_col.at[:s, 0].set(g.init_cost)
+    if s8 != s or t8 != t_len:
+        nll_tb = jnp.pad(nll_tb, ((0, t8 - t_len), (0, s8 - s), (0, 0)))
+    nf_row = n_frames.astype(jnp.int32)[None, :]
+
+    kernel = functools.partial(_kernel, topo=topo, eps_depth=eps_depth,
+                               frames_per_step=k)
+    const = lambda *_: (0, 0)
+    final, bp8 = pl.pallas_call(
+        kernel,
+        grid=(t8 // k,),
+        in_specs=[
+            pl.BlockSpec((k, s8, b), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((s8, 8), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((v8, v8), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((v8, s8), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((v8, s8), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((s8, v8), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((s8, 1), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((s8, 1), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b), const, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((s8, b), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, s8, b), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((s8, b), jnp.float32),
+            jax.ShapeDtypeStruct((t8, s8, b), jnp.int8),
+        ],
+        scratch_shapes=[pltpu.VMEM((s8, b), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 2**20),
+        interpret=interpret,
+    )(nll_tb, band_t, eps_vals, jnp.asarray(e_end), jnp.asarray(e_start),
+      jnp.asarray(p_start), jnp.asarray(penalty), init_col, nf_row)
+    return final[:s], bp8[:t_len, :s]

@@ -99,6 +99,75 @@ def test_state_major_layout_bit_parity(rng):
                                           np.asarray(e_tb).T[i, :nf], err_msg=name)
 
 
+def test_eps_ranges_bit_parity(rng):
+    """Block-sparse eps relaxation (eps_ranges) is bit-identical to the
+    full [V,V] relaxation in both layouts, on every graph family incl.
+    an LM-weighted loop graph (dense word-pair blocks)."""
+    import jax
+
+    from speech_recognition_tpu.langmodel.bigram import fit_bigram
+    from speech_recognition_tpu.ops.viterbi_banded import (
+        banded_backtrace_tb,
+        eps_ranges,
+        viterbi_banded_tb,
+    )
+
+    lm = fit_bigram([[0, 1, 2, 3], [3, 2, 1]], 4)
+    cases = graphs(rng) + [
+        ("loop+lm", build_loop_graph([ltr(5, rng) for _ in range(4)], lm=lm)),
+    ]
+    for name, g in cases:
+        bg = banded_arrays(g)
+        er = eps_ranges(bg)
+        assert er, name  # every composed graph has finite eps blocks
+        B, T = 3, 23
+        nll = rng.uniform(0, 5, (B, T, g.n_states)).astype(np.float32)
+        nfs = np.array([23, 11, 5], np.int32)
+        # vmapped layout
+        f0, bp0 = jax.vmap(
+            lambda x, nf: viterbi_banded(x, bg, nf, eps_depth=g.eps_depth)
+        )(jnp.asarray(nll), jnp.asarray(nfs))
+        f1, bp1 = jax.vmap(
+            lambda x, nf: viterbi_banded(x, bg, nf, eps_depth=g.eps_depth,
+                                         eps_ranges=er)
+        )(jnp.asarray(nll), jnp.asarray(nfs))
+        np.testing.assert_array_equal(np.asarray(f0), np.asarray(f1), err_msg=name)
+        np.testing.assert_array_equal(np.asarray(bp0), np.asarray(bp1), err_msg=name)
+        # state-major layout
+        nll_tb = jnp.asarray(nll.transpose(1, 2, 0))
+        f2, bp2 = viterbi_banded_tb(nll_tb, bg, jnp.asarray(nfs),
+                                    eps_depth=g.eps_depth, eps_ranges=er)
+        np.testing.assert_array_equal(np.asarray(f0), np.asarray(f2).T, err_msg=name)
+        np.testing.assert_array_equal(
+            np.asarray(bp0), np.transpose(np.asarray(bp2), (2, 0, 1)), err_msg=name)
+
+
+def test_pallas_tb_bit_parity(rng):
+    """The Pallas state-major kernel (interpret mode on CPU) is
+    bit-identical to the XLA scan on every graph family, incl.
+    variable lengths and backpointers."""
+    from speech_recognition_tpu.ops.viterbi_banded import viterbi_banded_tb
+    from speech_recognition_tpu.ops.viterbi_banded_pallas import (
+        banded_topology,
+        viterbi_banded_tb_pallas,
+    )
+
+    for name, g in graphs(rng):
+        bg = banded_arrays(g)
+        topo = banded_topology(bg)
+        B, T = 4, 17
+        nll = rng.uniform(0, 5, (T, g.n_states, B)).astype(np.float32)
+        nll[:, 1::3, :] = nll[:, 0::3, :][:, : nll[:, 1::3, :].shape[1], :]  # ties
+        nfs = np.array([17, 9, 1, 13], np.int32)
+        f0, bp0 = viterbi_banded_tb(jnp.asarray(nll), bg, jnp.asarray(nfs),
+                                    eps_depth=g.eps_depth)
+        f1, bp1 = viterbi_banded_tb_pallas(jnp.asarray(nll), bg, jnp.asarray(nfs),
+                                           topo, eps_depth=g.eps_depth,
+                                           interpret=True)
+        np.testing.assert_array_equal(np.asarray(f0), np.asarray(f1), err_msg=name)
+        np.testing.assert_array_equal(np.asarray(bp0), np.asarray(bp1), err_msg=name)
+
+
 def test_need_bp_false_same_costs(rng):
     _, g = graphs(rng)[0]
     bg = banded_arrays(g)
