@@ -54,7 +54,12 @@ def _bank(n_models=11, n_states=5, n_mix=4, dim=39, seed=0):
 def _timeit(fn, warmup=2, iters=5):
     """fn must return a (small) array; we fetch it to host each iteration
     because jax.block_until_ready does not actually synchronize on the
-    axon TPU tunnel (verified empirically) — a host fetch does."""
+    axon TPU tunnel (verified empirically) — a host fetch does.
+
+    NOTE: this includes the tunnel's per-dispatch round trip (~10-50 ms,
+    varies) — fine for pipelines that cost >> that, misleading for fast
+    kernels.  Use :func:`_timeit_device` for per-kernel device time.
+    """
     for _ in range(warmup):
         np.asarray(fn())
     t0 = time.perf_counter()
@@ -63,36 +68,78 @@ def _timeit(fn, warmup=2, iters=5):
     return (time.perf_counter() - t0) / iters
 
 
+def _timeit_device(body, n_lo=2, n_hi=12, reps=3):
+    """Steady-state device time per iteration of ``body``.
+
+    ``body(dep_scalar) -> scalar`` must thread the dependence scalar
+    into its inputs (e.g. ``nf = where(isnan(dep), nf + 1, nf)``) so
+    iterations chain and can't be elided.  Runs ``n`` chained
+    iterations inside ONE jit (lax.fori_loop) for two values of n; the
+    slope removes both the tunnel's per-dispatch round trip (~10-50 ms
+    on axon) and the fixed jit entry cost.  This is the honest
+    throughput number: in production decodes are pipelined back to
+    back, they don't pay a host round trip each."""
+    import jax
+    import jax.numpy as jnp
+
+    def chained(n):
+        @jax.jit
+        def run():
+            def step(_, acc):
+                return acc + body(acc) * jnp.float32(1e-30)
+            return jax.lax.fori_loop(0, n, step, jnp.float32(0.0))
+        return run
+
+    out = {}
+    for n in (n_lo, n_hi):
+        fn = chained(n)
+        np.asarray(fn())  # compile + warm
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            np.asarray(fn())
+        out[n] = (time.perf_counter() - t0) / reps
+    return (out[n_hi] - out[n_lo]) / (n_hi - n_lo)
+
+
 def bench_connected_decode(batch=64, frames=500, n_slots=7, frame_step_s=0.01):
-    """Headline: audio-seconds/s of sausage-graph connected decode."""
+    """Headline: audio-seconds/s of sausage-graph connected decode
+    (emission GEMM + banded Viterbi + backtrace), steady-state device
+    time via chained iterations (see _timeit_device)."""
     import jax
     import jax.numpy as jnp
 
     from speech_recognition_tpu.decode.connected import _decode_banded_batch
     from speech_recognition_tpu.decode.connected import connected_graph_arrays
-    from speech_recognition_tpu.ops.viterbi_banded import banded_arrays, eps_ranges
+    from speech_recognition_tpu.ops.viterbi_banded import banded_arrays
 
     bank = _bank()
     graph = connected_graph_arrays(bank, n_slots)
     bg = banded_arrays(graph)
-    er = eps_ranges(bg)
-    log(f"graph: {graph.n_states} emitting states ({bg.n_words} word arcs, "
-        f"{len(er)} eps blocks), eps_depth {graph.eps_depth}, banded backend")
+    topo = None
+    if jax.default_backend() == "tpu":
+        from speech_recognition_tpu.ops.viterbi_banded_pallas import banded_topology
+
+        topo = banded_topology(bg)
+    log(f"graph: {graph.n_states} emitting states ({bg.n_words} word arcs), "
+        f"eps_depth {graph.eps_depth}, "
+        f"{'pallas' if topo is not None else 'banded-scan'} backend")
 
     rng = np.random.default_rng(1)
     feats = jnp.asarray(rng.standard_normal((batch, frames, 39)), jnp.float32)
     n_frames = jnp.full((batch,), frames, jnp.int32)
 
-    def run():
+    def body(dep):
+        nf = jnp.where(jnp.isnan(dep), n_frames + 1, n_frames)
         states, eps_flags, costs = _decode_banded_batch(
-            bank, feats, n_frames, bg, eps_depth=graph.eps_depth
+            bank, feats, nf, bg, eps_depth=graph.eps_depth, pallas_topo=topo
         )
-        return costs
+        return jnp.sum(costs) + jnp.sum(states[:, 0].astype(jnp.float32))
 
-    dt = _timeit(run)
+    dt = _timeit_device(body)
     audio_s = batch * frames * frame_step_s
     thr = audio_s / dt
-    log(f"connected decode: {batch}x{frames} frames in {dt*1e3:.1f} ms -> {thr:.0f} audio-s/s")
+    log(f"connected decode: {batch}x{frames} frames in {dt*1e3:.2f} ms "
+        f"device-time -> {thr:.0f} audio-s/s")
     return thr
 
 

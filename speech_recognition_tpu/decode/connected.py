@@ -87,19 +87,23 @@ def _decode_graph_batch(
 
 
 @functools.partial(jax.jit, static_argnames=("eps_depth", "beam_width", "unroll",
-                                             "eps_ranges"))
+                                             "eps_ranges", "pallas_topo"))
 def _decode_banded_batch(bank: HMMBank, feats, n_frames, g: BandedGraph,
                          eps_depth: int = 1, beam_width: int = 0,
-                         unroll: int = DEFAULT_UNROLL, eps_ranges=None):
+                         unroll: int = DEFAULT_UNROLL, eps_ranges=None,
+                         pallas_topo=None):
     """Banded fast path: O(3S + V^2) per frame instead of O(S^2).
 
     Without a beam the batch runs through the state-major ``[T, S, B]``
     kernel (batch on the TPU lane axis — 23% faster at B=512, see
     ``viterbi_banded_tb``); the bank emissions are transposed *before*
     the gather to graph states (55 bank states, 7x cheaper than
-    transposing the [T, 385, B] plane).  Beam pruning needs per-item
+    transposing the [T, 385, B] plane).  With ``pallas_topo`` (a
+    ``banded_topology(g)`` of the same graph, TPU only) the frame loop
+    runs as the Pallas kernel — VMEM-resident frontier, 3x the XLA
+    scan's device throughput at B=512.  Beam pruning needs per-item
     top-k along S, so ``beam_width > 0`` takes the vmapped layout.
-    Both layouts are bit-identical (asserted in tests).
+    All paths are bit-identical (asserted in tests).
     """
     b, t, d = feats.shape
 
@@ -125,8 +129,16 @@ def _decode_banded_batch(bank: HMMBank, feats, n_frames, g: BandedGraph,
 
     nll_bank = jax.vmap(emis)(feats, n_frames)  # [B, T, S_bank]
     nll_tb = jnp.transpose(nll_bank, (1, 2, 0))[:, g.bank_state, :]  # [T, S, B]
-    final, bp8 = viterbi_banded_tb(nll_tb, g, n_frames, eps_depth=eps_depth,
-                                   unroll=unroll, eps_ranges=eps_ranges)
+    if pallas_topo is not None:
+        from speech_recognition_tpu.ops.viterbi_banded_pallas import (
+            viterbi_banded_tb_pallas,
+        )
+
+        final, bp8 = viterbi_banded_tb_pallas(nll_tb, g, n_frames, pallas_topo,
+                                              eps_depth=eps_depth)
+    else:
+        final, bp8 = viterbi_banded_tb(nll_tb, g, n_frames, eps_depth=eps_depth,
+                                       unroll=unroll, eps_ranges=eps_ranges)
     end_costs = final[g.end_states, :] + g.end_bonus[:, None]  # [E, B]
     best = jnp.argmin(end_costs, axis=0)  # [B]
     states, eps_flags = banded_backtrace_tb(
@@ -143,7 +155,8 @@ def decode_connected(
     """Decode a batch of utterances to word-id sequences.
 
     ``backend``: 'banded' (word-graph fast path), 'dense', or 'auto'
-    (banded when the graph structure allows, else dense).
+    (banded when the graph structure allows, else dense; on TPU the
+    banded frame loop runs as the Pallas kernel).
     ``beam_width`` > 0 enables per-frame rank pruning of the frontier.
 
     Returns ``(word_sequences, costs)`` where each sequence is the
@@ -157,9 +170,17 @@ def decode_connected(
                 raise
             bg = None
         if bg is not None:
+            topo = None
+            if beam_width == 0 and jax.default_backend() == "tpu":
+                from speech_recognition_tpu.ops.viterbi_banded_pallas import (
+                    banded_topology,
+                )
+
+                topo = banded_topology(bg)
             states, eps_flags, costs = _decode_banded_batch(
                 bank, jnp.asarray(feats), jnp.asarray(n_frames), bg,
                 eps_depth=graph.eps_depth, beam_width=beam_width,
+                pallas_topo=topo,
             )
             states = np.asarray(states)
             eps_flags = np.asarray(eps_flags)

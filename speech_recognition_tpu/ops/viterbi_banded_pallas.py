@@ -101,13 +101,22 @@ def _kernel(nll_ref, band_ref, eps_ref, e_end_ref, e_start_ref, p_start_ref,
         t_abs = ti * frames_per_step + k
         emis = nll_ref[k]
 
-        # --- band relaxation of the previous frontier ---
+        # --- band relaxation of the previous frontier.  Row shifts are
+        # native sublane rotates (pltpu.roll); the wrapped-around rows
+        # are neutralized by an additive POS_INF column + clamp, which
+        # reproduces the POS_INF fill bit-exactly ---
         best = inf
         dsel = jnp.zeros((s8, b), jnp.float32)
         for d in range(MAX_BAND + 1):
             col = band_ref[:, d : d + 1]  # [S8, 1] arriving-from-offset-d
-            shifted = prev if d == 0 else jnp.concatenate(
-                [jnp.full((d, b), POS_INF, jnp.float32), prev[:-d]], axis=0)
+            if d == 0:
+                shifted = prev
+            else:
+                pen_d = jnp.where(
+                    jax.lax.broadcasted_iota(jnp.int32, (s8, 1), 0) < d,
+                    jnp.float32(POS_INF), jnp.float32(0))
+                shifted = jnp.minimum(
+                    pltpu.roll(prev, d, 0) + pen_d, POS_INF)
             cand = col + shifted
             take = cand <= best
             best = jnp.where(take, cand, best)
