@@ -128,15 +128,19 @@ def _decode_banded_batch(bank: HMMBank, feats, n_frames, g: BandedGraph,
         return bank_nll(bank, x, frame_mask)
 
     nll_bank = jax.vmap(emis)(feats, n_frames)  # [B, T, S_bank]
-    nll_tb = jnp.transpose(nll_bank, (1, 2, 0))[:, g.bank_state, :]  # [T, S, B]
     if pallas_topo is not None:
         from speech_recognition_tpu.ops.viterbi_banded_pallas import (
             viterbi_banded_tb_pallas,
         )
 
-        final, bp8 = viterbi_banded_tb_pallas(nll_tb, g, n_frames, pallas_topo,
-                                              eps_depth=eps_depth)
+        # compact bank block only — the kernel expands to graph states
+        # on the MXU, so the [T, S, B] gather is never materialized
+        nll_tb_bank = jnp.transpose(nll_bank, (1, 2, 0))  # [T, S_bank, B]
+        final, bp8 = viterbi_banded_tb_pallas(nll_tb_bank, g, n_frames,
+                                              pallas_topo, eps_depth=eps_depth,
+                                              bank_input=True)
     else:
+        nll_tb = jnp.transpose(nll_bank, (1, 2, 0))[:, g.bank_state, :]
         final, bp8 = viterbi_banded_tb(nll_tb, g, n_frames, eps_depth=eps_depth,
                                        unroll=unroll, eps_ranges=eps_ranges)
     end_costs = final[g.end_states, :] + g.end_bonus[:, None]  # [E, B]

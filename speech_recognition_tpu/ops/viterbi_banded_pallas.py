@@ -59,6 +59,10 @@ class BandedTopo(NamedTuple):
     word_starts: Tuple[int, ...]
     word_ends: Tuple[int, ...]
     ranges: Tuple[Tuple[int, int, int, int], ...]  # eps_ranges()
+    # graph state -> bank-state row; lets the kernel take the compact
+    # [T, S_bank, B] emission block and expand it on the MXU instead of
+    # the caller materializing the 7x larger [T, S, B] gather
+    bank_map: Tuple[int, ...] = ()
 
 
 def banded_topology(g: BandedGraph) -> BandedTopo:
@@ -68,6 +72,7 @@ def banded_topology(g: BandedGraph) -> BandedTopo:
         word_starts=tuple(int(x) for x in np.asarray(g.word_starts)),
         word_ends=tuple(int(x) for x in np.asarray(g.word_ends)),
         ranges=eps_ranges(g),
+        bank_map=tuple(int(x) for x in np.asarray(g.bank_state)),
     )
 
 
@@ -75,9 +80,10 @@ def _ceil(x, m):
     return ((x + m - 1) // m) * m
 
 
-def _kernel(nll_ref, band_ref, eps_ref, e_end_ref, e_start_ref, p_start_ref,
-            pen_ref, init_ref, nf_ref, final_ref, bp_ref, cost_ref,
-            *, topo: BandedTopo, eps_depth: int, frames_per_step: int):
+def _kernel(nll_ref, expand_ref, band_ref, eps_ref, e_end_ref, e_start_ref,
+            p_start_ref, pen_ref, init_ref, nf_ref, final_ref, bp_ref,
+            cost_ref, *, topo: BandedTopo, eps_depth: int,
+            frames_per_step: int, bank_mode: bool):
     ti = pl.program_id(0)
     s8, b = cost_ref.shape
     v8 = e_end_ref.shape[0]
@@ -99,7 +105,12 @@ def _kernel(nll_ref, band_ref, eps_ref, e_end_ref, e_start_ref, p_start_ref,
 
     for k in range(frames_per_step):
         t_abs = ti * frames_per_step + k
-        emis = nll_ref[k]
+        if bank_mode:
+            # expand the compact bank emission block to graph states on
+            # the MXU (exact one-hot select)
+            emis = dotf(expand_ref[...], nll_ref[k])
+        else:
+            emis = nll_ref[k]
 
         # --- band relaxation of the previous frontier.  Row shifts are
         # native sublane rotates (pltpu.roll); the wrapped-around rows
@@ -164,7 +175,10 @@ def _kernel(nll_ref, band_ref, eps_ref, e_end_ref, e_start_ref, p_start_ref,
                         if len(pieces_b) > 1 else pieces_b[0])
             arc_arg = (jnp.concatenate(pieces_a, axis=0)
                        if len(pieces_a) > 1 else pieces_a[0])
-            emis_starts = dotf(e_start_ref[...], emis)  # [V8, B]
+            # in bank mode e_start_ref is (E_start @ G): select start
+            # emissions straight from the compact block
+            emis_starts = dotf(e_start_ref[...],
+                               nll_ref[k] if bank_mode else emis)  # [V8, B]
             cand_arc = jnp.minimum(arc_base + emis_starts, POS_INF)
             cand_dense = dotf(p_start_ref[...], cand_arc)  # [S8, B]
             arg_dense = dotf(p_start_ref[...], arc_arg)
@@ -186,15 +200,20 @@ def _kernel(nll_ref, band_ref, eps_ref, e_end_ref, e_start_ref, p_start_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("topo", "eps_depth", "interpret",
-                                    "frames_per_step"))
+                                    "frames_per_step", "bank_input"))
 def viterbi_banded_tb_pallas(nll_tb, g: BandedGraph, n_frames,
                              topo: BandedTopo, eps_depth: int = 1,
                              interpret: bool = False,
-                             frames_per_step: int = 4):
+                             frames_per_step: int = 4,
+                             bank_input: bool = None):
     """Drop-in Pallas replacement for
     :func:`ops.viterbi_banded.viterbi_banded_tb`.
 
-    ``nll_tb [T, S, B]``, ``n_frames [B]`` -> ``(final [S, B],
+    ``nll_tb`` is either ``[T, S, B]`` (graph-state emissions, like the
+    XLA kernel) or ``[T, S_bank, B]`` (compact bank emissions — the
+    kernel expands them to graph states on the MXU via the topology's
+    ``bank_map``, so the 7x larger gathered tensor is never
+    materialized in HBM).  ``n_frames [B]`` -> ``(final [S, B],
     bp8 [T, S, B])``, bit-identical to the XLA kernel for ``n_frames
     >= 1`` (padded batch columns may carry garbage backpointers beyond
     their length, exactly like padded frames in the XLA kernel).
@@ -202,28 +221,49 @@ def viterbi_banded_tb_pallas(nll_tb, g: BandedGraph, n_frames,
     ``frames_per_step`` frames are processed per sequential grid step
     to amortize per-step overhead (padded tail frames are inert).
     """
-    t_len, s, b = nll_tb.shape
-    if s != topo.n_states:
-        raise ValueError(f"graph/topology mismatch: {s} vs {topo.n_states}")
+    t_len, s_in, b = nll_tb.shape
+    s = topo.n_states
+    # bank_input=None infers from the state dim; pass it explicitly when
+    # the graph coincidentally has exactly n_bank states
+    bank_mode = (s_in != s) if bank_input is None else bank_input
+    n_bank = max(topo.bank_map) + 1 if topo.bank_map else 0
+    if bank_mode and s_in != n_bank:
+        raise ValueError(f"bank emission block has {s_in} states, "
+                         f"bank_map expects {n_bank}")
+    if not bank_mode and s_in != s:
+        raise ValueError(f"graph/emission mismatch: {s_in} vs {s}")
     v = len(topo.word_starts)
     s8 = _ceil(s, 8)
     v8 = _ceil(v, 8)
+    sb8 = _ceil(s_in, 8)  # emission-block state dim (bank or graph)
+    if not bank_mode:
+        sb8 = s8
     # VMEM budget: the nll in-block and bp8 out-block are double-buffered
     # (4+4 and 1+1 bytes per element per frame) plus the resident
     # frontier/final/selector buffers — clamp k to stay under ~12 MB.
-    per_k = 10 * s8 * b
+    per_k = 8 * sb8 * b + 2 * s8 * b
     k = max(1, min(frames_per_step, (12 * 2**20 - 4 * s8 * b) // max(per_k, 1)))
     t8 = _ceil(t_len, k)
 
     # static one-hot selectors from the topology
     e_end = np.zeros((v8, s8), np.float32)
     e_end[np.arange(v), list(topo.word_ends)] = 1.0
-    e_start = np.zeros((v8, s8), np.float32)
-    e_start[np.arange(v), list(topo.word_starts)] = 1.0
     p_start = np.zeros((s8, v8), np.float32)
     p_start[list(topo.word_starts), np.arange(v)] = 1.0
     penalty = np.full((s8, 1), POS_INF, np.float32)  # non-start rows
     penalty[list(topo.word_starts), 0] = 0.0
+    if bank_mode:
+        # graph-state expansion G[s, j] = 1 iff bank_map[s] == j, and the
+        # start-emission selector composed through it (E_start @ G)
+        expand = np.zeros((s8, sb8), np.float32)
+        expand[np.arange(s), list(topo.bank_map)] = 1.0
+        e_start = np.zeros((v8, sb8), np.float32)
+        e_start[np.arange(v),
+                [topo.bank_map[ws] for ws in topo.word_starts]] = 1.0
+    else:
+        expand = np.zeros((8, sb8), np.float32)  # unused dummy
+        e_start = np.zeros((v8, sb8), np.float32)
+        e_start[np.arange(v), list(topo.word_starts)] = 1.0
 
     # runtime cost arrays, padded (pad states unreachable: POS_INF)
     band_t = jnp.full((s8, 8), POS_INF, jnp.float32)
@@ -232,23 +272,27 @@ def viterbi_banded_tb_pallas(nll_tb, g: BandedGraph, n_frames,
     eps_vals = eps_vals.at[:v, :v].set(g.eps_block)
     init_col = jnp.full((s8, 1), POS_INF, jnp.float32)
     init_col = init_col.at[:s, 0].set(g.init_cost)
-    if s8 != s or t8 != t_len:
-        nll_tb = jnp.pad(nll_tb, ((0, t8 - t_len), (0, s8 - s), (0, 0)))
+    if sb8 != s_in or t8 != t_len:
+        # emission pad rows/frames are zeros; padded GRAPH states get
+        # POS_INF via band/init so zero emissions never matter, and in
+        # bank mode no graph state maps to a padded bank row
+        nll_tb = jnp.pad(nll_tb, ((0, t8 - t_len), (0, sb8 - s_in), (0, 0)))
     nf_row = n_frames.astype(jnp.int32)[None, :]
 
     kernel = functools.partial(_kernel, topo=topo, eps_depth=eps_depth,
-                               frames_per_step=k)
+                               frames_per_step=k, bank_mode=bank_mode)
     const = lambda *_: (0, 0)
     final, bp8 = pl.pallas_call(
         kernel,
         grid=(t8 // k,),
         in_specs=[
-            pl.BlockSpec((k, s8, b), lambda t: (t, 0, 0),
+            pl.BlockSpec((k, sb8, b), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(expand.shape, const, memory_space=pltpu.VMEM),
             pl.BlockSpec((s8, 8), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((v8, v8), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((v8, s8), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((v8, s8), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((v8, sb8), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((s8, v8), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((s8, 1), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((s8, 1), const, memory_space=pltpu.VMEM),
@@ -268,6 +312,7 @@ def viterbi_banded_tb_pallas(nll_tb, g: BandedGraph, n_frames,
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=100 * 2**20),
         interpret=interpret,
-    )(nll_tb, band_t, eps_vals, jnp.asarray(e_end), jnp.asarray(e_start),
-      jnp.asarray(p_start), jnp.asarray(penalty), init_col, nf_row)
+    )(nll_tb, jnp.asarray(expand), band_t, eps_vals, jnp.asarray(e_end),
+      jnp.asarray(e_start), jnp.asarray(p_start), jnp.asarray(penalty),
+      init_col, nf_row)
     return final[:s], bp8[:t_len, :s]

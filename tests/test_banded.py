@@ -166,6 +166,18 @@ def test_pallas_tb_bit_parity(rng):
                                            interpret=True)
         np.testing.assert_array_equal(np.asarray(f0), np.asarray(f1), err_msg=name)
         np.testing.assert_array_equal(np.asarray(bp0), np.asarray(bp1), err_msg=name)
+        # bank-mode input: compact [T, S_bank, B] block expanded in-kernel
+        n_bank = int(np.asarray(bg.bank_state).max()) + 1
+        nll_bank = rng.uniform(0, 5, (T, n_bank, B)).astype(np.float32)
+        nll_g = nll_bank[:, np.asarray(bg.bank_state), :]
+        f2, bp2 = viterbi_banded_tb(jnp.asarray(nll_g), bg, jnp.asarray(nfs),
+                                    eps_depth=g.eps_depth)
+        f3, bp3 = viterbi_banded_tb_pallas(jnp.asarray(nll_bank), bg,
+                                           jnp.asarray(nfs), topo,
+                                           eps_depth=g.eps_depth,
+                                           interpret=True, bank_input=True)
+        np.testing.assert_array_equal(np.asarray(f2), np.asarray(f3), err_msg=name)
+        np.testing.assert_array_equal(np.asarray(bp2), np.asarray(bp3), err_msg=name)
 
 
 def test_need_bp_false_same_costs(rng):
