@@ -145,9 +145,20 @@ def _decode_banded_batch(bank: HMMBank, feats, n_frames, g: BandedGraph,
                                        unroll=unroll, eps_ranges=eps_ranges)
     end_costs = final[g.end_states, :] + g.end_bonus[:, None]  # [E, B]
     best = jnp.argmin(end_costs, axis=0)  # [B]
-    states, eps_flags = banded_backtrace_tb(
-        bp8, g, g.end_states[best], n_frames, eps_depth=eps_depth, unroll=unroll
-    )
+    if pallas_topo is not None:
+        from speech_recognition_tpu.ops.viterbi_banded_pallas import (
+            banded_backtrace_tb_pallas,
+        )
+
+        states, eps_flags = banded_backtrace_tb_pallas(
+            bp8, g, g.end_states[best], n_frames, pallas_topo,
+            eps_depth=eps_depth,
+        )
+    else:
+        states, eps_flags = banded_backtrace_tb(
+            bp8, g, g.end_states[best], n_frames, eps_depth=eps_depth,
+            unroll=unroll,
+        )
     costs = jnp.take_along_axis(end_costs, best[None, :], axis=0)[0]
     return states.T, eps_flags.T, costs
 

@@ -48,7 +48,8 @@ from speech_recognition_tpu.ops.viterbi_banded import (
 )
 from speech_recognition_tpu.utils.numerics import POS_INF
 
-__all__ = ["BandedTopo", "banded_topology", "viterbi_banded_tb_pallas"]
+__all__ = ["BandedTopo", "banded_topology", "viterbi_banded_tb_pallas",
+           "banded_backtrace_tb_pallas"]
 
 
 class BandedTopo(NamedTuple):
@@ -316,3 +317,109 @@ def viterbi_banded_tb_pallas(nll_tb, g: BandedGraph, n_frames,
       jnp.asarray(e_start), jnp.asarray(p_start), jnp.asarray(penalty),
       init_col, nf_row)
     return final[:s], bp8[:t_len, :s]
+
+
+def _backtrace_kernel(bp_ref, end_oh_ref, p_we_ref, nf_ref, out_ref, oh_ref,
+                      *, t_len: int, eps_depth: int):
+    i = pl.program_id(0)
+    t = t_len - 1 - i
+    s8, b = oh_ref.shape
+    v8 = p_we_ref.shape[1]
+
+    def dotf(a, x):
+        return jax.lax.dot_general(
+            a, x, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+
+    plane = bp_ref[0].astype(jnp.float32)  # [S8, B]
+    oh = jnp.where(i == 0, end_oh_ref[...], oh_ref[...])
+    rec = oh  # recorded state for frame t (pre-unwind, XLA semantics)
+
+    code = jnp.sum(plane * oh, axis=0, keepdims=True)  # [1, B]
+    used = jnp.zeros((1, b), jnp.float32)
+    iota_v = jax.lax.broadcasted_iota(jnp.int32, (v8, 1), 0).astype(jnp.float32)
+    for _ in range(eps_depth):
+        m = (code >= jnp.float32(_EPS_BASE)).astype(jnp.float32)  # [1, B]
+        used = jnp.maximum(used, m)
+        # one-hot of the eps origin arc u = code - _EPS_BASE (all-zero
+        # when not an eps code, incl. garbage codes on inactive frames)
+        u_oh = ((code - jnp.float32(_EPS_BASE)) == iota_v).astype(jnp.float32) * m
+        oh_end = dotf(p_we_ref[...], u_oh)  # [S8, B] one-hot of word_ends[u]
+        oh = oh * (1.0 - m) + oh_end * m
+        code = jnp.sum(plane * oh, axis=0, keepdims=True)
+
+    # prev = st - code, code in {0, 1, 2} (band guarantee: st >= code)
+    prev_oh = jnp.zeros((s8, b), jnp.float32)
+    for d in range(MAX_BAND + 1):
+        md = (code == jnp.float32(d)).astype(jnp.float32)
+        # roll up by d == roll down by s8-d (pltpu.roll wants shift >= 0)
+        rolled = oh if d == 0 else pltpu.roll(oh, s8 - d, 0)
+        prev_oh = prev_oh + rolled * md
+
+    nf = nf_ref[...]  # [1, B]
+    act = jnp.where(t > 0, 1.0, 0.0) * (t < nf).astype(jnp.float32)
+    oh_ref[...] = prev_oh * act + rec * (1.0 - act)
+
+    iota_s = jax.lax.broadcasted_iota(jnp.int32, (s8, 1), 0).astype(jnp.float32)
+    state_row = jnp.sum(iota_s * rec, axis=0, keepdims=True)  # [1, B]
+    flag_row = used * (t < nf).astype(jnp.float32)
+    out_ref[0] = jnp.concatenate(
+        [state_row, flag_row, jnp.zeros((6, b), jnp.float32)], axis=0)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("topo", "eps_depth", "interpret"))
+def banded_backtrace_tb_pallas(bp8, g: BandedGraph, end_state, n_frames,
+                               topo: BandedTopo, eps_depth: int = 1,
+                               interpret: bool = False):
+    """Pallas twin of :func:`ops.viterbi_banded.banded_backtrace_tb`.
+
+    The XLA form is a T-step ``lax.scan`` of [B]-scalar work — scan
+    machinery dominates (~7 ms at T=500, B=512).  Here the current
+    state rides as a one-hot [S, B] plane in VMEM: the per-frame
+    backpointer read is an elementwise multiply + sublane reduction,
+    the eps unwind is a one-hot MXU matmul, and the band step is three
+    masked sublane rolls.  ``bp8 [T, S, B]``, ``end_state [B]``,
+    ``n_frames [B]`` -> ``(states [T, B] int32, eps_entered [T, B]
+    bool)``, bit-identical to the XLA kernel.
+    """
+    t_len, s, b = bp8.shape
+    if s != topo.n_states:
+        raise ValueError(f"graph/topology mismatch: {s} vs {topo.n_states}")
+    v = len(topo.word_starts)
+    s8 = _ceil(s, 8)
+    v8 = _ceil(v, 8)
+    if s8 != s:
+        bp8 = jnp.pad(bp8, ((0, 0), (0, s8 - s), (0, 0)))
+
+    p_we = np.zeros((s8, v8), np.float32)
+    p_we[[topo.word_ends[u] for u in range(v)], np.arange(v)] = 1.0
+    end_oh = (jax.lax.broadcasted_iota(jnp.int32, (s8, b), 0)
+              == end_state.astype(jnp.int32)[None, :]).astype(jnp.float32)
+    nf_row = n_frames.astype(jnp.int32)[None, :]
+
+    kernel = functools.partial(_backtrace_kernel, t_len=t_len,
+                               eps_depth=eps_depth)
+    const = lambda *_: (0, 0)
+    rev = lambda i: (t_len - 1 - i, 0, 0)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(t_len,),
+        in_specs=[
+            pl.BlockSpec((1, s8, b), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((s8, b), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((s8, v8), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b), const, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[pl.BlockSpec((1, 8, b), rev, memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((t_len, 8, b), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((s8, b), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 2**20),
+        interpret=interpret,
+    )(bp8, end_oh, jnp.asarray(p_we), nf_row)
+    out = outs[0]
+    return out[:, 0, :].astype(jnp.int32), out[:, 1, :] > 0.5

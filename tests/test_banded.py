@@ -178,6 +178,24 @@ def test_pallas_tb_bit_parity(rng):
                                            interpret=True, bank_input=True)
         np.testing.assert_array_equal(np.asarray(f2), np.asarray(f3), err_msg=name)
         np.testing.assert_array_equal(np.asarray(bp2), np.asarray(bp3), err_msg=name)
+        # Pallas backtrace (one-hot plane) vs the XLA scan
+        from speech_recognition_tpu.ops.viterbi_banded import banded_backtrace_tb
+        from speech_recognition_tpu.ops.viterbi_banded_pallas import (
+            banded_backtrace_tb_pallas,
+        )
+
+        ends = jnp.asarray(np.full((B,), int(np.asarray(bg.end_states)[-1]),
+                                   np.int32))
+        s_x, e_x = banded_backtrace_tb(bp0, bg, ends, jnp.asarray(nfs),
+                                       eps_depth=g.eps_depth)
+        s_p, e_p = banded_backtrace_tb_pallas(bp0, bg, ends, jnp.asarray(nfs),
+                                              topo, eps_depth=g.eps_depth,
+                                              interpret=True)
+        for i, nf in enumerate(nfs):
+            np.testing.assert_array_equal(np.asarray(s_x)[:nf, i],
+                                          np.asarray(s_p)[:nf, i], err_msg=name)
+            np.testing.assert_array_equal(np.asarray(e_x)[:nf, i],
+                                          np.asarray(e_p)[:nf, i], err_msg=name)
 
 
 def test_need_bp_false_same_costs(rng):
