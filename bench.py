@@ -82,23 +82,27 @@ def _timeit_device(body, n_lo=2, n_hi=12, reps=3):
     import jax
     import jax.numpy as jnp
 
-    def chained(n):
-        @jax.jit
-        def run():
-            def step(_, acc):
-                return acc + body(acc) * jnp.float32(1e-30)
-            return jax.lax.fori_loop(0, n, step, jnp.float32(0.0))
-        return run
+    @jax.jit
+    def run(n):  # dynamic trip count: ONE compile serves every n
+        def step(_, acc):
+            return acc + body(acc) * jnp.float32(1e-30)
+        return jax.lax.fori_loop(0, n, step, jnp.float32(0.0))
 
-    out = {}
-    for n in (n_lo, n_hi):
-        fn = chained(n)
-        np.asarray(fn())  # compile + warm
+    np.asarray(run(jnp.int32(1)))  # compile + warm
+
+    def t(n):
         t0 = time.perf_counter()
         for _ in range(reps):
-            np.asarray(fn())
-        out[n] = (time.perf_counter() - t0) / reps
-    return (out[n_hi] - out[n_lo]) / (n_hi - n_lo)
+            np.asarray(run(jnp.int32(n)))
+        return (time.perf_counter() - t0) / reps
+
+    # grow n_hi until the delta clears tunnel noise (~10-50 ms/dispatch)
+    while True:
+        tlo, thi = t(n_lo), t(n_hi)
+        if thi - tlo >= 0.05 or n_hi >= 2048:
+            break
+        n_hi *= 4
+    return max((thi - tlo) / (n_hi - n_lo), 1e-9)
 
 
 def bench_connected_decode(batch=64, frames=500, n_slots=7, frame_step_s=0.01):
@@ -218,10 +222,15 @@ def bench_frontend(batch=64, samples=80000):
     rng = np.random.default_rng(0)
     sig = jnp.asarray(rng.standard_normal((batch, L)), jnp.float32)
     lens = jnp.full((batch,), samples, jnp.int32)
-    run = jax.jit(lambda s, l: jnp.sum(jax.vmap(lambda a, b: mfcc39(a, b, cfg)[0])(s, l)))
-    dt = _timeit(lambda: run(sig, lens))
+
+    def body(dep):
+        l2 = jnp.where(jnp.isnan(dep), lens - 1, lens)
+        return jnp.sum(jax.vmap(lambda a, b: mfcc39(a, b, cfg)[0])(sig, l2))
+
+    dt = _timeit_device(body)
     audio_s = batch * samples / cfg.sample_rate
-    log(f"frontend: {audio_s:.0f} audio-s in {dt*1e3:.1f} ms -> {audio_s/dt:.0f} audio-s/s")
+    log(f"frontend: {audio_s:.0f} audio-s in {dt*1e3:.2f} ms device-time "
+        f"-> {audio_s/dt:.0f} audio-s/s")
     return audio_s / dt
 
 
@@ -273,16 +282,24 @@ def bench_pipeline(batch=256, samples=80000, n_slots=7):
     sig = jnp.asarray(rng.standard_normal((batch, L)) * 3000, jnp.float32)
     lens = jnp.full((batch,), samples, jnp.int32)
 
-    @jax.jit
-    def pipeline(sig, lens):
-        feats, nf = mfcc39_batch(sig, lens, cfg)
-        states, _, costs = _decode_banded_batch(bank, feats, nf, bg,
-                                                eps_depth=graph.eps_depth)
-        return jnp.sum(costs) + jnp.sum(states[:, 0])
+    topo = None
+    if jax.default_backend() == "tpu":
+        from speech_recognition_tpu.ops.viterbi_banded_pallas import banded_topology
 
-    dt = _timeit(lambda: pipeline(sig, lens))
+        topo = banded_topology(bg)
+
+    def body(dep):
+        l2 = jnp.where(jnp.isnan(dep), lens - 1, lens)
+        feats, nf = mfcc39_batch(sig, l2, cfg)
+        states, _, costs = _decode_banded_batch(bank, feats, nf, bg,
+                                                eps_depth=graph.eps_depth,
+                                                pallas_topo=topo)
+        return jnp.sum(costs) + jnp.sum(states[:, 0].astype(jnp.float32))
+
+    dt = _timeit_device(body)
     audio_s = batch * samples / cfg.sample_rate
-    log(f"pipeline: {audio_s:.0f} audio-s in {dt*1e3:.1f} ms -> {audio_s/dt:.0f} audio-s/s")
+    log(f"pipeline: {audio_s:.0f} audio-s in {dt*1e3:.2f} ms device-time "
+        f"-> {audio_s/dt:.0f} audio-s/s")
     return audio_s / dt
 
 

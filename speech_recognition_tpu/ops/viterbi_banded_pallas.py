@@ -51,6 +51,12 @@ from speech_recognition_tpu.utils.numerics import POS_INF
 __all__ = ["BandedTopo", "banded_topology", "viterbi_banded_tb_pallas",
            "banded_backtrace_tb_pallas"]
 
+# Precision for the one-hot selection matmuls: one operand is exactly
+# 0/1 and the other splits exactly into bf16 triples under HIGHEST, so
+# the select is bit-exact.  (Precision.HIGH would suffice numerically
+# but Mosaic does not lower it — only DEFAULT and HIGHEST.)
+_SELECT_PRECISION = jax.lax.Precision.HIGHEST
+
 
 class BandedTopo(NamedTuple):
     """Hashable (static) topology of a BandedGraph: everything the
@@ -92,7 +98,7 @@ def _kernel(nll_ref, expand_ref, band_ref, eps_ref, e_end_ref, e_start_ref,
     def dotf(a, x):
         return jax.lax.dot_general(
             a, x, (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
+            precision=_SELECT_PRECISION,
             preferred_element_type=jnp.float32,
         )
 
@@ -329,7 +335,7 @@ def _backtrace_kernel(bp_ref, end_oh_ref, p_we_ref, nf_ref, out_ref, oh_ref,
     def dotf(a, x):
         return jax.lax.dot_general(
             a, x, (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
+            precision=_SELECT_PRECISION,
             preferred_element_type=jnp.float32,
         )
 
