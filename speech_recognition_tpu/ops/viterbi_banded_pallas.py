@@ -95,10 +95,10 @@ def _kernel(nll_ref, expand_ref, band_ref, eps_ref, e_end_ref, e_start_ref,
     s8, b = cost_ref.shape
     v8 = e_end_ref.shape[0]
 
-    def dotf(a, x):
+    def dotf(a, x, precision=_SELECT_PRECISION):
         return jax.lax.dot_general(
             a, x, (((1,), (0,)), ((), ())),
-            precision=_SELECT_PRECISION,
+            precision=precision,
             preferred_element_type=jnp.float32,
         )
 
@@ -188,7 +188,9 @@ def _kernel(nll_ref, expand_ref, band_ref, eps_ref, e_end_ref, e_start_ref,
                                nll_ref[k] if bank_mode else emis)  # [V8, B]
             cand_arc = jnp.minimum(arc_base + emis_starts, POS_INF)
             cand_dense = dotf(p_start_ref[...], cand_arc)  # [S8, B]
-            arg_dense = dotf(p_start_ref[...], arc_arg)
+            # args are small ints (< 256): exact in one bf16 pass
+            arg_dense = dotf(p_start_ref[...], arc_arg,
+                             precision=jax.lax.Precision.DEFAULT)
             # non-start rows: cand_dense is 0 (zero P rows); the additive
             # POS_INF penalty keeps them from ever beating cost
             better = (cand_dense + pen_ref[...]) < cost
