@@ -102,7 +102,14 @@ def _timeit_device(body, n_lo=2, n_hi=12, reps=3):
         if thi - tlo >= 0.05 or n_hi >= 2048:
             break
         n_hi *= 4
-    return max((thi - tlo) / (n_hi - n_lo), 1e-9)
+    if thi - tlo <= 0:
+        # noise-dominated even at the n_hi cap: report the conservative
+        # upper bound (total time / iterations, overhead included)
+        # rather than a garbage slope
+        log(f"WARNING: device-time slope noise-dominated at n={n_hi}; "
+            f"reporting upper bound {thi / n_hi * 1e3:.3f} ms/iter")
+        return thi / n_hi
+    return (thi - tlo) / (n_hi - n_lo)
 
 
 def bench_connected_decode(batch=64, frames=500, n_slots=7, frame_step_s=0.01):
@@ -119,11 +126,9 @@ def bench_connected_decode(batch=64, frames=500, n_slots=7, frame_step_s=0.01):
     bank = _bank()
     graph = connected_graph_arrays(bank, n_slots)
     bg = banded_arrays(graph)
-    topo = None
-    if jax.default_backend() == "tpu":
-        from speech_recognition_tpu.ops.viterbi_banded_pallas import banded_topology
+    from speech_recognition_tpu.ops.viterbi_banded_pallas import default_pallas_topo
 
-        topo = banded_topology(bg)
+    topo = default_pallas_topo(bg)
     log(f"graph: {graph.n_states} emitting states ({bg.n_words} word arcs), "
         f"eps_depth {graph.eps_depth}, "
         f"{'pallas' if topo is not None else 'banded-scan'} backend")
@@ -284,11 +289,9 @@ def bench_pipeline(batch=256, samples=80000, n_slots=7):
     sig = jnp.asarray(rng.standard_normal((batch, L)) * 3000, jnp.float32)
     lens = jnp.full((batch,), samples, jnp.int32)
 
-    topo = None
-    if jax.default_backend() == "tpu":
-        from speech_recognition_tpu.ops.viterbi_banded_pallas import banded_topology
+    from speech_recognition_tpu.ops.viterbi_banded_pallas import default_pallas_topo
 
-        topo = banded_topology(bg)
+    topo = default_pallas_topo(bg)
 
     def body(dep):
         l2 = jnp.where(jnp.isnan(dep), lens - 1, lens)
@@ -365,8 +368,11 @@ def main():
         import subprocess
 
         try:
+            import os
+
             r = subprocess.run(
-                [sys.executable, "bench.py", "--what", "decode",
+                [sys.executable, os.path.abspath(__file__),
+                 "--what", "decode",
                  "--batch", str(args.hedge_batch), "--frames", str(args.frames)],
                 capture_output=True, text=True, timeout=args.hedge_timeout,
             )

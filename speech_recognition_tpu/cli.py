@@ -499,6 +499,8 @@ def cmd_spellcheck(args):
     # accept the reference's CSV-with-header format (tests/test_data/dict1.txt)
     if words and words[0] == "words":
         words = words[1:]
+    if not words:
+        sys.exit(f"dictionary {args.dict} contains no words")
     sc = SpellChecker().fit(words)
     if args.text is not None:
         text = args.text

@@ -87,11 +87,12 @@ def _decode_graph_batch(
 
 
 @functools.partial(jax.jit, static_argnames=("eps_depth", "beam_width", "unroll",
-                                             "eps_ranges", "pallas_topo"))
+                                             "eps_ranges", "pallas_topo",
+                                             "pallas_interpret"))
 def _decode_banded_batch(bank: HMMBank, feats, n_frames, g: BandedGraph,
                          eps_depth: int = 1, beam_width: int = 0,
                          unroll: int = DEFAULT_UNROLL, eps_ranges=None,
-                         pallas_topo=None):
+                         pallas_topo=None, pallas_interpret: bool = False):
     """Banded fast path: O(3S + V^2) per frame instead of O(S^2).
 
     Without a beam the batch runs through the state-major ``[T, S, B]``
@@ -134,11 +135,15 @@ def _decode_banded_batch(bank: HMMBank, feats, n_frames, g: BandedGraph,
         )
 
         # compact bank block only — the kernel expands to graph states
-        # on the MXU, so the [T, S, B] gather is never materialized
+        # on the MXU, so the [T, S, B] gather is never materialized;
+        # the backpointer plane stays padded end to end (no slice+repad
+        # copies of the ~100 MB tensor)
         nll_tb_bank = jnp.transpose(nll_bank, (1, 2, 0))  # [T, S_bank, B]
         final, bp8 = viterbi_banded_tb_pallas(nll_tb_bank, g, n_frames,
                                               pallas_topo, eps_depth=eps_depth,
-                                              bank_input=True)
+                                              bank_input=True,
+                                              return_padded_bp=True,
+                                              interpret=pallas_interpret)
     else:
         nll_tb = jnp.transpose(nll_bank, (1, 2, 0))[:, g.bank_state, :]
         final, bp8 = viterbi_banded_tb(nll_tb, g, n_frames, eps_depth=eps_depth,
@@ -152,8 +157,9 @@ def _decode_banded_batch(bank: HMMBank, feats, n_frames, g: BandedGraph,
 
         states, eps_flags = banded_backtrace_tb_pallas(
             bp8, g, g.end_states[best], n_frames, pallas_topo,
-            eps_depth=eps_depth,
+            eps_depth=eps_depth, interpret=pallas_interpret,
         )
+        states, eps_flags = states[:t], eps_flags[:t]  # drop pad frames
     else:
         states, eps_flags = banded_backtrace_tb(
             bp8, g, g.end_states[best], n_frames, eps_depth=eps_depth,
@@ -186,12 +192,12 @@ def decode_connected(
             bg = None
         if bg is not None:
             topo = None
-            if beam_width == 0 and jax.default_backend() == "tpu":
+            if beam_width == 0:
                 from speech_recognition_tpu.ops.viterbi_banded_pallas import (
-                    banded_topology,
+                    default_pallas_topo,
                 )
 
-                topo = banded_topology(bg)
+                topo = default_pallas_topo(bg)
             states, eps_flags, costs = _decode_banded_batch(
                 bank, jnp.asarray(feats), jnp.asarray(n_frames), bg,
                 eps_depth=graph.eps_depth, beam_width=beam_width,

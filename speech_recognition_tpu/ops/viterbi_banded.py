@@ -218,20 +218,24 @@ def _shift(x, d):
     )
 
 
-def _band_relax(prev, band):
-    """frontier [S] -> (base cost [S], band offset d [S] int8).
-
-    Dense-argmin tie-break = smallest origin index = largest d, so
-    iterate d ascending and replace on <=."""
-    s = prev.shape[-1]
-    best = jnp.full(prev.shape, POS_INF)
-    d_sel = jnp.zeros(prev.shape, jnp.int8)
-    for d in range(MAX_BAND + 1):
-        cand = band[d] + _shift(prev, d)
+def _select_band(cands):
+    """Tie-break selection shared by every layout: dense-argmin
+    tie-break = smallest origin index = largest d, so iterate d
+    ascending and replace on <=.  ``cands[d]`` is the cost of arriving
+    via band offset d."""
+    best = jnp.full(cands[0].shape, POS_INF)
+    d_sel = jnp.zeros(cands[0].shape, jnp.int8)
+    for d, cand in enumerate(cands):
         take = cand <= best
         best = jnp.where(take, cand, best)
         d_sel = jnp.where(take, jnp.int8(d), d_sel)
     return jnp.minimum(best, POS_INF), d_sel
+
+
+def _band_relax(prev, band):
+    """frontier [..., S] -> (base cost, band offset d int8)."""
+    return _select_band(
+        [band[d] + _shift(prev, d) for d in range(MAX_BAND + 1)])
 
 
 def _eps_relax(cost, emis, g: BandedGraph, ranges=None):
@@ -329,14 +333,9 @@ def viterbi_banded_tb(nll_tb, g: BandedGraph, n_frames, eps_depth: int = 1,
         return jnp.concatenate([pad, x[:-d, :]], axis=0)
 
     def band_relax(prev):
-        best = jnp.full(prev.shape, POS_INF)
-        d_sel = jnp.zeros(prev.shape, jnp.int8)
-        for d in range(MAX_BAND + 1):
-            cand = g.band[d][:, None] + shift_s(prev, d)
-            take = cand <= best
-            best = jnp.where(take, cand, best)
-            d_sel = jnp.where(take, jnp.int8(d), d_sel)
-        return jnp.minimum(best, POS_INF), d_sel
+        return _select_band(
+            [g.band[d][:, None] + shift_s(prev, d)
+             for d in range(MAX_BAND + 1)])
 
     def eps_relax(cost, emis):
         end_vals = cost[g.word_ends, :]  # [V, B]

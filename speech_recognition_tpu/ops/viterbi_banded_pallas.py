@@ -48,8 +48,8 @@ from speech_recognition_tpu.ops.viterbi_banded import (
 )
 from speech_recognition_tpu.utils.numerics import POS_INF
 
-__all__ = ["BandedTopo", "banded_topology", "viterbi_banded_tb_pallas",
-           "banded_backtrace_tb_pallas"]
+__all__ = ["BandedTopo", "banded_topology", "default_pallas_topo",
+           "viterbi_banded_tb_pallas", "banded_backtrace_tb_pallas"]
 
 # Precision for the one-hot selection matmuls: one operand is exactly
 # 0/1 and the other splits exactly into bf16 triples under HIGHEST, so
@@ -81,6 +81,15 @@ def banded_topology(g: BandedGraph) -> BandedTopo:
         ranges=eps_ranges(g),
         bank_map=tuple(int(x) for x in np.asarray(g.bank_state)),
     )
+
+
+def default_pallas_topo(g: BandedGraph):
+    """The production backend-selection rule, in one place: Pallas
+    needs a real TPU (Mosaic), so return ``banded_topology(g)`` on TPU
+    and ``None`` (XLA scan kernels) elsewhere."""
+    if jax.default_backend() == "tpu":
+        return banded_topology(g)
+    return None
 
 
 def _ceil(x, m):
@@ -209,12 +218,14 @@ def _kernel(nll_ref, expand_ref, band_ref, eps_ref, e_end_ref, e_start_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("topo", "eps_depth", "interpret",
-                                    "frames_per_step", "bank_input"))
+                                    "frames_per_step", "bank_input",
+                                    "return_padded_bp"))
 def viterbi_banded_tb_pallas(nll_tb, g: BandedGraph, n_frames,
                              topo: BandedTopo, eps_depth: int = 1,
                              interpret: bool = False,
                              frames_per_step: int = 4,
-                             bank_input: bool = None):
+                             bank_input: bool = None,
+                             return_padded_bp: bool = False):
     """Drop-in Pallas replacement for
     :func:`ops.viterbi_banded.viterbi_banded_tb`.
 
@@ -324,6 +335,11 @@ def viterbi_banded_tb_pallas(nll_tb, g: BandedGraph, n_frames,
     )(nll_tb, jnp.asarray(expand), band_t, eps_vals, jnp.asarray(e_end),
       jnp.asarray(e_start), jnp.asarray(p_start), jnp.asarray(penalty),
       init_col, nf_row)
+    if return_padded_bp:
+        # hand the padded [T8, S8, B] plane straight to the Pallas
+        # backtrace — slicing here and re-padding there would copy the
+        # ~100 MB int8 tensor twice (pad rows/frames are inert)
+        return final[:s], bp8
     return final[:s], bp8[:t_len, :s]
 
 
@@ -394,13 +410,14 @@ def banded_backtrace_tb_pallas(bp8, g: BandedGraph, end_state, n_frames,
     bool)``, bit-identical to the XLA kernel.
     """
     t_len, s, b = bp8.shape
-    if s != topo.n_states:
+    s8 = _ceil(topo.n_states, 8)
+    if s == topo.n_states:
+        if s8 != s:
+            bp8 = jnp.pad(bp8, ((0, 0), (0, s8 - s), (0, 0)))
+    elif s != s8:  # already padded by viterbi_banded_tb_pallas is fine
         raise ValueError(f"graph/topology mismatch: {s} vs {topo.n_states}")
     v = len(topo.word_starts)
-    s8 = _ceil(s, 8)
     v8 = _ceil(v, 8)
-    if s8 != s:
-        bp8 = jnp.pad(bp8, ((0, 0), (0, s8 - s), (0, 0)))
 
     p_we = np.zeros((s8, v8), np.float32)
     p_we[[topo.word_ends[u] for u in range(v)], np.arange(v)] = 1.0

@@ -198,6 +198,51 @@ def test_pallas_tb_bit_parity(rng):
                                           np.asarray(e_p)[:nf, i], err_msg=name)
 
 
+def test_decode_banded_batch_pallas_branch(rng):
+    """The full production Pallas branch of _decode_banded_batch
+    (bank-mode emission expansion, padded bp passthrough, Pallas
+    backtrace, end-cost wiring) equals the XLA branch — interpret mode
+    exercises the exact glue that runs on TPU."""
+    import jax
+
+    from speech_recognition_tpu.data.synthetic import random_gmm_hmm
+    from speech_recognition_tpu.decode.connected import (
+        _decode_banded_batch,
+        connected_graph_arrays,
+    )
+    from speech_recognition_tpu.models.hmm import GMMHMM, HMMBank
+    from speech_recognition_tpu.ops.viterbi_banded_pallas import banded_topology
+    from speech_recognition_tpu.utils.numerics import to_cost_matrix
+    import jax.numpy as jnp
+
+    nprng = np.random.default_rng(3)
+    models = []
+    for _ in range(4):
+        p = random_gmm_hmm(nprng, n_states=3, n_mix=2, dim=8, sep=2.0)
+        models.append(GMMHMM(
+            means=jnp.asarray(p["means"], jnp.float32),
+            log_vars=jnp.log(jnp.asarray(p["variances"], jnp.float32)),
+            log_weights=jnp.log(jnp.asarray(p["weights"], jnp.float32)),
+            trans_cost=jnp.asarray(to_cost_matrix(p["trans"])),
+        ))
+    bank = HMMBank.stack(models)
+    graph = connected_graph_arrays(bank, 3)
+    bg = banded_arrays(graph)
+    topo = banded_topology(bg)
+    B, T = 3, 19
+    feats = jnp.asarray(nprng.standard_normal((B, T, 8)), jnp.float32)
+    nfs = jnp.asarray(np.array([19, 11, 4], np.int32))
+    s0, e0, c0 = _decode_banded_batch(bank, feats, nfs, bg,
+                                      eps_depth=graph.eps_depth)
+    s1, e1, c1 = _decode_banded_batch(bank, feats, nfs, bg,
+                                      eps_depth=graph.eps_depth,
+                                      pallas_topo=topo, pallas_interpret=True)
+    np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
+    for i, nf in enumerate(np.asarray(nfs)):
+        np.testing.assert_array_equal(np.asarray(s0)[i, :nf], np.asarray(s1)[i, :nf])
+        np.testing.assert_array_equal(np.asarray(e0)[i, :nf], np.asarray(e1)[i, :nf])
+
+
 def test_need_bp_false_same_costs(rng):
     _, g = graphs(rng)[0]
     bg = banded_arrays(g)
