@@ -112,13 +112,15 @@ def _decode_banded_batch(bank: HMMBank, feats, n_frames, g: BandedGraph,
         def one(x, nf):
             frame_mask = jnp.arange(t) < nf
             nll = bank_nll(bank, x, frame_mask)[:, g.bank_state]
-            final, bp8 = viterbi_banded(nll, g, nf, eps_depth=eps_depth,
-                                        beam_width=beam_width, unroll=unroll,
-                                        eps_ranges=eps_ranges)
+            final, bp8, eps_u = viterbi_banded(nll, g, nf, eps_depth=eps_depth,
+                                               beam_width=beam_width,
+                                               unroll=unroll,
+                                               eps_ranges=eps_ranges)
             end_costs = final[g.end_states] + g.end_bonus
             best = jnp.argmin(end_costs)
             states, eps_flags = banded_backtrace(
-                bp8, g, g.end_states[best], nf, eps_depth=eps_depth, unroll=unroll
+                bp8, eps_u, g, g.end_states[best], nf, eps_depth=eps_depth,
+                unroll=unroll
             )
             return states, eps_flags, end_costs[best]
 
@@ -139,15 +141,15 @@ def _decode_banded_batch(bank: HMMBank, feats, n_frames, g: BandedGraph,
         # the backpointer plane stays padded end to end (no slice+repad
         # copies of the ~100 MB tensor)
         nll_tb_bank = jnp.transpose(nll_bank, (1, 2, 0))  # [T, S_bank, B]
-        final, bp8 = viterbi_banded_tb_pallas(nll_tb_bank, g, n_frames,
-                                              pallas_topo, eps_depth=eps_depth,
-                                              bank_input=True,
-                                              return_padded_bp=True,
-                                              interpret=pallas_interpret)
+        final, bp8, eps_u = viterbi_banded_tb_pallas(
+            nll_tb_bank, g, n_frames, pallas_topo, eps_depth=eps_depth,
+            bank_input=True, return_padded_bp=True, interpret=pallas_interpret)
     else:
         nll_tb = jnp.transpose(nll_bank, (1, 2, 0))[:, g.bank_state, :]
-        final, bp8 = viterbi_banded_tb(nll_tb, g, n_frames, eps_depth=eps_depth,
-                                       unroll=unroll, eps_ranges=eps_ranges)
+        final, bp8, eps_u = viterbi_banded_tb(nll_tb, g, n_frames,
+                                              eps_depth=eps_depth,
+                                              unroll=unroll,
+                                              eps_ranges=eps_ranges)
     end_costs = final[g.end_states, :] + g.end_bonus[:, None]  # [E, B]
     best = jnp.argmin(end_costs, axis=0)  # [B]
     if pallas_topo is not None:
@@ -156,13 +158,13 @@ def _decode_banded_batch(bank: HMMBank, feats, n_frames, g: BandedGraph,
         )
 
         states, eps_flags = banded_backtrace_tb_pallas(
-            bp8, g, g.end_states[best], n_frames, pallas_topo,
+            bp8, eps_u, g, g.end_states[best], n_frames, pallas_topo,
             eps_depth=eps_depth, interpret=pallas_interpret,
         )
         states, eps_flags = states[:t], eps_flags[:t]  # drop pad frames
     else:
         states, eps_flags = banded_backtrace_tb(
-            bp8, g, g.end_states[best], n_frames, eps_depth=eps_depth,
+            bp8, eps_u, g, g.end_states[best], n_frames, eps_depth=eps_depth,
             unroll=unroll,
         )
     costs = jnp.take_along_axis(end_costs, best[None, :], axis=0)[0]

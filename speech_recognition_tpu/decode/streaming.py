@@ -33,11 +33,14 @@ import numpy as np
 from speech_recognition_tpu.models.graph import WordGraph
 from speech_recognition_tpu.models.hmm import HMMBank, bank_nll
 from speech_recognition_tpu.ops.viterbi_banded import (
-    _EPS_BASE,
+    _EPS,
     BandedGraph,
     _band_relax,
+    _cross_relax,
     _eps_relax,
+    _eps_u_dtype,
     banded_arrays,
+    banded_backtrace_tb,
 )
 from speech_recognition_tpu.utils.numerics import POS_INF
 
@@ -56,24 +59,27 @@ def _chunk_step(
 ):
     """Advance the frontier over one chunk.
 
-    Returns ``(new frontier [S], bp8 [C, S] int8)``.  For the first
-    chunk the frontier is the graph's init cost (no band relaxation
-    before the first emission); later chunks relax from the carried
-    frontier first.
+    Returns ``(new frontier [S], bp8 [C, S] int8, eps_u [C, R])``.  For
+    the first chunk the frontier is the graph's init cost (no band
+    relaxation before the first emission); later chunks relax from the
+    carried frontier first.
     """
     c, d = feats_chunk.shape
     frame_mask = jnp.arange(c) < n_valid
     nll = bank_nll(bank, feats_chunk, frame_mask)[:, g.bank_state]
     nll = jnp.minimum(nll, POS_INF)
-    s = nll.shape[1]
+    r = g.word_starts.shape[0]
+    u_dtype = _eps_u_dtype(g.word_ends.shape[0])
 
     def column(base, d_sel, emis):
         cost = jnp.minimum(base + emis, POS_INF)
         bp8 = d_sel
+        eps_u = jnp.zeros((r,), u_dtype)
         for _ in range(eps_depth):
-            cost, bp_upd = _eps_relax(cost, emis, g)
-            bp8 = jnp.where(bp_upd >= 0, bp_upd, bp8)
-        return cost, bp8
+            cost, better, better_r, origin_u = _eps_relax(cost, emis, g)
+            bp8 = jnp.where(better, jnp.int8(_EPS), bp8)
+            eps_u = jnp.where(better_r, origin_u.astype(u_dtype), eps_u)
+        return cost, bp8, eps_u
 
     def step(carry, inputs):
         prev = carry
@@ -83,18 +89,20 @@ def _chunk_step(
             # no band relaxation before the first emission
             is_first = t == 0
             base1, d1 = _band_relax(prev, g.band)
+            base1, d1 = _cross_relax(base1, d1, prev, g)
             base = jnp.where(is_first, frontier, base1)
             d_sel = jnp.where(is_first, jnp.int8(0), d1)
         else:
             base, d_sel = _band_relax(prev, g.band)
-        cost, bp8 = column(base, d_sel, emis)
+            base, d_sel = _cross_relax(base, d_sel, prev, g)
+        cost, bp8, eps_u = column(base, d_sel, emis)
         active = t < n_valid
         cost = jnp.where(active, cost, prev)
-        return cost, bp8
+        return cost, (bp8, eps_u)
 
     ts = jnp.arange(c)
-    new_frontier, bps = jax.lax.scan(step, frontier, (ts, nll))
-    return new_frontier, bps
+    new_frontier, (bps, eps_us) = jax.lax.scan(step, frontier, (ts, nll))
+    return new_frontier, bps, eps_us
 
 
 class StreamingDecoder:
@@ -127,6 +135,7 @@ class StreamingDecoder:
         s = self.bg.init_cost.shape[0]
         self._frontier = jnp.broadcast_to(self.bg.init_cost, (self.batch, s))
         self._bp_chunks: List[np.ndarray] = []
+        self._eps_chunks: List[np.ndarray] = []
         self._nv_history: List[np.ndarray] = []
         self._n_frames = np.zeros((self.batch,), dtype=np.int64)
         self._first = True
@@ -147,11 +156,12 @@ class StreamingDecoder:
         else:
             nv = np.broadcast_to(np.asarray(n_valid, np.int32), (self.batch,)).copy()
         step = self._step_first if self._first else self._step_rest
-        self._frontier, bp8 = step(
+        self._frontier, bp8, eps_u = step(
             self._frontier, jnp.asarray(x, jnp.float32), jnp.asarray(nv)
         )
         self._first = False
         self._bp_chunks.append(np.asarray(bp8))  # [B, C, S]
+        self._eps_chunks.append(np.asarray(eps_u))  # [B, C, R]
         self._nv_history.append(nv)
         self._n_frames += nv
 
@@ -164,46 +174,57 @@ class StreamingDecoder:
     def finish(self):
         """Backtrace over all pushed audio.
 
-        Returns ``(word_ids, states, cost)`` for batch=1, or lists of
-        per-stream results otherwise."""
+        All streams backtrace in ONE device call
+        (:func:`banded_backtrace_tb` over the concatenated backpointer
+        planes) — the round-1 per-frame host Python loop was O(T)
+        interpreter work per stream, which defeated the purpose of a
+        long-audio decoder.  Returns ``(word_ids, states, cost)`` for
+        batch=1, or lists of per-stream results otherwise."""
         from speech_recognition_tpu.decode.connected import states_to_words
 
         f = np.asarray(self._frontier)
         ends = np.asarray(self.bg.end_states)
         bonus = np.asarray(self.bg.end_bonus)
-        word_ends = np.asarray(self.bg.word_ends)
+
+        t_max = int(self._n_frames.max()) if len(self._bp_chunks) else 0
+        s = f.shape[1]
+        r = int(self.bg.word_starts.shape[0])
+        best = np.argmin(f[:, ends] + bonus[None], axis=1)
+        costs = (f[:, ends] + bonus[None])[np.arange(self.batch), best]
+        end_states = ends[best].astype(np.int32)
+
+        # compact per-stream valid rows (streams may push different
+        # n_valid per chunk), pad to the longest stream, stack to the
+        # state-major [T, S, B] layout the batched backtrace wants
+        bp = np.zeros((self.batch, t_max, s), np.int8)
+        epsp = np.zeros((self.batch, t_max, r),
+                        self._eps_chunks[0].dtype if self._eps_chunks else np.int8)
+        for b in range(self.batch):
+            rows = [c[b][: int(nv[b])]
+                    for c, nv in zip(self._bp_chunks, self._nv_history)]
+            erows = [c[b][: int(nv[b])]
+                     for c, nv in zip(self._eps_chunks, self._nv_history)]
+            t_total = int(self._n_frames[b])
+            if rows:
+                bp[b, :t_total] = np.concatenate(rows, axis=0)
+                epsp[b, :t_total] = np.concatenate(erows, axis=0)
+        states_tb, eps_tb = banded_backtrace_tb(
+            jnp.asarray(bp.transpose(1, 2, 0)),
+            jnp.asarray(epsp.transpose(1, 2, 0)),
+            self.bg, jnp.asarray(end_states),
+            jnp.asarray(self._n_frames.astype(np.int32)),
+            eps_depth=self.graph.eps_depth,
+        )
+        states_all = np.asarray(states_tb).T  # [B, T]
+        eps_all = np.asarray(eps_tb).T
 
         results = []
         for b in range(self.batch):
-            best = int(np.argmin(f[b, ends] + bonus))
-            cost = float((f[b, ends] + bonus)[best])
-            # streams may have pushed different n_valid per chunk; only the
-            # first n_valid rows of each chunk carry meaningful bp
             t_total = int(self._n_frames[b])
-            bp8 = self._compact_bp(b)
-            assert bp8.shape[0] == t_total
-            states = np.zeros(t_total, dtype=np.int32)
-            eps_flags = np.zeros(t_total, dtype=bool)
-            st = int(ends[best])
-            for t in range(t_total - 1, -1, -1):
-                states[t] = st
-                code = int(bp8[t, st])
-                for _ in range(self.graph.eps_depth):
-                    if code >= _EPS_BASE:
-                        eps_flags[t] = True
-                        st = int(word_ends[code - _EPS_BASE])
-                        code = int(bp8[t, st])
-                if t > 0:
-                    st = st - code
-            words = states_to_words(self.graph, states, t_total, eps_flags)
-            results.append((words, states, cost))
+            states = states_all[b, :t_total].astype(np.int32)
+            words = states_to_words(self.graph, states, t_total,
+                                    eps_all[b, :t_total])
+            results.append((words, states, float(costs[b])))
         if self.batch == 1:
             return results[0]
         return results
-
-    def _compact_bp(self, b: int) -> np.ndarray:
-        """Concatenate the valid rows of each pushed chunk for stream
-        ``b`` (streams may have had different n_valid per chunk)."""
-        rows = [chunk[b][: int(nv[b])]
-                for chunk, nv in zip(self._bp_chunks, self._nv_history)]
-        return np.concatenate(rows, axis=0) if rows else np.zeros((0, 1), np.int8)

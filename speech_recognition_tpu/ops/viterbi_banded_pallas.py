@@ -41,9 +41,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from speech_recognition_tpu.ops.viterbi_banded import (
-    _EPS_BASE,
+    _EPS,
     MAX_BAND,
     BandedGraph,
+    _eps_u_dtype,
     eps_ranges,
 )
 from speech_recognition_tpu.utils.numerics import POS_INF
@@ -97,12 +98,12 @@ def _ceil(x, m):
 
 
 def _kernel(nll_ref, expand_ref, band_ref, eps_ref, e_end_ref, e_start_ref,
-            p_start_ref, pen_ref, init_ref, nf_ref, final_ref, bp_ref,
-            cost_ref, *, topo: BandedTopo, eps_depth: int,
+            sel_sg_ref, p_start_ref, init_ref, nf_ref, final_ref, bp_ref,
+            epsu_ref, cost_ref, *, topo: BandedTopo, eps_depth: int,
             frames_per_step: int, bank_mode: bool):
     ti = pl.program_id(0)
     s8, b = cost_ref.shape
-    v8 = e_end_ref.shape[0]
+    v8 = sel_sg_ref.shape[0]
 
     def dotf(a, x, precision=_SELECT_PRECISION):
         return jax.lax.dot_general(
@@ -160,11 +161,12 @@ def _kernel(nll_ref, expand_ref, band_ref, eps_ref, e_end_ref, e_start_ref,
 
         cost = jnp.minimum(base + emis, POS_INF)
         bp = dsel
+        side = jnp.zeros((v8, b), jnp.float32)  # eps origins (as f32)
 
         # --- eps relaxation: static block spans, first-min tie-break ---
         for _ in range(eps_depth):
-            end_vals = dotf(e_end_ref[...], cost)  # [V8, B] one-hot select
-            # build [V8, B] base/arg by concatenating the (ascending,
+            end_vals = dotf(e_end_ref[...], cost)  # [L8, B] one-hot select
+            # build [R8, B] base/arg by concatenating the (ascending,
             # disjoint) eps-block runs — Mosaic has no scatter
             pieces_b, pieces_a = [], []
             cursor = 0
@@ -194,21 +196,23 @@ def _kernel(nll_ref, expand_ref, band_ref, eps_ref, e_end_ref, e_start_ref,
             # in bank mode e_start_ref is (E_start @ G): select start
             # emissions straight from the compact block
             emis_starts = dotf(e_start_ref[...],
-                               nll_ref[k] if bank_mode else emis)  # [V8, B]
+                               nll_ref[k] if bank_mode else emis)  # [R8, B]
             cand_arc = jnp.minimum(arc_base + emis_starts, POS_INF)
+            # improvement test at arc level (pad rows: cand POS_INF vs
+            # cost_starts 0 -> never better), then scattered densely by
+            # the exact one-hot matmul
+            cost_starts = dotf(sel_sg_ref[...], cost)  # [R8, B]
+            better_arc = (cand_arc < cost_starts).astype(jnp.float32)
             cand_dense = dotf(p_start_ref[...], cand_arc)  # [S8, B]
-            # args are small ints (< 256): exact in one bf16 pass
-            arg_dense = dotf(p_start_ref[...], arc_arg,
-                             precision=jax.lax.Precision.DEFAULT)
-            # non-start rows: cand_dense is 0 (zero P rows); the additive
-            # POS_INF penalty keeps them from ever beating cost
-            better = (cand_dense + pen_ref[...]) < cost
+            better = dotf(p_start_ref[...], better_arc) > 0.0
             cost = jnp.where(better, cand_dense, cost)
-            bp = jnp.where(better, _EPS_BASE + arg_dense, bp)
+            bp = jnp.where(better, jnp.float32(_EPS), bp)
+            side = side * (1.0 - better_arc) + arc_arg * better_arc
 
         # --- variable-length masking + final capture (XLA semantics) ---
         cost = jnp.where(t_abs < nf_b, cost, prev)
         bp_ref[k] = bp.astype(jnp.int8)
+        epsu_ref[k] = side.astype(jnp.int32)
         fin = jnp.where(t_abs == nf_b - 1, cost, fin)
         prev = cost
 
@@ -240,9 +244,15 @@ def viterbi_banded_tb_pallas(nll_tb, g: BandedGraph, n_frames,
     ``topo`` must be ``banded_topology(g)`` for the same graph.
     ``frames_per_step`` frames are processed per sequential grid step
     to amortize per-step overhead (padded tail frames are inert).
+    Returns ``(final [S, B], bp8 [T, S, B] int8, eps_u [T, R, B])``
+    matching the XLA kernel's encoding (band codes, ``_EPS`` + side
+    plane).
     """
     t_len, s_in, b = nll_tb.shape
     s = topo.n_states
+    if getattr(g, "cross_src", None) is not None:
+        raise NotImplementedError("Pallas banded kernel: cross-arc edges "
+                                  "(lex graphs) run on the XLA kernel")
     # bank_input=None infers from the state dim; pass it explicitly when
     # the graph coincidentally has exactly n_bank states
     bank_mode = (s_in != s) if bank_input is None else bank_input
@@ -252,44 +262,48 @@ def viterbi_banded_tb_pallas(nll_tb, g: BandedGraph, n_frames,
                          f"bank_map expects {n_bank}")
     if not bank_mode and s_in != s:
         raise ValueError(f"graph/emission mismatch: {s_in} vs {s}")
-    v = len(topo.word_starts)
+    r = len(topo.word_starts)
+    l = len(topo.word_ends)
+    u_dtype = _eps_u_dtype(l)
     s8 = _ceil(s, 8)
-    v8 = _ceil(v, 8)
+    r8 = _ceil(r, 8)
+    l8 = _ceil(l, 8)
     sb8 = _ceil(s_in, 8)  # emission-block state dim (bank or graph)
     if not bank_mode:
         sb8 = s8
-    # VMEM budget: the nll in-block and bp8 out-block are double-buffered
-    # (4+4 and 1+1 bytes per element per frame) plus the resident
-    # frontier/final/selector buffers — clamp k to stay under ~12 MB.
-    per_k = 8 * sb8 * b + 2 * s8 * b
+    # VMEM budget: the nll in-block, bp8 and eps_u out-blocks are
+    # double-buffered (4+4, 1+1 and 4+4 bytes per element per frame) plus
+    # the resident frontier/final/selector buffers — clamp k to stay
+    # under ~12 MB.
+    per_k = 8 * sb8 * b + 2 * s8 * b + 8 * r8 * b
     k = max(1, min(frames_per_step, (12 * 2**20 - 4 * s8 * b) // max(per_k, 1)))
     t8 = _ceil(t_len, k)
 
     # static one-hot selectors from the topology
-    e_end = np.zeros((v8, s8), np.float32)
-    e_end[np.arange(v), list(topo.word_ends)] = 1.0
-    p_start = np.zeros((s8, v8), np.float32)
-    p_start[list(topo.word_starts), np.arange(v)] = 1.0
-    penalty = np.full((s8, 1), POS_INF, np.float32)  # non-start rows
-    penalty[list(topo.word_starts), 0] = 0.0
+    e_end = np.zeros((l8, s8), np.float32)
+    e_end[np.arange(l), list(topo.word_ends)] = 1.0
+    sel_sg = np.zeros((r8, s8), np.float32)
+    sel_sg[np.arange(r), list(topo.word_starts)] = 1.0
+    p_start = np.zeros((s8, r8), np.float32)
+    p_start[list(topo.word_starts), np.arange(r)] = 1.0
     if bank_mode:
         # graph-state expansion G[s, j] = 1 iff bank_map[s] == j, and the
         # start-emission selector composed through it (E_start @ G)
         expand = np.zeros((s8, sb8), np.float32)
         expand[np.arange(s), list(topo.bank_map)] = 1.0
-        e_start = np.zeros((v8, sb8), np.float32)
-        e_start[np.arange(v),
+        e_start = np.zeros((r8, sb8), np.float32)
+        e_start[np.arange(r),
                 [topo.bank_map[ws] for ws in topo.word_starts]] = 1.0
     else:
         expand = np.zeros((8, sb8), np.float32)  # unused dummy
-        e_start = np.zeros((v8, sb8), np.float32)
-        e_start[np.arange(v), list(topo.word_starts)] = 1.0
+        e_start = np.zeros((r8, sb8), np.float32)
+        e_start[np.arange(r), list(topo.word_starts)] = 1.0
 
     # runtime cost arrays, padded (pad states unreachable: POS_INF)
     band_t = jnp.full((s8, 8), POS_INF, jnp.float32)
     band_t = band_t.at[:s, : MAX_BAND + 1].set(g.band.T)
-    eps_vals = jnp.full((v8, v8), POS_INF, jnp.float32)
-    eps_vals = eps_vals.at[:v, :v].set(g.eps_block)
+    eps_vals = jnp.full((r8, l8), POS_INF, jnp.float32)
+    eps_vals = eps_vals.at[:r, :l].set(g.eps_block)
     init_col = jnp.full((s8, 1), POS_INF, jnp.float32)
     init_col = init_col.at[:s, 0].set(g.init_cost)
     if sb8 != s_in or t8 != t_len:
@@ -302,7 +316,7 @@ def viterbi_banded_tb_pallas(nll_tb, g: BandedGraph, n_frames,
     kernel = functools.partial(_kernel, topo=topo, eps_depth=eps_depth,
                                frames_per_step=k, bank_mode=bank_mode)
     const = lambda *_: (0, 0)
-    final, bp8 = pl.pallas_call(
+    final, bp8, eps_u = pl.pallas_call(
         kernel,
         grid=(t8 // k,),
         in_specs=[
@@ -310,11 +324,11 @@ def viterbi_banded_tb_pallas(nll_tb, g: BandedGraph, n_frames,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(expand.shape, const, memory_space=pltpu.VMEM),
             pl.BlockSpec((s8, 8), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((v8, v8), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((v8, s8), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((v8, sb8), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((s8, v8), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((s8, 1), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((r8, l8), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((l8, s8), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((r8, sb8), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((r8, s8), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((s8, r8), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((s8, 1), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, b), const, memory_space=pltpu.VMEM),
         ],
@@ -322,10 +336,13 @@ def viterbi_banded_tb_pallas(nll_tb, g: BandedGraph, n_frames,
             pl.BlockSpec((s8, b), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((k, s8, b), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, r8, b), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((s8, b), jnp.float32),
             jax.ShapeDtypeStruct((t8, s8, b), jnp.int8),
+            jax.ShapeDtypeStruct((t8, r8, b), jnp.int32),
         ],
         scratch_shapes=[pltpu.VMEM((s8, b), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
@@ -333,22 +350,22 @@ def viterbi_banded_tb_pallas(nll_tb, g: BandedGraph, n_frames,
             vmem_limit_bytes=100 * 2**20),
         interpret=interpret,
     )(nll_tb, jnp.asarray(expand), band_t, eps_vals, jnp.asarray(e_end),
-      jnp.asarray(e_start), jnp.asarray(p_start), jnp.asarray(penalty),
+      jnp.asarray(e_start), jnp.asarray(sel_sg), jnp.asarray(p_start),
       init_col, nf_row)
     if return_padded_bp:
-        # hand the padded [T8, S8, B] plane straight to the Pallas
+        # hand the padded [T8, S8, B] planes straight to the Pallas
         # backtrace — slicing here and re-padding there would copy the
         # ~100 MB int8 tensor twice (pad rows/frames are inert)
-        return final[:s], bp8
-    return final[:s], bp8[:t_len, :s]
+        return final[:s], bp8, eps_u
+    return final[:s], bp8[:t_len, :s], eps_u[:t_len, :r].astype(u_dtype)
 
 
-def _backtrace_kernel(bp_ref, end_oh_ref, p_we_ref, nf_ref, out_ref, oh_ref,
-                      *, t_len: int, eps_depth: int):
+def _backtrace_kernel(bp_ref, epsu_ref, end_oh_ref, p_we_ref, sel_sg_ref,
+                      nf_ref, out_ref, oh_ref, *, t_len: int, eps_depth: int):
     i = pl.program_id(0)
     t = t_len - 1 - i
     s8, b = oh_ref.shape
-    v8 = p_we_ref.shape[1]
+    l8 = p_we_ref.shape[1]
 
     def dotf(a, x):
         return jax.lax.dot_general(
@@ -358,18 +375,23 @@ def _backtrace_kernel(bp_ref, end_oh_ref, p_we_ref, nf_ref, out_ref, oh_ref,
         )
 
     plane = bp_ref[0].astype(jnp.float32)  # [S8, B]
+    eps_plane = epsu_ref[0].astype(jnp.float32)  # [R8, B] origins
     oh = jnp.where(i == 0, end_oh_ref[...], oh_ref[...])
     rec = oh  # recorded state for frame t (pre-unwind, XLA semantics)
 
     code = jnp.sum(plane * oh, axis=0, keepdims=True)  # [1, B]
     used = jnp.zeros((1, b), jnp.float32)
-    iota_v = jax.lax.broadcasted_iota(jnp.int32, (v8, 1), 0).astype(jnp.float32)
+    iota_l = jax.lax.broadcasted_iota(jnp.int32, (l8, 1), 0).astype(jnp.float32)
     for _ in range(eps_depth):
-        m = (code >= jnp.float32(_EPS_BASE)).astype(jnp.float32)  # [1, B]
+        m = (code == jnp.float32(_EPS)).astype(jnp.float32)  # [1, B]
         used = jnp.maximum(used, m)
-        # one-hot of the eps origin arc u = code - _EPS_BASE (all-zero
-        # when not an eps code, incl. garbage codes on inactive frames)
-        u_oh = ((code - jnp.float32(_EPS_BASE)) == iota_v).astype(jnp.float32) * m
+        # origin u from the side plane at this state's start slot: a
+        # one-hot select of the slot row, then a one-hot of u itself
+        # (all-zero when not an eps code, incl. garbage on inactive
+        # frames)
+        r_oh = dotf(sel_sg_ref[...], oh)  # [R8, B] slot of current state
+        u_val = jnp.sum(eps_plane * r_oh, axis=0, keepdims=True)  # [1, B]
+        u_oh = (u_val == iota_l).astype(jnp.float32) * m
         oh_end = dotf(p_we_ref[...], u_oh)  # [S8, B] one-hot of word_ends[u]
         oh = oh * (1.0 - m) + oh_end * m
         code = jnp.sum(plane * oh, axis=0, keepdims=True)
@@ -395,7 +417,7 @@ def _backtrace_kernel(bp_ref, end_oh_ref, p_we_ref, nf_ref, out_ref, oh_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("topo", "eps_depth", "interpret"))
-def banded_backtrace_tb_pallas(bp8, g: BandedGraph, end_state, n_frames,
+def banded_backtrace_tb_pallas(bp8, eps_u, g: BandedGraph, end_state, n_frames,
                                topo: BandedTopo, eps_depth: int = 1,
                                interpret: bool = False):
     """Pallas twin of :func:`ops.viterbi_banded.banded_backtrace_tb`.
@@ -404,10 +426,11 @@ def banded_backtrace_tb_pallas(bp8, g: BandedGraph, end_state, n_frames,
     machinery dominates (~7 ms at T=500, B=512).  Here the current
     state rides as a one-hot [S, B] plane in VMEM: the per-frame
     backpointer read is an elementwise multiply + sublane reduction,
-    the eps unwind is a one-hot MXU matmul, and the band step is three
-    masked sublane rolls.  ``bp8 [T, S, B]``, ``end_state [B]``,
-    ``n_frames [B]`` -> ``(states [T, B] int32, eps_entered [T, B]
-    bool)``, bit-identical to the XLA kernel.
+    the eps unwind is a one-hot MXU matmul over the side-plane origin,
+    and the band step is three masked sublane rolls.  ``bp8 [T, S, B]``,
+    ``eps_u [T, R, B]``, ``end_state [B]``, ``n_frames [B]`` ->
+    ``(states [T, B] int32, eps_entered [T, B] bool)``, bit-identical
+    to the XLA kernel.
     """
     t_len, s, b = bp8.shape
     s8 = _ceil(topo.n_states, 8)
@@ -416,11 +439,20 @@ def banded_backtrace_tb_pallas(bp8, g: BandedGraph, end_state, n_frames,
             bp8 = jnp.pad(bp8, ((0, 0), (0, s8 - s), (0, 0)))
     elif s != s8:  # already padded by viterbi_banded_tb_pallas is fine
         raise ValueError(f"graph/topology mismatch: {s} vs {topo.n_states}")
-    v = len(topo.word_starts)
-    v8 = _ceil(v, 8)
+    r = len(topo.word_starts)
+    l = len(topo.word_ends)
+    r8 = _ceil(r, 8)
+    l8 = _ceil(l, 8)
+    eps_u = eps_u.astype(jnp.int32)
+    if eps_u.shape[1] == r and r8 != r:
+        eps_u = jnp.pad(eps_u, ((0, 0), (0, r8 - r), (0, 0)))
+    elif eps_u.shape[1] not in (r, r8):
+        raise ValueError(f"eps plane/topology mismatch: {eps_u.shape[1]} vs {r}")
 
-    p_we = np.zeros((s8, v8), np.float32)
-    p_we[[topo.word_ends[u] for u in range(v)], np.arange(v)] = 1.0
+    p_we = np.zeros((s8, l8), np.float32)
+    p_we[[topo.word_ends[u] for u in range(l)], np.arange(l)] = 1.0
+    sel_sg = np.zeros((r8, s8), np.float32)
+    sel_sg[np.arange(r), list(topo.word_starts)] = 1.0
     end_oh = (jax.lax.broadcasted_iota(jnp.int32, (s8, b), 0)
               == end_state.astype(jnp.int32)[None, :]).astype(jnp.float32)
     nf_row = n_frames.astype(jnp.int32)[None, :]
@@ -434,8 +466,10 @@ def banded_backtrace_tb_pallas(bp8, g: BandedGraph, end_state, n_frames,
         grid=(t_len,),
         in_specs=[
             pl.BlockSpec((1, s8, b), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, r8, b), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((s8, b), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((s8, v8), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((s8, l8), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((r8, s8), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, b), const, memory_space=pltpu.VMEM),
         ],
         out_specs=[pl.BlockSpec((1, 8, b), rev, memory_space=pltpu.VMEM)],
@@ -445,6 +479,6 @@ def banded_backtrace_tb_pallas(bp8, g: BandedGraph, end_state, n_frames,
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=100 * 2**20),
         interpret=interpret,
-    )(bp8, end_oh, jnp.asarray(p_we), nf_row)
+    )(bp8, eps_u, end_oh, jnp.asarray(p_we), jnp.asarray(sel_sg), nf_row)
     out = outs[0]
     return out[:, 0, :].astype(jnp.int32), out[:, 1, :] > 0.5

@@ -30,9 +30,10 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from speech_recognition_tpu.ops.viterbi_banded import (
-    _EPS_BASE,
+    _EPS,
     MAX_BAND,
     BandedGraph,
+    _eps_u_dtype,
 )
 from speech_recognition_tpu.utils.numerics import POS_INF
 
@@ -59,6 +60,10 @@ def pad_banded_for_sharding(g: BandedGraph, n_shards: int) -> Tuple[BandedGraph,
             end_states=g.end_states,
             end_bonus=g.end_bonus,
             bank_state=jnp.pad(g.bank_state, (0, pad)),
+            cross_src=None if g.cross_src is None
+            else jnp.pad(g.cross_src, (0, pad)),
+            cross_cost=None if g.cross_cost is None
+            else jnp.pad(g.cross_cost, (0, pad), constant_values=POS_INF),
         ),
         s,
     )
@@ -70,16 +75,21 @@ def make_sharded_banded_viterbi(
     """Build a jitted state-sharded Viterbi over the given mesh.
 
     Returns ``run(nll [T, S_pad], n_frames) -> (final_cost [S_pad],
-    bp8 [T, S_pad])`` with the state axis sharded over ``axis``.
-    The graph must be padded with :func:`pad_banded_for_sharding`.
+    bp8 [T, S_pad], eps_u [T, R])`` with the state axis sharded over
+    ``axis`` and the small eps side plane replicated.  The graph must
+    be padded with :func:`pad_banded_for_sharding`.
     """
     from jax import shard_map
 
+    if g.cross_src is not None:
+        raise NotImplementedError("state-sharded kernel: cross-arc edges "
+                                  "(lex graphs) are single-device for now")
     n = mesh.shape[axis]
     s_pad = g.band.shape[1]
     assert s_pad % n == 0, "pad the graph first"
     c = s_pad // n
-    v = g.n_words
+    r_arcs = int(g.word_starts.shape[0])
+    u_dtype = _eps_u_dtype(int(g.word_ends.shape[0]))
     perm = [(i, (i + 1) % n) for i in range(n)]
 
     def kernel(nll_l, band_l, init_l, is_start_l, start_pos_l,
@@ -87,26 +97,34 @@ def make_sharded_banded_viterbi(
         d = jax.lax.axis_index(axis)
         offset = d * c
 
-        def eps_pass(cost, emis_l):
+        def eps_pass(cost, emis_l, side):
             # collective word-end gather: local contributions + pmin
             local_pos = ends - offset
             valid = (local_pos >= 0) & (local_pos < c)
             ev = jnp.where(valid, cost[jnp.clip(local_pos, 0, c - 1)], POS_INF)
-            end_vals = jax.lax.pmin(ev, axis)  # [V] replicated
+            end_vals = jax.lax.pmin(ev, axis)  # [L] replicated
             scores = eps_block + end_vals[None, :]
             base = jnp.min(scores, axis=-1)
-            origin_u = jnp.argmin(scores, axis=-1).astype(jnp.int8)
+            origin_u = jnp.argmin(scores, axis=-1).astype(u_dtype)  # replicated
             cand = jnp.minimum(base + _gather_starts(emis_l, cost, end_vals), POS_INF)
             # ^ emis at the start states: handled below via dense gather
             cand_dense = cand[start_pos_l]
-            u_dense = origin_u[start_pos_l]
             better = is_start_l & (cand_dense < cost)
             cost = jnp.where(better, cand_dense, cost)
-            bp_upd = jnp.where(better, _EPS_BASE + u_dense, jnp.int8(-1))
-            return cost, bp_upd
+            # which arcs improved lives on the shard owning the start
+            # state: pmax the local verdicts (a few bytes) so the
+            # replicated side plane is bit-identical to the
+            # single-device kernel's
+            starts = word_starts - offset
+            sv = (starts >= 0) & (starts < c)
+            br = sv & better[jnp.clip(starts, 0, c - 1)]
+            br = jax.lax.pmax(br.astype(jnp.int32), axis) > 0
+            side = jnp.where(br, origin_u, side)
+            bp_upd = jnp.where(better, jnp.int8(_EPS), jnp.int8(-1))
+            return cost, bp_upd, side
 
         def _gather_starts(emis_l, cost, end_vals):
-            # emission at each start state, as a [V] vector: local starts
+            # emission at each start state, as a [R] vector: local starts
             # contribute their emission, others POS_INF, then pmin.
             starts = word_starts - offset
             valid = (starts >= 0) & (starts < c)
@@ -128,29 +146,32 @@ def make_sharded_banded_viterbi(
         def column(base, d_sel, emis_l):
             cost = jnp.minimum(base + emis_l, POS_INF)
             bp8 = d_sel
+            side = jnp.zeros((r_arcs,), u_dtype)
             for _ in range(eps_depth):
-                cost, upd = eps_pass(cost, emis_l)
+                cost, upd, side = eps_pass(cost, emis_l, side)
                 bp8 = jnp.where(upd >= 0, upd, bp8)
-            return cost, bp8
+            return cost, bp8, side
 
-        cost0, bp0 = column(init_l, jnp.zeros((c,), jnp.int8), nll_l[0])
+        cost0, bp0, side0 = column(init_l, jnp.zeros((c,), jnp.int8), nll_l[0])
 
         def step(carry, inputs):
             prev, final = carry
             t, emis_l = inputs
             base, d_sel = band_relax(prev)
-            cost, bp8 = column(base, d_sel, emis_l)
+            cost, bp8, side = column(base, d_sel, emis_l)
             active = t < n_frames
             cost = jnp.where(active, cost, prev)
             final = jnp.where(t == n_frames - 1, cost, final)
-            return (cost, final), bp8
+            return (cost, final), (bp8, side)
 
         t_len = nll_l.shape[0]
         ts = jnp.arange(1, t_len)
         init_final = jnp.where(n_frames == 1, cost0, POS_INF)
-        (_, final), bps = jax.lax.scan(step, (cost0, init_final), (ts, nll_l[1:]))
+        (_, final), (bps, sides) = jax.lax.scan(
+            step, (cost0, init_final), (ts, nll_l[1:]))
         bp8 = jnp.concatenate([bp0[None], bps], axis=0)
-        return final, bp8
+        eps_u = jnp.concatenate([side0[None], sides], axis=0)
+        return final, bp8, eps_u
 
     sm = shard_map(
         kernel,
@@ -166,7 +187,8 @@ def make_sharded_banded_viterbi(
             P(),  # eps block (replicated)
             P(),  # n_frames
         ),
-        out_specs=(P(axis), P(None, axis)),
+        out_specs=(P(axis), P(None, axis), P(None, None)),
+        check_vma=False,
     )
 
     @jax.jit

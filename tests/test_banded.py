@@ -43,7 +43,7 @@ def test_banded_matches_dense(rng, nf):
             jnp.asarray(nll), jnp.asarray(g.trans), jnp.asarray(g.init_cost),
             jnp.int32(nf), eps_trans=jnp.asarray(g.eps_trans), eps_depth=g.eps_depth,
         )
-        fin, bp8 = viterbi_banded(jnp.asarray(nll), bg, jnp.int32(nf), eps_depth=g.eps_depth)
+        fin, bp8, eps_u = viterbi_banded(jnp.asarray(nll), bg, jnp.int32(nf), eps_depth=g.eps_depth)
         np.testing.assert_allclose(
             np.asarray(fin), np.asarray(ref.final_cost), rtol=1e-6, err_msg=name
         )
@@ -51,7 +51,7 @@ def test_banded_matches_dense(rng, nf):
         s1, f1 = viterbi_backtrace(
             ref.bp, ref.eps_bp, jnp.int32(end), jnp.int32(nf), eps_depth=g.eps_depth
         )
-        s2, f2 = banded_backtrace(bp8, bg, jnp.int32(end), jnp.int32(nf), eps_depth=g.eps_depth)
+        s2, f2 = banded_backtrace(bp8, eps_u, bg, jnp.int32(end), jnp.int32(nf), eps_depth=g.eps_depth)
         np.testing.assert_array_equal(np.asarray(s1)[:nf], np.asarray(s2)[:nf], err_msg=name)
         np.testing.assert_array_equal(np.asarray(f1)[:nf], np.asarray(f2)[:nf], err_msg=name)
 
@@ -73,10 +73,10 @@ def test_state_major_layout_bit_parity(rng):
         # force exact ties so tie-breaking is exercised
         nll[:, :, 1::3] = nll[:, :, 0::3][:, :, : nll[:, :, 1::3].shape[2]]
         nfs = np.array([31, 17, 1, 30, 8], np.int32)
-        f_ref, bp_ref = jax.vmap(
+        f_ref, bp_ref, eu_ref = jax.vmap(
             lambda x, nf: viterbi_banded(x, bg, nf, eps_depth=g.eps_depth)
         )(jnp.asarray(nll), jnp.asarray(nfs))
-        f_tb, bp_tb = viterbi_banded_tb(
+        f_tb, bp_tb, eu_tb = viterbi_banded_tb(
             jnp.asarray(nll.transpose(1, 2, 0)), bg, jnp.asarray(nfs),
             eps_depth=g.eps_depth,
         )
@@ -85,12 +85,15 @@ def test_state_major_layout_bit_parity(rng):
         np.testing.assert_array_equal(
             np.asarray(bp_ref), np.transpose(np.asarray(bp_tb), (2, 0, 1)),
             err_msg=name)
+        np.testing.assert_array_equal(
+            np.asarray(eu_ref), np.transpose(np.asarray(eu_tb), (2, 0, 1)),
+            err_msg=name)
         ends = np.full((B,), int(g.end_states[-1]), np.int32)
         s_ref, e_ref = jax.vmap(
-            lambda bp, nf: banded_backtrace(bp, bg, jnp.int32(ends[0]), nf,
-                                            eps_depth=g.eps_depth)
-        )(bp_ref, jnp.asarray(nfs))
-        s_tb, e_tb = banded_backtrace_tb(bp_tb, bg, jnp.asarray(ends),
+            lambda bp, eu, nf: banded_backtrace(bp, eu, bg, jnp.int32(ends[0]),
+                                                nf, eps_depth=g.eps_depth)
+        )(bp_ref, eu_ref, jnp.asarray(nfs))
+        s_tb, e_tb = banded_backtrace_tb(bp_tb, eu_tb, bg, jnp.asarray(ends),
                                          jnp.asarray(nfs), eps_depth=g.eps_depth)
         for i, nf in enumerate(nfs):
             np.testing.assert_array_equal(np.asarray(s_ref)[i, :nf],
@@ -124,22 +127,25 @@ def test_eps_ranges_bit_parity(rng):
         nll = rng.uniform(0, 5, (B, T, g.n_states)).astype(np.float32)
         nfs = np.array([23, 11, 5], np.int32)
         # vmapped layout
-        f0, bp0 = jax.vmap(
+        f0, bp0, eu0 = jax.vmap(
             lambda x, nf: viterbi_banded(x, bg, nf, eps_depth=g.eps_depth)
         )(jnp.asarray(nll), jnp.asarray(nfs))
-        f1, bp1 = jax.vmap(
+        f1, bp1, eu1 = jax.vmap(
             lambda x, nf: viterbi_banded(x, bg, nf, eps_depth=g.eps_depth,
                                          eps_ranges=er)
         )(jnp.asarray(nll), jnp.asarray(nfs))
         np.testing.assert_array_equal(np.asarray(f0), np.asarray(f1), err_msg=name)
         np.testing.assert_array_equal(np.asarray(bp0), np.asarray(bp1), err_msg=name)
+        np.testing.assert_array_equal(np.asarray(eu0), np.asarray(eu1), err_msg=name)
         # state-major layout
         nll_tb = jnp.asarray(nll.transpose(1, 2, 0))
-        f2, bp2 = viterbi_banded_tb(nll_tb, bg, jnp.asarray(nfs),
-                                    eps_depth=g.eps_depth, eps_ranges=er)
+        f2, bp2, eu2 = viterbi_banded_tb(nll_tb, bg, jnp.asarray(nfs),
+                                         eps_depth=g.eps_depth, eps_ranges=er)
         np.testing.assert_array_equal(np.asarray(f0), np.asarray(f2).T, err_msg=name)
         np.testing.assert_array_equal(
             np.asarray(bp0), np.transpose(np.asarray(bp2), (2, 0, 1)), err_msg=name)
+        np.testing.assert_array_equal(
+            np.asarray(eu0), np.transpose(np.asarray(eu2), (2, 0, 1)), err_msg=name)
 
 
 def test_pallas_tb_bit_parity(rng):
@@ -159,25 +165,28 @@ def test_pallas_tb_bit_parity(rng):
         nll = rng.uniform(0, 5, (T, g.n_states, B)).astype(np.float32)
         nll[:, 1::3, :] = nll[:, 0::3, :][:, : nll[:, 1::3, :].shape[1], :]  # ties
         nfs = np.array([17, 9, 1, 13], np.int32)
-        f0, bp0 = viterbi_banded_tb(jnp.asarray(nll), bg, jnp.asarray(nfs),
-                                    eps_depth=g.eps_depth)
-        f1, bp1 = viterbi_banded_tb_pallas(jnp.asarray(nll), bg, jnp.asarray(nfs),
-                                           topo, eps_depth=g.eps_depth,
-                                           interpret=True)
+        f0, bp0, eu0 = viterbi_banded_tb(jnp.asarray(nll), bg, jnp.asarray(nfs),
+                                         eps_depth=g.eps_depth)
+        f1, bp1, eu1 = viterbi_banded_tb_pallas(jnp.asarray(nll), bg,
+                                                jnp.asarray(nfs), topo,
+                                                eps_depth=g.eps_depth,
+                                                interpret=True)
         np.testing.assert_array_equal(np.asarray(f0), np.asarray(f1), err_msg=name)
         np.testing.assert_array_equal(np.asarray(bp0), np.asarray(bp1), err_msg=name)
+        np.testing.assert_array_equal(np.asarray(eu0), np.asarray(eu1), err_msg=name)
         # bank-mode input: compact [T, S_bank, B] block expanded in-kernel
         n_bank = int(np.asarray(bg.bank_state).max()) + 1
         nll_bank = rng.uniform(0, 5, (T, n_bank, B)).astype(np.float32)
         nll_g = nll_bank[:, np.asarray(bg.bank_state), :]
-        f2, bp2 = viterbi_banded_tb(jnp.asarray(nll_g), bg, jnp.asarray(nfs),
-                                    eps_depth=g.eps_depth)
-        f3, bp3 = viterbi_banded_tb_pallas(jnp.asarray(nll_bank), bg,
-                                           jnp.asarray(nfs), topo,
-                                           eps_depth=g.eps_depth,
-                                           interpret=True, bank_input=True)
+        f2, bp2, eu2 = viterbi_banded_tb(jnp.asarray(nll_g), bg, jnp.asarray(nfs),
+                                         eps_depth=g.eps_depth)
+        f3, bp3, eu3 = viterbi_banded_tb_pallas(jnp.asarray(nll_bank), bg,
+                                                jnp.asarray(nfs), topo,
+                                                eps_depth=g.eps_depth,
+                                                interpret=True, bank_input=True)
         np.testing.assert_array_equal(np.asarray(f2), np.asarray(f3), err_msg=name)
         np.testing.assert_array_equal(np.asarray(bp2), np.asarray(bp3), err_msg=name)
+        np.testing.assert_array_equal(np.asarray(eu2), np.asarray(eu3), err_msg=name)
         # Pallas backtrace (one-hot plane) vs the XLA scan
         from speech_recognition_tpu.ops.viterbi_banded import banded_backtrace_tb
         from speech_recognition_tpu.ops.viterbi_banded_pallas import (
@@ -186,10 +195,11 @@ def test_pallas_tb_bit_parity(rng):
 
         ends = jnp.asarray(np.full((B,), int(np.asarray(bg.end_states)[-1]),
                                    np.int32))
-        s_x, e_x = banded_backtrace_tb(bp0, bg, ends, jnp.asarray(nfs),
+        s_x, e_x = banded_backtrace_tb(bp0, eu0, bg, ends, jnp.asarray(nfs),
                                        eps_depth=g.eps_depth)
-        s_p, e_p = banded_backtrace_tb_pallas(bp0, bg, ends, jnp.asarray(nfs),
-                                              topo, eps_depth=g.eps_depth,
+        s_p, e_p = banded_backtrace_tb_pallas(bp0, eu0, bg, ends,
+                                              jnp.asarray(nfs), topo,
+                                              eps_depth=g.eps_depth,
                                               interpret=True)
         for i, nf in enumerate(nfs):
             np.testing.assert_array_equal(np.asarray(s_x)[:nf, i],
@@ -247,11 +257,11 @@ def test_need_bp_false_same_costs(rng):
     _, g = graphs(rng)[0]
     bg = banded_arrays(g)
     nll = rng.uniform(0, 5, (20, g.n_states)).astype(np.float32)
-    fin1, _ = viterbi_banded(jnp.asarray(nll), bg, jnp.int32(20), eps_depth=g.eps_depth)
-    fin2, bp = viterbi_banded(
+    fin1, _, _ = viterbi_banded(jnp.asarray(nll), bg, jnp.int32(20), eps_depth=g.eps_depth)
+    fin2, bp, eps_u = viterbi_banded(
         jnp.asarray(nll), bg, jnp.int32(20), eps_depth=g.eps_depth, need_bp=False
     )
-    assert bp.shape[0] == 0
+    assert bp.shape[0] == 0 and eps_u.shape[0] == 0
     np.testing.assert_allclose(np.asarray(fin1), np.asarray(fin2), rtol=0)
 
 
@@ -310,12 +320,12 @@ def test_banded_beam_wide_is_exact(rng):
     _, g = graphs(rng)[0]
     bg = banded_arrays(g)
     nll = rng.uniform(0, 5, (25, g.n_states)).astype(np.float32)
-    exact, _ = viterbi_banded(jnp.asarray(nll), bg, jnp.int32(25), eps_depth=g.eps_depth)
-    wide, _ = viterbi_banded(jnp.asarray(nll), bg, jnp.int32(25),
-                             eps_depth=g.eps_depth, beam_width=g.n_states)
+    exact, _, _ = viterbi_banded(jnp.asarray(nll), bg, jnp.int32(25), eps_depth=g.eps_depth)
+    wide, _, _ = viterbi_banded(jnp.asarray(nll), bg, jnp.int32(25),
+                                eps_depth=g.eps_depth, beam_width=g.n_states)
     np.testing.assert_allclose(np.asarray(exact), np.asarray(wide), rtol=0)
-    narrow, _ = viterbi_banded(jnp.asarray(nll), bg, jnp.int32(25),
-                               eps_depth=g.eps_depth, beam_width=6)
+    narrow, _, _ = viterbi_banded(jnp.asarray(nll), bg, jnp.int32(25),
+                                  eps_depth=g.eps_depth, beam_width=6)
     # narrow beam keeps the best end-state cost close to exact here
     e = int(g.end_states[-1])
     assert np.isfinite(np.asarray(narrow)[e])

@@ -49,8 +49,8 @@ def test_sharded_matches_single_device(rng, kind):
 
     run = make_sharded_banded_viterbi(mesh, bgp, eps_depth=g.eps_depth)
     for nf in [T, 23]:
-        fin_s, bp8_s = run(jnp.asarray(nll_pad), nf)
-        fin_1, bp8_1 = viterbi_banded(
+        fin_s, bp8_s, eps_u_s = run(jnp.asarray(nll_pad), nf)
+        fin_1, bp8_1, eps_u_1 = viterbi_banded(
             jnp.asarray(nll), bg, jnp.int32(nf), eps_depth=g.eps_depth
         )
         np.testing.assert_allclose(
@@ -59,10 +59,12 @@ def test_sharded_matches_single_device(rng, kind):
         np.testing.assert_array_equal(
             np.asarray(bp8_s)[:, :s_orig], np.asarray(bp8_1)
         )
+        np.testing.assert_array_equal(np.asarray(eps_u_s), np.asarray(eps_u_1))
         # backtrace through the sharded backpointers
         end = int(g.end_states[-1])
-        s1, f1 = banded_backtrace(bp8_1, bg, jnp.int32(end), jnp.int32(nf),
+        s1, f1 = banded_backtrace(bp8_1, eps_u_1, bg, jnp.int32(end),
+                                  jnp.int32(nf), eps_depth=g.eps_depth)
+        s2, f2 = banded_backtrace(jnp.asarray(np.asarray(bp8_s)[:, :s_orig]),
+                                  eps_u_s, bg, jnp.int32(end), jnp.int32(nf),
                                   eps_depth=g.eps_depth)
-        s2, f2 = banded_backtrace(jnp.asarray(np.asarray(bp8_s)[:, :s_orig]), bg,
-                                  jnp.int32(end), jnp.int32(nf), eps_depth=g.eps_depth)
         np.testing.assert_array_equal(np.asarray(s1)[:nf], np.asarray(s2)[:nf])

@@ -249,12 +249,12 @@ def test_transcript_graph_with_silence_decodes(rng):
         for k in range(n):
             emis[t + k, state_ids] = 0.1
         t += n
-    fin, bp8 = viterbi_banded(jnp.asarray(emis), bg, jnp.int32(T),
-                              eps_depth=g.eps_depth)
+    fin, bp8, eps_u = viterbi_banded(jnp.asarray(emis), bg, jnp.int32(T),
+                                     eps_depth=g.eps_depth)
     ends = np.asarray(bg.end_states)
     best = int(ends[np.argmin(np.asarray(fin)[ends])])
-    states, flags = banded_backtrace(bp8, bg, jnp.int32(best), jnp.int32(T),
-                                     eps_depth=g.eps_depth)
+    states, flags = banded_backtrace(bp8, eps_u, bg, jnp.int32(best),
+                                     jnp.int32(T), eps_depth=g.eps_depth)
     from speech_recognition_tpu.decode.connected import states_to_words
 
     words = states_to_words(g, np.asarray(states), T, np.asarray(flags),
@@ -272,11 +272,11 @@ def test_transcript_graph_with_silence_decodes(rng):
         for k in range(n):
             emis2[t + k, state_ids] = 0.1
         t += n
-    fin2, bp82 = viterbi_banded(jnp.asarray(emis2), bg, jnp.int32(T2),
-                                eps_depth=g.eps_depth)
+    fin2, bp82, eps_u2 = viterbi_banded(jnp.asarray(emis2), bg, jnp.int32(T2),
+                                        eps_depth=g.eps_depth)
     best2 = int(ends[np.argmin(np.asarray(fin2)[ends])])
-    states2, flags2 = banded_backtrace(bp82, bg, jnp.int32(best2), jnp.int32(T2),
-                                       eps_depth=g.eps_depth)
+    states2, flags2 = banded_backtrace(bp82, eps_u2, bg, jnp.int32(best2),
+                                       jnp.int32(T2), eps_depth=g.eps_depth)
     words2 = states_to_words(g, np.asarray(states2), T2, np.asarray(flags2),
                              drop_labels={SIL})
     assert words2 == [0, 1]
