@@ -1,0 +1,94 @@
+"""Large-vocabulary connected decoding over a lexical-tree graph.
+
+The production big-vocabulary decoder (SURVEY.md §7 step 6's north
+star): emissions are computed once against the *unit* bank (one GEMM
+over n_units x n_states rows, independent of vocabulary size), gathered
+to trie states, and relaxed by the banded kernel with cross-arc frame
+edges (``models/lexgraph.py``).  Word identities are read off the path
+with :func:`~speech_recognition_tpu.models.lexgraph.lex_words_from_path`.
+
+Compare ``/root/reference/main.py:35-81``: the reference enumerates one
+full HMM copy of every word per sentence slot and runs an O(T x S^2)
+Python relaxation; here shared prefixes share states and the per-frame
+work is O(3S + R x L).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from speech_recognition_tpu.models.hmm import HMMBank, bank_nll
+from speech_recognition_tpu.models.lexgraph import LexGraph, lex_words_from_path
+from speech_recognition_tpu.ops.viterbi_banded import (
+    BandedGraph,
+    banded_backtrace,
+    banded_backtrace_tb,
+    viterbi_banded,
+    viterbi_banded_tb,
+)
+
+__all__ = ["decode_lextree"]
+
+
+@functools.partial(jax.jit, static_argnames=("eps_depth", "beam_width"))
+def _decode_lex_batch(bank: HMMBank, feats, n_frames, g: BandedGraph,
+                      eps_depth: int = 1, beam_width: int = 0):
+    """Batched lextree Viterbi: ``feats [B, T, D]`` ->
+    ``(states [B, T], eps flags [B, T], costs [B])``."""
+    b, t, d = feats.shape
+
+    def emis(x, nf):
+        frame_mask = jnp.arange(t) < nf
+        return bank_nll(bank, x, frame_mask)
+
+    if beam_width:
+        def one(x, nf):
+            nll = emis(x, nf)[:, g.bank_state]
+            final, bp8, eps_u = viterbi_banded(
+                nll, g, nf, eps_depth=eps_depth, beam_width=beam_width)
+            end_costs = final[g.end_states] + g.end_bonus
+            best = jnp.argmin(end_costs)
+            states, eps_flags = banded_backtrace(
+                bp8, eps_u, g, g.end_states[best], nf, eps_depth=eps_depth)
+            return states, eps_flags, end_costs[best]
+
+        return jax.vmap(one)(feats, n_frames)
+
+    nll_bank = jax.vmap(emis)(feats, n_frames)  # [B, T, S_bank]
+    nll_tb = jnp.transpose(nll_bank, (1, 2, 0))[:, g.bank_state, :]
+    final, bp8, eps_u = viterbi_banded_tb(nll_tb, g, n_frames,
+                                          eps_depth=eps_depth)
+    end_costs = final[g.end_states, :] + g.end_bonus[:, None]  # [E, B]
+    best = jnp.argmin(end_costs, axis=0)
+    states, eps_flags = banded_backtrace_tb(
+        bp8, eps_u, g, g.end_states[best], n_frames, eps_depth=eps_depth)
+    costs = jnp.take_along_axis(end_costs, best[None, :], axis=0)[0]
+    return states.T, eps_flags.T, costs
+
+
+def decode_lextree(
+    bank: HMMBank, lexg: LexGraph, feats, n_frames, beam_width: int = 0,
+) -> Tuple[List[List[int]], np.ndarray]:
+    """Decode a batch of utterances to word-id sequences over the trie.
+
+    ``bank`` is the *unit* bank (the models ``lexg`` was built from, in
+    the same order as its ``unit_trans``).  Returns ``(word_sequences,
+    costs)`` with word ids indexing ``lexg.words``."""
+    states, eps_flags, costs = _decode_lex_batch(
+        bank, jnp.asarray(feats), jnp.asarray(n_frames), lexg.banded,
+        eps_depth=lexg.eps_depth, beam_width=beam_width)
+    states = np.asarray(states)
+    eps_flags = np.asarray(eps_flags)
+    from speech_recognition_tpu.decode.connected import _warn_no_path
+
+    _warn_no_path(costs)
+    seqs = [
+        lex_words_from_path(lexg, states[i], int(n_frames[i]), eps_flags[i])
+        for i in range(states.shape[0])
+    ]
+    return seqs, np.asarray(costs)
