@@ -32,7 +32,7 @@ from speech_recognition_tpu.ops.viterbi_banded import (
     viterbi_banded_tb,
 )
 
-__all__ = ["decode_lextree"]
+__all__ = ["decode_lextree", "beam_decode_lextree"]
 
 
 @functools.partial(jax.jit, static_argnames=("eps_depth", "beam_width"))
@@ -91,4 +91,50 @@ def decode_lextree(
         lex_words_from_path(lexg, states[i], int(n_frames[i]), eps_flags[i])
         for i in range(states.shape[0])
     ]
+    return seqs, np.asarray(costs)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "has_cross"))
+def _beam_batch(bank: HMMBank, feats, n_frames, tables, k: int,
+                has_cross: bool):
+    from speech_recognition_tpu.ops.beam import beam_backtrace, beam_search
+
+    b, t, d = feats.shape
+
+    def one(x, nf):
+        frame_mask = jnp.arange(t) < nf
+        nll = bank_nll(bank, x, frame_mask)  # [T, U] compact bank
+        fst, fco, tok_s, tok_p, tok_w = beam_search(
+            nll, tables, nf, k, has_cross=has_cross)
+        cost, words_rev = beam_backtrace(fst, fco, tok_p, tok_w, tables, nf)
+        return cost, words_rev
+
+    return jax.vmap(one)(feats, n_frames)
+
+
+def beam_decode_lextree(
+    bank: HMMBank, lexg: LexGraph, feats, n_frames, k: int,
+) -> Tuple[List[List[int]], np.ndarray]:
+    """Fixed-width token-passing beam decode (``ops/beam.py``): per
+    frame only the k best tokens survive, and emissions are gathered
+    per token from the compact unit bank — O(k) per frame instead of
+    O(S), the big-vocabulary serving path.  Exact for k >= the
+    reachable state count (asserted in tests); narrower beams are the
+    classic approximation."""
+    from speech_recognition_tpu.ops.beam import beam_tables
+
+    tables = beam_tables(lexg.banded, leaf_word=lexg.leaf_word)
+    has_cross = lexg.banded.cross_src is not None and bool(
+        (np.asarray(tables.child_starts) >= 0).any())
+    costs, words_rev = _beam_batch(
+        bank, jnp.asarray(feats), jnp.asarray(n_frames), tables, k, has_cross)
+    words_rev = np.asarray(words_rev)
+    seqs = []
+    for i in range(words_rev.shape[0]):
+        final_w = int(words_rev[i, 0])
+        ws = [int(w) for w in words_rev[i, :0:-1] if w >= 0]
+        seqs.append(ws + [final_w])
+    from speech_recognition_tpu.decode.connected import _warn_no_path
+
+    _warn_no_path(costs)
     return seqs, np.asarray(costs)

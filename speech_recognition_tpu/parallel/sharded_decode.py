@@ -70,7 +70,8 @@ def pad_banded_for_sharding(g: BandedGraph, n_shards: int) -> Tuple[BandedGraph,
 
 
 def make_sharded_banded_viterbi(
-    mesh: Mesh, g: BandedGraph, eps_depth: int = 1, axis: str = "model"
+    mesh: Mesh, g: BandedGraph, eps_depth: int = 1, axis: str = "model",
+    beam_width: int = 0,
 ):
     """Build a jitted state-sharded Viterbi over the given mesh.
 
@@ -78,6 +79,15 @@ def make_sharded_banded_viterbi(
     bp8 [T, S_pad], eps_u [T, R])`` with the state axis sharded over
     ``axis`` and the small eps side plane replicated.  The graph must
     be padded with :func:`pad_banded_for_sharding`.
+
+    ``beam_width > 0`` applies the *global* rank beam per frame with a
+    collective merge: every global top-k cost is in the union of the
+    shards' local top-k, so each shard contributes its local top-k
+    (``min(k, C)`` values), an ``all_gather`` over the mesh axis (a few
+    hundred bytes) yields the exact global k-th best, and local
+    frontiers mask against that threshold — bit-identical to the
+    single-device ``viterbi_banded(beam_width=k)`` (asserted in tests).
+    SURVEY.md §2.2's "collective beam merge at frame boundaries".
     """
     from jax import shard_map
 
@@ -150,6 +160,14 @@ def make_sharded_banded_viterbi(
             for _ in range(eps_depth):
                 cost, upd, side = eps_pass(cost, emis_l, side)
                 bp8 = jnp.where(upd >= 0, upd, bp8)
+            if beam_width:
+                # exact global top-k threshold from the union of local
+                # top-k contributions (collective beam merge)
+                kk = min(beam_width, c)
+                local = -jax.lax.top_k(-cost, kk)[0]  # kk smallest costs
+                gathered = jax.lax.all_gather(local, axis).reshape(-1)
+                thresh = -jax.lax.top_k(-gathered, beam_width)[0][-1]
+                cost = jnp.where(cost <= thresh, cost, POS_INF)
             return cost, bp8, side
 
         cost0, bp0, side0 = column(init_l, jnp.zeros((c,), jnp.int8), nll_l[0])

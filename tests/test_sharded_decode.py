@@ -68,3 +68,31 @@ def test_sharded_matches_single_device(rng, kind):
                                   eps_u_s, bg, jnp.int32(end), jnp.int32(nf),
                                   eps_depth=g.eps_depth)
         np.testing.assert_array_equal(np.asarray(s1)[:nf], np.asarray(s2)[:nf])
+
+
+@pytest.mark.parametrize("beam", [7, 20])
+def test_sharded_collective_beam_matches_single_device(rng, beam):
+    """Global rank beam via all_gather of local top-k == the
+    single-device threshold beam, bit for bit (costs and backpointers),
+    including beams wider than one shard (beam > C = S/8)."""
+    g = build_loop_graph([ltr(5, rng) for _ in range(6)])
+    bg = banded_arrays(g)
+    mesh = make_mesh(shape=(1, 8))
+    bgp, s_orig = pad_banded_for_sharding(bg, 8)
+    s_pad = bgp.band.shape[1]
+
+    T = 29
+    nll = rng.uniform(0, 5, (T, s_orig)).astype(np.float32)
+    nll_pad = np.full((T, s_pad), 1e30, np.float32)
+    nll_pad[:, :s_orig] = nll
+
+    run = make_sharded_banded_viterbi(mesh, bgp, eps_depth=g.eps_depth,
+                                      beam_width=beam)
+    fin_s, bp8_s, eps_u_s = run(jnp.asarray(nll_pad), T)
+    fin_1, bp8_1, eps_u_1 = viterbi_banded(
+        jnp.asarray(nll), bg, jnp.int32(T), eps_depth=g.eps_depth,
+        beam_width=beam)
+    np.testing.assert_array_equal(np.asarray(fin_s)[:s_orig], np.asarray(fin_1))
+    np.testing.assert_array_equal(np.asarray(bp8_s)[:, :s_orig],
+                                  np.asarray(bp8_1))
+    np.testing.assert_array_equal(np.asarray(eps_u_s), np.asarray(eps_u_1))
