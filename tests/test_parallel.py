@@ -30,43 +30,12 @@ def _bank_from_params(params):
 
 @pytest.fixture(scope="module")
 def embedded_fixture():
-    rng = np.random.default_rng(5)
-    n_words, S, M, D = 4, 3, 2, 8
-    labels = []
-    true_params = [random_gmm_hmm(rng, S, M, D, sep=4.0) for _ in range(n_words)]
+    # shared with the two-process workers (tests/embedded_case.py)
+    from embedded_case import make_embedded_case
 
-    # sample connected utterances (concatenate word samples)
-    B, T = 16, 120
-    feats = np.zeros((B, T, D), np.float32)
-    n_frames = np.zeros((B,), np.int32)
-    for b in range(B):
-        seq = [int(rng.integers(0, n_words)) for _ in range(3)]
-        labels.append(seq)
-        fs = []
-        for w in seq:
-            f, _ = sample_hmm_features(true_params[w], rng, min_frames_per_state=2)
-            fs.append(f)
-        x = np.concatenate(fs)[:T]
-        feats[b, : len(x)] = x
-        n_frames[b] = len(x)
-
-    # perturbed initial bank
-    init_params = [
-        {
-            "means": p["means"] + 0.5 * rng.standard_normal(p["means"].shape),
-            "variances": p["variances"] * 1.5,
-            "weights": p["weights"],
-            "trans": p["trans"],
-        }
-        for p in true_params
-    ]
-    bank = _bank_from_params(init_params)
-    trans_np = [np.asarray(bank.trans_cost[i]) for i in range(n_words)]
-    graphs = [build_word_graph(trans_np, [[l] for l in ls]) for ls in labels]
-    graph_batch, eps_depth = pad_graphs(graphs)
-    gdev = {k: jnp.asarray(v) for k, v in graph_batch.items()
-            if k in ("trans", "eps_trans", "init_cost", "end_states", "bank_state")}
-    return bank, feats, n_frames, gdev, eps_depth, true_params, labels
+    bank, feats, n_frames, graph_np, eps_depth, labels = make_embedded_case()
+    gdev = {k: jnp.asarray(v) for k, v in graph_np.items()}
+    return bank, feats, n_frames, gdev, eps_depth, None, labels
 
 
 def test_embedded_step_converges_and_decodes(embedded_fixture):
