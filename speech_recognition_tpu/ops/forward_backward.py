@@ -32,7 +32,11 @@ __all__ = ["forward_backward", "FBResult", "costs_to_scores"]
 
 class FBResult(NamedTuple):
     gamma: jnp.ndarray  # [T, S] posterior state occupancy (prob space)
-    xi_sum: jnp.ndarray  # [S, S] expected frame-edge transition counts
+    # expected frame-edge transition counts: [S, S] (xi_mode="dense") or
+    # [MAX_BAND+1, S] with xi_sum[d, u] = count of edge u -> u+d
+    # (xi_mode="band" — the production form; the M-step only consumes
+    # the self/step band)
+    xi_sum: jnp.ndarray
     log_z: jnp.ndarray  # [] total log evidence
 
 
@@ -50,7 +54,7 @@ def _lse_mv(log_a, x):
     return jnp.where(jnp.isfinite(m), out, NEG_INF)
 
 
-@functools.partial(jax.jit, static_argnames=("eps_depth",))
+@functools.partial(jax.jit, static_argnames=("eps_depth", "xi_mode"))
 def forward_backward(
     nll,
     trans_cost,
@@ -59,6 +63,7 @@ def forward_backward(
     eps_trans=None,
     eps_depth: int = 1,
     end_scores=None,
+    xi_mode: str = "dense",
 ):
     """Sum-product pass over one utterance.
 
@@ -68,6 +73,11 @@ def forward_backward(
         :func:`ops.viterbi.viterbi` (cost space).
       end_scores: ``[S]`` terminal log-probs (NEG_INF for non-final
         states); default: uniform over all states at the last frame.
+      xi_mode: "dense" accumulates the full ``[S, S]`` expected
+        transition counts (oracle/testing); "band" accumulates only the
+        ``[MAX_BAND+1, S]`` banded counts the M-step consumes — O(S)
+        per frame instead of O(S^2) (off-band frame edges, which
+        composed word graphs never have, are ignored in this mode).
 
     Returns :class:`FBResult`.
     """
@@ -100,9 +110,9 @@ def forward_backward(
     _, alphas = jax.lax.scan(fwd, alpha0, (ts, log_e[1:]))
     alphas = jnp.concatenate([alpha0[None], alphas], axis=0)  # [T, S]
 
-    # terminal: only the last valid frame contributes
-    last = jnp.take(alphas, jnp.maximum(n_frames - 1, 0), axis=0)
-    log_z = jax.scipy.special.logsumexp(last + end_scores)
+    # terminal: the forward scan freezes alpha past n_frames, so the
+    # last row IS the last valid frame's alpha (no dynamic gather)
+    log_z = jax.scipy.special.logsumexp(alphas[-1] + end_scores)
 
     # backward pass.  beta[t, s] = log P(emissions t+1.. | state s at t).
     def eps_bwd(beta, emis):
@@ -140,14 +150,46 @@ def forward_backward(
 
     # expected frame-edge transition counts:
     # xi[t][v,u] = alpha[t-1,u] + logT[v,u] + emis[t,v] + beta[t,v] - logZ
-    def xi_step(acc, inputs):
-        t, emis = inputs
-        a_prev = alphas[t - 1]
-        m = a_prev[None, :] + log_t + (emis + betas[t])[:, None] - log_z
-        acc = acc + jnp.where(t < n_frames, jnp.exp(jnp.minimum(m, 50.0)), 0.0)
-        return acc, None
+    # The per-frame alpha/beta rows ride the scan as xs (streamed
+    # slices), never as dynamic gathers by a traced t — the round-1
+    # form indexed alphas[t-1]/betas[t] in-scan, the known 10-50x
+    # slow-gather pattern on this TPU.
+    xs = (ts, log_e[1:], alphas[:-1], betas[1:])
+    if xi_mode == "dense":
+        def xi_step(acc, inputs):
+            t, emis, a_prev, beta_t = inputs
+            m = a_prev[None, :] + log_t + (emis + beta_t)[:, None] - log_z
+            acc = acc + jnp.where(t < n_frames,
+                                  jnp.exp(jnp.minimum(m, 50.0)), 0.0)
+            return acc, None
 
-    xi0 = jnp.zeros((s, s))
-    xi_sum, _ = jax.lax.scan(xi_step, xi0, (ts, log_e[1:]))
+        xi_sum, _ = jax.lax.scan(xi_step, jnp.zeros((s, s)), xs)
+    elif xi_mode == "band":
+        from speech_recognition_tpu.ops.viterbi_banded import MAX_BAND
+
+        # static band diagonals of logT: band_logt[d][u] = logT[u+d, u]
+        band_logt = jnp.stack([
+            jnp.concatenate([
+                jnp.diagonal(log_t, offset=-d),
+                jnp.full((d,), NEG_INF)]) if d else jnp.diagonal(log_t)
+            for d in range(MAX_BAND + 1)
+        ])
+
+        def xi_step(acc, inputs):
+            t, emis, a_prev, beta_t = inputs
+            eb = emis + beta_t
+            rows = []
+            for d in range(MAX_BAND + 1):
+                eb_d = eb if d == 0 else jnp.concatenate(
+                    [eb[d:], jnp.full((d,), NEG_INF)])  # eb[u+d]
+                rows.append(a_prev + band_logt[d] + eb_d - log_z)
+            m = jnp.stack(rows)
+            acc = acc + jnp.where(t < n_frames,
+                                  jnp.exp(jnp.minimum(m, 50.0)), 0.0)
+            return acc, None
+
+        xi_sum, _ = jax.lax.scan(xi_step, jnp.zeros((MAX_BAND + 1, s)), xs)
+    else:
+        raise ValueError(f"unknown xi_mode {xi_mode!r}")
 
     return FBResult(gamma=gamma, xi_sum=xi_sum, log_z=log_z)

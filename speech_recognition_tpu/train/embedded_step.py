@@ -74,7 +74,9 @@ def _align_ids(bank, feats, n_frames, g, eps_depth):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("eps_depth", "var_floor", "lr"))
+@functools.partial(jax.jit,
+                   static_argnames=("eps_depth", "var_floor", "lr",
+                                    "frame_chunk"))
 def embedded_step(
     bank: HMMBank,
     feats,
@@ -83,6 +85,7 @@ def embedded_step(
     eps_depth: int = 1,
     var_floor: float = 1e-2,
     lr: float = 1.0,
+    frame_chunk: int = 65536,
 ):
     """One Viterbi-EM iteration.
 
@@ -94,6 +97,12 @@ def embedded_step(
         arrays (``trans/eps_trans/init_cost/end_states/bank_state``),
         one graph per utterance (shard on 'data').
       lr: interpolation toward the re-estimated parameters (1 = replace).
+      frame_chunk: statistics are accumulated over frame chunks of this
+        size, so peak memory is O(chunk x NS x M) regardless of B x T —
+        the round-1 form materialized the full [B·T, NS·M] weight
+        tensor (~GB-scale at the pod demo's 10k x 300 shapes).  Small
+        batches (B·T <= frame_chunk) run as a single chunk, identical
+        to the unchunked program.
 
     Returns ``(new_bank, EmbeddedStats)``.
     """
@@ -104,44 +113,69 @@ def embedded_step(
 
     ids, costs = _align_ids(bank, feats, n_frames, graph_batch, eps_depth)
 
-    flat_ids = ids.reshape(b * t)
-    flat_x = feats.reshape(b * t, d)
-    valid = flat_ids >= 0
-
-    # state occupancy one-hot [BT, NS]
-    onehot = (flat_ids[:, None] == jnp.arange(ns)[None, :]) & valid[:, None]
-    onehot_f = onehot.astype(feats.dtype)
-    frame_counts = jnp.sum(onehot_f, axis=0)
-
-    # run starts (the reference's per-state segment count n_temps)
+    # run starts (the reference's per-state segment count n_temps) need
+    # the per-utterance predecessor, so flag them before flattening
     prev_ids = jnp.concatenate([jnp.full((b, 1), -2, ids.dtype), ids[:, :-1]], axis=1)
     starts = (ids >= 0) & (ids != prev_ids)
-    starts_oh = (
-        (ids.reshape(-1)[:, None] == jnp.arange(ns)[None, :]) & starts.reshape(-1)[:, None]
-    ).astype(feats.dtype)
-    run_counts = jnp.sum(starts_oh, axis=0)
 
-    # mixture responsibilities within the aligned state
     w, lw = gmm_emission_weights(*bank.flat_states())
     a = w.shape[-1]
-    xa = augment_features(flat_x)
-    per_mix = jnp.dot(xa, w.reshape(ns * m, a).T,
-                      precision=MATMUL_PRECISION).reshape(b * t, ns, m)
-    own = jnp.take_along_axis(
-        per_mix, jnp.maximum(flat_ids, 0)[:, None, None], axis=1
-    )[:, 0, :]  # [BT, M] Gaussian NLL under the frame's own state
-    lp = lw[jnp.maximum(flat_ids, 0)] - own
-    lp_max = jnp.max(lp, axis=-1, keepdims=True)
-    resp = jnp.exp(lp - lp_max)
-    resp = resp / jnp.sum(resp, axis=-1, keepdims=True)
-    resp = jnp.where(valid[:, None], resp, 0.0)
+    w_flat_t = w.reshape(ns * m, a).T
 
-    # weighted one-hot [BT, NS*M] -> stats via two GEMMs (psum-able sums)
-    wts = onehot_f[:, :, None] * resp[:, None, :]  # [BT, NS, M]
-    wts2 = wts.reshape(b * t, ns * m)
-    r_sum = jnp.sum(wts2, axis=0).reshape(ns, m)
-    rx = jnp.dot(wts2.T, flat_x, precision=MATMUL_PRECISION).reshape(ns, m, d)
-    rxx = jnp.dot(wts2.T, flat_x * flat_x, precision=MATMUL_PRECISION).reshape(ns, m, d)
+    bt = b * t
+    c = min(frame_chunk, bt)
+    n_chunks = (bt + c - 1) // c
+    pad = n_chunks * c - bt
+
+    def pad_flat(x, fill):
+        x = x.reshape((bt,) + x.shape[2:] if x.ndim > 2 else (bt,))
+        if pad:
+            width = ((0, pad),) + ((0, 0),) * (x.ndim - 1)
+            x = jnp.pad(x, width, constant_values=fill)
+        return x.reshape((n_chunks, c) + x.shape[1:])
+
+    ids_ck = pad_flat(ids, -1)
+    x_ck = pad_flat(feats, 0.0)
+    starts_ck = pad_flat(starts, False)
+
+    def chunk_stats(carry, inputs):
+        frame_counts, run_counts, r_sum, rx, rxx = carry
+        ids_c, x_c, starts_c = inputs
+        valid = ids_c >= 0
+        onehot_f = ((ids_c[:, None] == jnp.arange(ns)[None, :])
+                    & valid[:, None]).astype(x_c.dtype)
+        frame_counts = frame_counts + jnp.sum(onehot_f, axis=0)
+        starts_oh = onehot_f * starts_c[:, None].astype(x_c.dtype)
+        run_counts = run_counts + jnp.sum(starts_oh, axis=0)
+
+        # mixture responsibilities within the aligned state
+        xa = augment_features(x_c)
+        per_mix = jnp.dot(xa, w_flat_t,
+                          precision=MATMUL_PRECISION).reshape(c, ns, m)
+        own = jnp.take_along_axis(
+            per_mix, jnp.maximum(ids_c, 0)[:, None, None], axis=1
+        )[:, 0, :]  # [C, M] Gaussian NLL under the frame's own state
+        lp = lw[jnp.maximum(ids_c, 0)] - own
+        lp_max = jnp.max(lp, axis=-1, keepdims=True)
+        resp = jnp.exp(lp - lp_max)
+        resp = resp / jnp.sum(resp, axis=-1, keepdims=True)
+        resp = jnp.where(valid[:, None], resp, 0.0)
+
+        # weighted one-hot [C, NS*M] -> stats via two GEMMs
+        wts2 = (onehot_f[:, :, None] * resp[:, None, :]).reshape(c, ns * m)
+        r_sum = r_sum + jnp.sum(wts2, axis=0)
+        rx = rx + jnp.dot(wts2.T, x_c, precision=MATMUL_PRECISION)
+        rxx = rxx + jnp.dot(wts2.T, x_c * x_c, precision=MATMUL_PRECISION)
+        return (frame_counts, run_counts, r_sum, rx, rxx), None
+
+    init = (jnp.zeros((ns,), feats.dtype), jnp.zeros((ns,), feats.dtype),
+            jnp.zeros((ns * m,), feats.dtype), jnp.zeros((ns * m, d), feats.dtype),
+            jnp.zeros((ns * m, d), feats.dtype))
+    (frame_counts, run_counts, r_sum, rx, rxx), _ = jax.lax.scan(
+        chunk_stats, init, (ids_ck, x_ck, starts_ck))
+    r_sum = r_sum.reshape(ns, m)
+    rx = rx.reshape(ns, m, d)
+    rxx = rxx.reshape(ns, m, d)
 
     # M-step
     denom = jnp.maximum(r_sum, 1e-6)[..., None]
@@ -186,7 +220,8 @@ def embedded_step(
     return new_bank, stats
 
 
-@functools.partial(jax.jit, static_argnames=("eps_depth", "var_floor"))
+@functools.partial(jax.jit,
+                   static_argnames=("eps_depth", "var_floor", "frame_chunk"))
 def embedded_step_soft(
     bank: HMMBank,
     feats,
@@ -194,6 +229,7 @@ def embedded_step_soft(
     graph_batch,
     eps_depth: int = 1,
     var_floor: float = 1e-2,
+    frame_chunk: int = 65536,
 ):
     """One true Baum-Welch iteration (sum-product).
 
@@ -225,17 +261,15 @@ def embedded_step_soft(
         nll = nll_bank[:, bstate]
         res = forward_backward(
             nll, tr, init, nf, eps_trans=eps, eps_depth=eps_depth,
-            end_scores=ends_scores,
+            end_scores=ends_scores, xi_mode="band",
         )
         # map graph-state gamma onto bank states: [T, Sg] @ [Sg, NS]
         onehot_bank = (bstate[:, None] == jnp.arange(ns)[None, :]).astype(x.dtype)
         gamma_bank = jnp.dot(res.gamma, onehot_bank, precision=MATMUL_PRECISION)
-        # band-restricted expected transition counts per graph state
-        diag_xi = jnp.diagonal(res.xi_sum)  # self transitions
-        sub_xi = jnp.diagonal(res.xi_sum, offset=-1)  # sg -> sg+1
-        sub_xi = jnp.concatenate([sub_xi, jnp.zeros((1,))])
-        self_counts = diag_xi @ onehot_bank  # [NS]
-        exit_counts = sub_xi @ onehot_bank
+        # banded expected transition counts per graph state: the fb pass
+        # accumulates only the self/step/skip band ([3, Sg]), O(S)/frame
+        self_counts = res.xi_sum[0] @ onehot_bank  # [NS]
+        exit_counts = res.xi_sum[1] @ onehot_bank
         return gamma_bank, self_counts, exit_counts, -res.log_z
 
     g = graph_batch
@@ -243,25 +277,50 @@ def embedded_step_soft(
         feats, n_frames, g["trans"], g["eps_trans"], g["init_cost"],
         g["end_scores"], g["bank_state"],
     )
-    gamma = gamma_b.reshape(b * t, ns)
     self_counts = jnp.sum(self_c, axis=0)
     exit_counts = jnp.sum(exit_c, axis=0)
+    frame_counts = jnp.sum(gamma_b.reshape(b * t, ns), axis=0)  # soft occupancy
 
-    flat_x = feats.reshape(b * t, d)
-    # mixture responsibilities within each state, weighted by gamma
-    xa = augment_features(flat_x)
-    per_mix = jnp.dot(xa, w.reshape(ns * m, a).T,
-                      precision=MATMUL_PRECISION).reshape(b * t, ns, m)
-    lp = lw[None] - per_mix  # [BT, NS, M]
-    lp_max = jnp.max(lp, axis=-1, keepdims=True)
-    resp = jnp.exp(lp - lp_max)
-    resp = resp / jnp.maximum(jnp.sum(resp, axis=-1, keepdims=True), 1e-30)
-    wts2 = (gamma[:, :, None] * resp).reshape(b * t, ns * m)
+    # mixture responsibilities within each state, weighted by gamma —
+    # accumulated over frame chunks (peak memory O(chunk x NS x M), not
+    # O(B·T x NS·M))
+    bt = b * t
+    c = min(frame_chunk, bt)
+    n_chunks = (bt + c - 1) // c
+    pad = n_chunks * c - bt
 
-    r_sum = jnp.sum(wts2, axis=0).reshape(ns, m)
-    rx = jnp.dot(wts2.T, flat_x, precision=MATMUL_PRECISION).reshape(ns, m, d)
-    rxx = jnp.dot(wts2.T, flat_x * flat_x, precision=MATMUL_PRECISION).reshape(ns, m, d)
-    frame_counts = jnp.sum(gamma, axis=0)  # [NS] soft occupancy
+    def pad_flat(x):
+        x = x.reshape((bt,) + x.shape[2:])
+        if pad:
+            x = jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
+        return x.reshape((n_chunks, c) + x.shape[1:])
+
+    w_flat_t = w.reshape(ns * m, a).T
+
+    def chunk_stats(carry, inputs):
+        r_sum, rx, rxx = carry
+        x_c, gamma_c = inputs
+        xa = augment_features(x_c)
+        per_mix = jnp.dot(xa, w_flat_t,
+                          precision=MATMUL_PRECISION).reshape(c, ns, m)
+        lp = lw[None] - per_mix  # [C, NS, M]
+        lp_max = jnp.max(lp, axis=-1, keepdims=True)
+        resp = jnp.exp(lp - lp_max)
+        resp = resp / jnp.maximum(jnp.sum(resp, axis=-1, keepdims=True), 1e-30)
+        wts2 = (gamma_c[:, :, None] * resp).reshape(c, ns * m)
+        r_sum = r_sum + jnp.sum(wts2, axis=0)
+        rx = rx + jnp.dot(wts2.T, x_c, precision=MATMUL_PRECISION)
+        rxx = rxx + jnp.dot(wts2.T, x_c * x_c, precision=MATMUL_PRECISION)
+        return (r_sum, rx, rxx), None
+
+    init = (jnp.zeros((ns * m,), feats.dtype),
+            jnp.zeros((ns * m, d), feats.dtype),
+            jnp.zeros((ns * m, d), feats.dtype))
+    (r_sum, rx, rxx), _ = jax.lax.scan(
+        chunk_stats, init, (pad_flat(feats), pad_flat(gamma_b)))
+    r_sum = r_sum.reshape(ns, m)
+    rx = rx.reshape(ns, m, d)
+    rxx = rxx.reshape(ns, m, d)
 
     denom = jnp.maximum(r_sum, 1e-6)[..., None]
     new_means = rx / denom

@@ -152,3 +152,42 @@ def test_fb_with_epsilon_matches_brute_force(rng):
         end_scores=jnp.asarray(end_scores),
     )
     np.testing.assert_allclose(float(res.log_z), ref_z, rtol=1e-4)
+
+
+def test_band_xi_matches_dense(rng):
+    """xi_mode="band" equals the band diagonals of the dense xi on a
+    composed (banded) word graph."""
+    from speech_recognition_tpu.models.graph import build_word_graph
+    from speech_recognition_tpu.ops.viterbi_banded import MAX_BAND
+
+    def ltr(S):
+        t = np.full((S, S), np.inf)
+        for i in range(S):
+            t[i, i] = rng.uniform(0.1, 1)
+            if i + 1 < S:
+                t[i + 1, i] = rng.uniform(0.1, 1)
+            if i + 2 < S:
+                t[i + 2, i] = rng.uniform(0.5, 2)
+        return t
+
+    g = build_word_graph([ltr(4) for _ in range(3)], [[0], [2], [1]])
+    T = 21
+    nll = rng.uniform(0, 3, (T, g.n_states)).astype(np.float32)
+    for nf in [T, 11]:
+        dense = forward_backward(
+            jnp.asarray(nll), jnp.asarray(g.trans), jnp.asarray(g.init_cost),
+            jnp.int32(nf), eps_trans=jnp.asarray(g.eps_trans),
+            eps_depth=g.eps_depth)
+        band = forward_backward(
+            jnp.asarray(nll), jnp.asarray(g.trans), jnp.asarray(g.init_cost),
+            jnp.int32(nf), eps_trans=jnp.asarray(g.eps_trans),
+            eps_depth=g.eps_depth, xi_mode="band")
+        np.testing.assert_allclose(np.asarray(band.gamma),
+                                   np.asarray(dense.gamma), atol=1e-6)
+        xs = np.asarray(dense.xi_sum)
+        s = xs.shape[0]
+        for d in range(MAX_BAND + 1):
+            want = np.zeros(s)
+            want[: s - d] = np.diagonal(xs, offset=-d)
+            np.testing.assert_allclose(np.asarray(band.xi_sum)[d], want,
+                                       atol=1e-6, err_msg=f"offset {d}")

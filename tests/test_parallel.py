@@ -135,3 +135,41 @@ def test_soft_embedded_step_converges(embedded_fixture):
         nlls.append(float(stats.total_cost))
     assert nlls[-1] < nlls[0], nlls
     assert all(n2 <= n1 + 1e-2 for n1, n2 in zip(nlls, nlls[1:])), nlls
+
+
+def test_frame_chunked_stats_match_single_chunk(embedded_fixture):
+    """frame_chunk streaming accumulation == the monolithic GEMM, for
+    both the hard and the soft step (same stats up to fp association)."""
+    from speech_recognition_tpu.train.embedded_step import embedded_step_soft
+    from speech_recognition_tpu.models.graph import pad_graphs
+
+    bank, feats, n_frames, gdev, eps_depth, _, labels = embedded_fixture
+    big, _ = embedded_step(bank, jnp.asarray(feats), jnp.asarray(n_frames),
+                           gdev, eps_depth=eps_depth)
+    sm, _ = embedded_step(bank, jnp.asarray(feats), jnp.asarray(n_frames),
+                          gdev, eps_depth=eps_depth, frame_chunk=128)
+    np.testing.assert_allclose(np.asarray(big.means), np.asarray(sm.means),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(big.trans_cost),
+                               np.asarray(sm.trans_cost), rtol=1e-4, atol=1e-5)
+
+    # soft step needs end_scores in the graph batch
+    from embedded_case import make_embedded_case
+    bank2, feats2, nf2, graph_np, eps_d2, _ = make_embedded_case(seed=9, B=6)
+    import numpy as _np
+    from speech_recognition_tpu.models.graph import build_word_graph
+    # rebuild with end_scores included
+    trans_np = [_np.asarray(bank2.trans_cost[i]) for i in range(bank2.n_models)]
+    # reuse the padded batch from pad_graphs directly
+    rng2 = _np.random.default_rng(9)
+    gs = [build_word_graph(trans_np, [[int(rng2.integers(0, 4))] for _ in range(3)])
+          for _ in range(6)]
+    gb, depth = pad_graphs(gs)
+    keys = ("trans", "eps_trans", "init_cost", "end_scores", "bank_state")
+    gdev2 = {k: jnp.asarray(gb[k]) for k in keys}
+    big_s, _ = embedded_step_soft(bank2, jnp.asarray(feats2), jnp.asarray(nf2),
+                                  gdev2, eps_depth=depth)
+    sm_s, _ = embedded_step_soft(bank2, jnp.asarray(feats2), jnp.asarray(nf2),
+                                 gdev2, eps_depth=depth, frame_chunk=100)
+    np.testing.assert_allclose(np.asarray(big_s.means), np.asarray(sm_s.means),
+                               rtol=1e-4, atol=1e-5)
