@@ -96,7 +96,7 @@ def decode_lextree(
 
 @functools.partial(jax.jit, static_argnames=("k", "has_cross"))
 def _beam_batch(bank: HMMBank, feats, n_frames, tables, k: int,
-                has_cross: bool):
+                has_cross: bool, bigram_cost=None, bigram_end=None):
     from speech_recognition_tpu.ops.beam import beam_backtrace, beam_search
 
     b, t, d = feats.shape
@@ -104,30 +104,44 @@ def _beam_batch(bank: HMMBank, feats, n_frames, tables, k: int,
     def one(x, nf):
         frame_mask = jnp.arange(t) < nf
         nll = bank_nll(bank, x, frame_mask)  # [T, U] compact bank
-        fst, fco, tok_s, tok_p, tok_w = beam_search(
-            nll, tables, nf, k, has_cross=has_cross)
-        cost, words_rev = beam_backtrace(fst, fco, tok_p, tok_w, tables, nf)
+        fst, fco, fpd, tok_s, tok_p, tok_w = beam_search(
+            nll, tables, nf, k, has_cross=has_cross, bigram_cost=bigram_cost)
+        cost, words_rev = beam_backtrace(
+            fst, fco, tok_p, tok_w, tables, nf, final_pred=fpd,
+            bigram_cost=bigram_cost, bigram_end=bigram_end)
         return cost, words_rev
 
     return jax.vmap(one)(feats, n_frames)
 
 
 def beam_decode_lextree(
-    bank: HMMBank, lexg: LexGraph, feats, n_frames, k: int,
+    bank: HMMBank, lexg: LexGraph, feats, n_frames, k: int, lm=None,
 ) -> Tuple[List[List[int]], np.ndarray]:
     """Fixed-width token-passing beam decode (``ops/beam.py``): per
     frame only the k best tokens survive, and emissions are gathered
     per token from the compact unit bank — O(k) per frame instead of
     O(S), the big-vocabulary serving path.  Exact for k >= the
     reachable state count (asserted in tests); narrower beams are the
-    classic approximation."""
+    classic approximation.
+
+    ``lm`` (a BigramLM over word ids) enables predecessor-carried
+    bigram scoring on ANY tree shape — the single-tree token-passing
+    approximation (``ops/beam.py`` docstring).  Build ``lexg`` without
+    an LM in that case (insertion/unigram smears compose fine)."""
     from speech_recognition_tpu.ops.beam import beam_tables
 
     tables = beam_tables(lexg.banded, leaf_word=lexg.leaf_word)
     has_cross = lexg.banded.cross_src is not None and bool(
         (np.asarray(tables.child_starts) >= 0).any())
+    bigram_cost = bigram_end = None
+    if lm is not None:
+        bigram_cost = jnp.asarray(
+            np.concatenate([np.asarray(lm.cost, np.float32),
+                            np.asarray(lm.start_cost, np.float32)[None]]))
+        bigram_end = jnp.asarray(np.asarray(lm.end_cost, np.float32))
     costs, words_rev = _beam_batch(
-        bank, jnp.asarray(feats), jnp.asarray(n_frames), tables, k, has_cross)
+        bank, jnp.asarray(feats), jnp.asarray(n_frames), tables, k, has_cross,
+        bigram_cost=bigram_cost, bigram_end=bigram_end)
     words_rev = np.asarray(words_rev)
     seqs = []
     for i in range(words_rev.shape[0]):

@@ -31,6 +31,16 @@ Backpointers are compact per-frame planes ``[T, K]`` (token state,
 previous-token index, ended-word id), so the backtrace is a pure index
 chain — word identities fall out of the ``eps_word`` plane without any
 state decoding.
+
+Bigram on deep trees (``bigram_cost`` argument): each token carries its
+predecessor word id; when a token exits a leaf of word v carrying
+predecessor u, the epsilon hop adds ``bigram[u, v]`` (exactly the
+"bigram at word-end -> root re-entry" placement — both words are known
+there), and the re-entered token's predecessor becomes v.  Tokens
+merging inside a shared prefix keep the min-cost predecessor — the
+standard single-tree token-passing approximation (exact bigram needs a
+tree copy per predecessor); with a flat tree or a pred-independent LM
+it introduces no approximation beyond the beam itself.
 """
 
 from __future__ import annotations
@@ -143,7 +153,7 @@ def _merge_topk(cand_state, cand_cost, cand_tie, payload, k):
 
 @functools.partial(jax.jit, static_argnames=("k", "has_cross"))
 def beam_search(nll_bank, tables: BeamTables, n_frames, k: int,
-                has_cross: bool = True):
+                has_cross: bool = True, bigram_cost=None):
     """Token-passing beam over one utterance.
 
     Args:
@@ -152,37 +162,52 @@ def beam_search(nll_bank, tables: BeamTables, n_frames, k: int,
       k: static beam capacity (tokens per frame).
       has_cross: static; False skips the child-expansion loop for
         graphs without cross edges (loop graphs).
+      bigram_cost: optional ``[V+1, V]`` word-boundary costs, row V =
+        sentence-start costs.  Enables predecessor-carried token
+        passing (module docstring): ``bigram_cost[u, v]`` is added when
+        a token exits word v's leaf carrying predecessor u.  Build the
+        graph WITHOUT an LM when using this.
 
-    Returns ``(final_state [k], final_cost [k], tok_state [T, k],
-    tok_prev [T, k], tok_word [T, k])``: the final frontier plus the
-    per-frame token planes for :func:`beam_backtrace`.
+    Returns ``(final_state [k], final_cost [k], final_pred [k],
+    tok_state [T, k], tok_prev [T, k], tok_word [T, k])``: the final
+    frontier (with each token's predecessor word) plus the per-frame
+    token planes for :func:`beam_backtrace`.
     """
     t_len, u = nll_bank.shape
     r = tables.word_starts.shape[0]
     c_max = tables.child_starts.shape[1]
     r0 = tables.init_states.shape[0]
+    n_vocab = 0 if bigram_cost is None else bigram_cost.shape[1]
+    start_pred = jnp.int32(n_vocab)  # row V = sentence start
 
     def emis_at(states, nll_t):
         rows = tables.bank_state[jnp.clip(states, 0, tables.n_states - 1)]
         return jnp.where(states >= 0, nll_t[rows], POS_INF)
 
-    def eps_expand(state, cost, prev_idx, nll_t):
+    def eps_expand(state, cost, prev_idx, pred, nll_t):
         """Same-column re-entry candidates from end tokens.
 
         For each re-entry slot r: best over tokens of
-        ``eps[r, end_slot(token)] + cost`` — a one-hot MXU column
-        select — then + emission at the start state.  Carries the source
-        token's prev_idx (the eps hop consumes no frame) and its word id.
+        ``eps[r, end_slot(token)] + cost (+ bigram[pred, word])`` — a
+        one-hot MXU column select — then + emission at the start state.
+        Carries the source token's prev_idx (the eps hop consumes no
+        frame) and its word id.
         """
         slot = tables.end_slot[jnp.clip(state, 0, tables.n_states - 1)]
         slot = jnp.where(state >= 0, slot, -1)
+        word = tables.end_word[jnp.clip(state, 0, tables.n_states - 1)]
         l = tables.eps_block.shape[1]
         onehot = (slot[:, None] == jnp.arange(l)[None, :]).astype(jnp.float32)
         # [R, K] column select: exact (one operand 0/1)
         eps_cols = jax.lax.dot_general(
             tables.eps_block, onehot.T, (((1,), (0,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST)
-        scores = jnp.where(slot[None, :] >= 0, eps_cols + cost[None, :],
+        exit_cost = cost
+        if bigram_cost is not None:
+            flat = jnp.clip(pred, 0, n_vocab) * n_vocab + jnp.clip(word, 0, n_vocab - 1)
+            exit_cost = cost + jnp.where(
+                word >= 0, bigram_cost.reshape(-1)[flat], POS_INF)
+        scores = jnp.where(slot[None, :] >= 0, eps_cols + exit_cost[None, :],
                            POS_INF)
         # first-minimum over tokens in (cost, tie) order: tokens arrive
         # sorted by cost from _merge_topk, but dense semantics break eps
@@ -198,27 +223,32 @@ def beam_search(nll_bank, tables: BeamTables, n_frames, k: int,
         cand_prev = prev_idx[besti]
         cand_word = tables.end_word[
             jnp.clip(state[besti], 0, tables.n_states - 1)]
+        cand_pred = cand_word if bigram_cost is not None \
+            else jnp.full((r,), start_pred)
         # eps loses ties to frame arrivals: tie rank above any state id
         cand_tie = jnp.full((r,), tables.n_states + 1, jnp.int32)
-        return starts.astype(jnp.int32), cand_cost, cand_tie, cand_prev, cand_word
+        return (starts.astype(jnp.int32), cand_cost, cand_tie, cand_prev,
+                cand_word, cand_pred)
 
-    def column(cand_state, cand_cost, cand_tie, cand_prev, nll_t):
+    def column(cand_state, cand_cost, cand_tie, cand_prev, cand_pred, nll_t):
         """Emission add -> merge -> eps -> final top-k."""
         cand_cost = jnp.minimum(cand_cost + emis_at(cand_state, nll_t),
                                 POS_INF)
         cand_word = jnp.full(cand_state.shape, _NO_WORD, jnp.int32)
-        st, co, tie, pr, wd = _merge_topk(
-            cand_state, cand_cost, cand_tie, (cand_prev, cand_word), k)
-        e_st, e_co, e_tie, e_pr, e_wd = eps_expand(st, co, pr, nll_t)
-        st2, co2, _, pr2, wd2 = _merge_topk(
+        st, co, tie, pr, wd, pd = _merge_topk(
+            cand_state, cand_cost, cand_tie,
+            (cand_prev, cand_word, cand_pred), k)
+        e_st, e_co, e_tie, e_pr, e_wd, e_pd = eps_expand(st, co, pr, pd, nll_t)
+        st2, co2, _, pr2, wd2, pd2 = _merge_topk(
             jnp.concatenate([st, e_st]),
             jnp.concatenate([co, e_co]),
             jnp.concatenate([tie, e_tie]),
-            (jnp.concatenate([pr, e_pr]), jnp.concatenate([wd, e_wd])),
+            (jnp.concatenate([pr, e_pr]), jnp.concatenate([wd, e_wd]),
+             jnp.concatenate([pd, e_pd])),
             k,
         )
         st2 = jnp.where(co2 < POS_INF / 2, st2, -1)
-        return st2, co2, pr2, wd2
+        return st2, co2, pr2, wd2, pd2
 
     # column 0: init tokens
     pad = k - r0 if k >= r0 else 0
@@ -230,11 +260,13 @@ def beam_search(nll_bank, tables: BeamTables, n_frames, k: int,
                            jnp.full((pad,), POS_INF, jnp.float32)])
     tie0 = jnp.where(st0 >= 0, st0, tables.n_states)
     pr0 = jnp.full((k,), -1, jnp.int32)
-    st0, co0, pr0, wd0 = column(st0, co0, tie0, pr0, nll_bank[0])
+    pd_init = jnp.full((k,), start_pred)
+    st0, co0, pr0, wd0, pd0 = column(st0, co0, tie0, pr0, pd_init,
+                                     nll_bank[0])
 
-    def expand(state, cost):
+    def expand(state, cost, pred):
         """Band + cross proposals from the current frontier."""
-        ss, cs, ts, ps = [], [], [], []
+        ss, cs, ts, ps, pds = [], [], [], [], []
         idx = jnp.arange(k, dtype=jnp.int32)
         smax = tables.n_states
         for d in range(MAX_BAND + 1):
@@ -245,6 +277,7 @@ def beam_search(nll_bank, tables: BeamTables, n_frames, k: int,
             cs.append(jnp.where(tgt >= 0, cost + w, POS_INF))
             ts.append(jnp.where(state >= 0, state, smax))  # origin state
             ps.append(idx)
+            pds.append(pred)
         if has_cross:
             src = jnp.clip(state, 0, smax - 1)
             for c in range(c_max):
@@ -254,40 +287,51 @@ def beam_search(nll_bank, tables: BeamTables, n_frames, k: int,
                 cs.append(jnp.where(tgt >= 0, cost + w, POS_INF))
                 ts.append(jnp.where(state >= 0, state, smax))
                 ps.append(idx)
+                pds.append(pred)
         return (jnp.concatenate(ss), jnp.concatenate(cs),
-                jnp.concatenate(ts), jnp.concatenate(ps))
+                jnp.concatenate(ts), jnp.concatenate(ps),
+                jnp.concatenate(pds))
 
     def step(carry, inputs):
-        state, cost, final_state, final_cost = carry
+        state, cost, pred, final_state, final_cost, final_pred = carry
         t, nll_t = inputs
-        cst, cco, ctie, cprev = expand(state, cost)
-        nst, nco, nprev, nwd = column(cst, cco, ctie, cprev, nll_t)
+        cst, cco, ctie, cprev, cpred = expand(state, cost, pred)
+        nst, nco, nprev, nwd, npred = column(cst, cco, ctie, cprev, cpred,
+                                             nll_t)
         active = t < n_frames
         nst = jnp.where(active, nst, state)
         nco = jnp.where(active, nco, cost)
+        npred = jnp.where(active, npred, pred)
         last = t == n_frames - 1
         final_state = jnp.where(last, nst, final_state)
         final_cost = jnp.where(last, nco, final_cost)
+        final_pred = jnp.where(last, npred, final_pred)
         out = (jnp.where(active, nst, -1),
                jnp.where(active, nprev, -1),
                jnp.where(active, nwd, _NO_WORD))
-        return (nst, nco, final_state, final_cost), out
+        return (nst, nco, npred, final_state, final_cost, final_pred), out
 
     ts = jnp.arange(1, t_len)
     init_final_s = jnp.where(n_frames == 1, st0, -1)
     init_final_c = jnp.where(n_frames == 1, co0, POS_INF)
-    (_, _, fst, fco), (tok_s, tok_p, tok_w) = jax.lax.scan(
-        step, (st0, co0, init_final_s, init_final_c), (ts, nll_bank[1:]))
+    (_, _, _, fst, fco, fpd), (tok_s, tok_p, tok_w) = jax.lax.scan(
+        step, (st0, co0, pd0, init_final_s, init_final_c, pd0),
+        (ts, nll_bank[1:]))
     tok_state = jnp.concatenate([st0[None], tok_s], axis=0)
     tok_prev = jnp.concatenate([pr0[None], tok_p], axis=0)
     tok_word = jnp.concatenate([wd0[None], tok_w], axis=0)
-    return fst, fco, tok_state, tok_prev, tok_word
+    return fst, fco, fpd, tok_state, tok_prev, tok_word
 
 
 @jax.jit
 def beam_backtrace(final_state, final_cost, tok_prev, tok_word,
-                   tables: BeamTables, n_frames):
+                   tables: BeamTables, n_frames, final_pred=None,
+                   bigram_cost=None, bigram_end=None):
     """Best-final-token selection + index-chain backtrace.
+
+    With ``bigram_cost``/``bigram_end`` (pred-carried mode) the final
+    token additionally pays ``bigram[pred, word] + end[word]`` — its
+    own word-boundary cost was never applied (it never exited).
 
     Returns ``(best_cost, words_rev [T] int32)``: the ended-word ids
     along the best path in *reverse* order, padded with -1 — callers
@@ -297,6 +341,13 @@ def beam_backtrace(final_state, final_cost, tok_prev, tok_word,
     is_end = (final_state >= 0) & (slot >= 0)
     # end bonus is indexed like end_states = word_ends (slot order)
     bonus = tables.end_bonus[jnp.clip(slot, 0, tables.end_bonus.shape[0] - 1)]
+    if bigram_cost is not None:
+        nv = bigram_cost.shape[1]
+        word = tables.end_word[jnp.clip(final_state, 0, smax - 1)]
+        flat = jnp.clip(final_pred, 0, nv) * nv + jnp.clip(word, 0, nv - 1)
+        bonus = bonus + bigram_cost.reshape(-1)[flat]
+        if bigram_end is not None:
+            bonus = bonus + bigram_end[jnp.clip(word, 0, nv - 1)]
     tot = jnp.where(is_end, final_cost + bonus, POS_INF)
     best_idx = jnp.argmin(tot)
     best_cost = tot[best_idx]

@@ -1,0 +1,135 @@
+"""Speed-of-light accounting for the hot kernels.
+
+BASELINE.md asks for "speed-of-light per chip" on the decode-path
+kernels; RESULTS.md round 1 had measured times but no bytes/FLOPs
+model, so nobody could say whether 6 ms was 15% or 85% of the bound.
+This module prices each stage of the connected decode against the
+TPU v5e's published peaks and an explicit op count read off the kernel
+structure, so every measured number can carry a % -of-bound.
+
+Peaks (1 chip):
+* MXU: 197 TFLOP/s bf16 (v5e datasheet).  The exact one-hot selects
+  run at ``Precision.HIGHEST`` = the 6-pass bf16 decomposition, so an
+  f32-exact matmul costs 6x its nominal FLOPs in bf16 passes.
+* HBM: 819 GB/s.
+* VPU: modeled at 8 sublanes x 128 lanes x 4 ALUs x 0.94 GHz
+  ~= 3.85 Top/s f32 (not published; derived from the core layout — the
+  VPU numbers below are estimates and labeled as such).
+
+The model is deliberately *optimistic* (no overlap penalties, perfect
+fusion): "100%" means the hardware could not do the counted work any
+faster, so measured/bound is a true upper bound on efficiency.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+MXU_BF16 = 197e12  # FLOP/s
+HBM = 819e9  # B/s
+VPU = 3.85e12  # op/s (estimate, see module docstring)
+HIGHEST_PASSES = 6  # f32-exact matmul = 6 bf16 MXU passes
+
+
+def _ceil8(x):
+    return (x + 7) // 8 * 8
+
+
+def stage_bound(flops_bf16=0.0, hbm_bytes=0.0, vpu_ops=0.0) -> Dict:
+    """Time lower bound for one stage: each resource priced at peak,
+    stage time >= max over resources."""
+    t = {
+        "mxu_s": flops_bf16 / MXU_BF16,
+        "hbm_s": hbm_bytes / HBM,
+        "vpu_s": vpu_ops / VPU,
+    }
+    t["bound_s"] = max(t.values())
+    t["limiter"] = max(("mxu_s", "hbm_s", "vpu_s"), key=lambda k: t[k])[:3]
+    return t
+
+
+def emission_gemm(batch, frames, n_bank_states, n_mix, dim) -> Dict:
+    """Quadratic-form GMM emission GEMM: [B·T, D+2] x [D+2, NS·M] at
+    HIGHEST, plus the logsumexp over mixtures and the HBM traffic for
+    features in / bank-NLL out."""
+    bt = batch * frames
+    nsm = n_bank_states * n_mix
+    flops = 2.0 * bt * (dim + 2) * nsm * HIGHEST_PASSES
+    read = bt * dim * 4.0
+    write = bt * n_bank_states * 4.0
+    lse_ops = bt * nsm * 6.0  # exp/max/sum/log chain over mixtures
+    return stage_bound(flops, read + write, lse_ops)
+
+
+def banded_viterbi(batch, frames, n_graph_states, n_bank_states,
+                   n_starts, n_ends, eps_terms=None, bank_mode=True) -> Dict:
+    """Per-frame work of the Pallas banded kernel (state-major [S, B]):
+
+    * band relaxation: 3 offsets x (roll + add + cmp + 2 selects) plus
+      emission add/clamp and length masking ~= 24 elem-ops on [S8, B];
+    * epsilon block: one-hot MXU selects (expand [S8, SB8], end-gather
+      [L8, S8], start-emis [R8, SB8], two scatters [S8, R8]) and the
+      per-block min chain (~4 ops per finite (r, u) term);
+    * HBM: emission block in, int8 bp plane + eps side plane out
+      (frontier stays in VMEM — zero carry traffic).
+    """
+    s8 = _ceil8(n_graph_states)
+    sb8 = _ceil8(n_bank_states) if bank_mode else s8
+    r8 = _ceil8(n_starts)
+    l8 = _ceil8(n_ends)
+    b = batch
+    if eps_terms is None:
+        eps_terms = n_starts * n_ends  # dense block worst case
+    per_frame_mxu = 2.0 * b * (s8 * sb8  # bank expand
+                               + l8 * s8  # end gather
+                               + r8 * sb8  # start emissions
+                               + 2 * s8 * r8  # cand + better scatters
+                               ) * HIGHEST_PASSES
+    per_frame_vpu = b * (24.0 * s8 + 4.0 * eps_terms + 8.0 * r8)
+    per_frame_hbm = b * (sb8 * 4.0 + s8 * 1.0 + r8 * 4.0)
+    return stage_bound(frames * per_frame_mxu, frames * per_frame_hbm,
+                       frames * per_frame_vpu)
+
+
+def banded_backtrace(batch, frames, n_graph_states, n_starts, n_ends) -> Dict:
+    """One-hot backtrace: per frame one [S8, B] plane read (int8) +
+    eps plane, multiply-reduce for the code, an eps one-hot matmul and
+    3 masked rolls."""
+    s8 = _ceil8(n_graph_states)
+    r8 = _ceil8(n_starts)
+    l8 = _ceil8(n_ends)
+    b = batch
+    per_frame_hbm = b * (s8 * 1.0 + r8 * 4.0)
+    per_frame_mxu = 2.0 * b * (s8 * l8 + r8 * s8) * HIGHEST_PASSES
+    per_frame_vpu = b * (10.0 * s8)
+    return stage_bound(frames * per_frame_mxu, frames * per_frame_hbm,
+                       frames * per_frame_vpu)
+
+
+def mfcc_frontend(batch, samples, n_fft=512, n_frames=None, n_mel=40,
+                  n_ceps=13, dim39=39) -> Dict:
+    """GEMM-native frontend: framing matmuls, DFT as two [T, F] x
+    [F, NFFT/2+1] GEMMs, mel + DCT GEMMs, deltas/CMVN elementwise."""
+    if n_frames is None:
+        n_frames = samples // 160
+    t = batch * n_frames
+    f = 400  # window samples
+    nb = n_fft // 2 + 1
+    flops = 2.0 * t * f * nb * 2 * HIGHEST_PASSES  # cos+sin DFT GEMMs
+    flops += 2.0 * t * nb * n_mel * HIGHEST_PASSES
+    flops += 2.0 * t * n_mel * n_ceps * HIGHEST_PASSES
+    hbm = batch * samples * 4.0 + t * dim39 * 4.0
+    vpu = t * (nb * 6.0 + dim39 * 20.0)
+    return stage_bound(flops, hbm, vpu)
+
+
+def report(stages: Dict[str, Dict], measured_s: float) -> str:
+    """Human line: total bound, % of bound achieved, per-stage limits."""
+    total = sum(s["bound_s"] for s in stages.values())
+    pct = 100.0 * total / measured_s if measured_s > 0 else float("nan")
+    parts = ", ".join(
+        f"{k}: {v['bound_s']*1e3:.2f}ms@{v['limiter']}" for k, v in stages.items()
+    )
+    return (f"roofline: bound {total*1e3:.2f} ms vs measured "
+            f"{measured_s*1e3:.2f} ms -> {pct:.0f}% of speed-of-light "
+            f"({parts})")

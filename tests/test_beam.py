@@ -64,7 +64,7 @@ def test_full_width_beam_is_exact_lexgraph(rng):
         c_ref, w_ref = exact_decode(
             lexg.banded, nll, nf,
             lambda s, f: lex_words_from_path(lexg, s, nf, f))
-        fst, fco, tok_s, tok_p, tok_w = beam_search(
+        fst, fco, fpd, tok_s, tok_p, tok_w = beam_search(
             jnp.asarray(e), tables, jnp.int32(nf), k=lexg.n_states)
         cost, words_rev = beam_backtrace(fst, fco, tok_p, tok_w, tables,
                                          jnp.int32(nf))
@@ -89,7 +89,7 @@ def test_full_width_beam_is_exact_loop_graph(rng):
         bg, nll, T, lambda s, f: states_to_words(g, s, T, f))
     # bank row == graph state here (identity bank_state makes nll the
     # "compact" block)
-    fst, fco, tok_s, tok_p, tok_w = beam_search(
+    fst, fco, fpd, tok_s, tok_p, tok_w = beam_search(
         jnp.asarray(nll), tables._replace(
             bank_state=jnp.arange(g.n_states, dtype=jnp.int32)),
         jnp.int32(T), k=g.n_states, has_cross=False)
@@ -127,7 +127,7 @@ def test_narrow_beam_decodes_favorable_path(rng):
     e = np.full((T, len(units) * su), 8.0, np.float32)
     e[np.arange(T), np.asarray(cols)] = 0.1
 
-    fst, fco, tok_s, tok_p, tok_w = beam_search(
+    fst, fco, fpd, tok_s, tok_p, tok_w = beam_search(
         jnp.asarray(e), tables, jnp.int32(T), k=12)
     cost, words_rev = beam_backtrace(fst, fco, tok_p, tok_w, tables,
                                      jnp.int32(T))
@@ -199,3 +199,18 @@ def test_beam_decode_lextree_api(rng):
 
     seqs_n, costs_n = beam_decode_lextree(bank, lexg, x, nfs, k=16)
     assert seqs_n == refs
+
+    # pred-carried bigram on the deep tree: with dominant acoustics the
+    # decoded sequence is unchanged and the reported cost decomposes as
+    # acoustic + LM sequence cost (bigram applied at each word exit with
+    # the carried predecessor, start row at the first exit, end cost at
+    # the final leaf)
+    from speech_recognition_tpu.langmodel.bigram import fit_bigram, sequence_cost
+
+    lm = fit_bigram([[0, 3], [4, 2], [1]], len(words))
+    seqs_lm, costs_lm = beam_decode_lextree(bank, lexg, x, nfs,
+                                            k=lexg.n_states, lm=lm)
+    assert seqs_lm == refs
+    for i, seq in enumerate(refs):
+        np.testing.assert_allclose(
+            costs_lm[i] - costs_exact[i], sequence_cost(lm, seq), rtol=1e-5)
