@@ -169,15 +169,17 @@ def bench_connected_decode(batch=64, frames=500, n_slots=7, frame_step_s=0.01):
     n_bank = bank.n_models * bank.n_states
     terms = sum((r_hi - r_lo) * (u_hi - u_lo)
                 for (r_lo, r_hi, u_lo, u_hi) in eps_ranges(bg))
+    uw = topo.uniform_w if topo is not None else 0
     stages = {
         "emission": rl.emission_gemm(batch, frames, n_bank, bank.n_mix, 39),
         "viterbi": rl.banded_viterbi(batch, frames, graph.n_states, n_bank,
                                      int(bg.word_starts.shape[0]),
                                      int(bg.word_ends.shape[0]),
-                                     eps_terms=terms),
+                                     eps_terms=terms, uniform_w=uw),
         "backtrace": rl.banded_backtrace(batch, frames, graph.n_states,
                                          int(bg.word_starts.shape[0]),
-                                         int(bg.word_ends.shape[0])),
+                                         int(bg.word_ends.shape[0]),
+                                         uniform_w=uw),
     }
     log(rl.report(stages, dt))
     return thr

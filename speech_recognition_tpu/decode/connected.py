@@ -126,25 +126,29 @@ def _decode_banded_batch(bank: HMMBank, feats, n_frames, g: BandedGraph,
 
         return jax.vmap(one)(feats, n_frames)
 
-    def emis(x, nf):
-        frame_mask = jnp.arange(t) < nf
-        return bank_nll(bank, x, frame_mask)
-
-    nll_bank = jax.vmap(emis)(feats, n_frames)  # [B, T, S_bank]
     if pallas_topo is not None:
+        from speech_recognition_tpu.models.hmm import bank_nll_ubt
         from speech_recognition_tpu.ops.viterbi_banded_pallas import (
             viterbi_banded_tb_pallas,
         )
 
-        # compact bank block only — the kernel expands to graph states
-        # on the MXU, so the [T, S, B] gather is never materialized;
-        # the backpointer plane stays padded end to end (no slice+repad
-        # copies of the ~100 MB tensor)
-        nll_tb_bank = jnp.transpose(nll_bank, (1, 2, 0))  # [T, S_bank, B]
+        # compact bank block only, produced straight in the kernel's
+        # state-major [U, B, T] layout (no 100+ MB transpose) — the
+        # kernel expands to graph states in-kernel, so the [T, S, B]
+        # gather is never materialized; the backpointer plane stays
+        # padded end to end (no slice+repad copies of the ~100 MB
+        # tensor)
+        nll_ubt = bank_nll_ubt(bank, feats, n_frames)
         final, bp8, eps_u = viterbi_banded_tb_pallas(
-            nll_tb_bank, g, n_frames, pallas_topo, eps_depth=eps_depth,
-            bank_input=True, return_padded_bp=True, interpret=pallas_interpret)
+            nll_ubt, g, n_frames, pallas_topo, eps_depth=eps_depth,
+            bank_input=True, return_padded_bp=True, input_ubt=True,
+            interpret=pallas_interpret)
     else:
+        def emis(x, nf):
+            frame_mask = jnp.arange(t) < nf
+            return bank_nll(bank, x, frame_mask)
+
+        nll_bank = jax.vmap(emis)(feats, n_frames)  # [B, T, S_bank]
         nll_tb = jnp.transpose(nll_bank, (1, 2, 0))[:, g.bank_state, :]
         final, bp8, eps_u = viterbi_banded_tb(nll_tb, g, n_frames,
                                               eps_depth=eps_depth,

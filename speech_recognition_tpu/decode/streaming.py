@@ -13,7 +13,8 @@ classical-ASR analog of ring attention is passing the DP frontier):
 * per-chunk int8 backpointers stream to the host (1 byte per
   (frame, state)), so device memory stays O(chunk) regardless of audio
   length;
-* the final backtrace runs over the concatenated host backpointers.
+* the final backtrace is ONE batched device call over the concatenated
+  backpointer planes (``banded_backtrace_tb``) for all streams.
 
 Chunked output is bit-identical to the monolithic decode (asserted in
 tests).  Across devices the same frontier hand-off becomes a

@@ -92,6 +92,17 @@ class HMMBank(NamedTuple):
         )
 
 
+def bank_nll_ubt(bank: HMMBank, feats, n_frames):
+    """Batched emission costs in the state-major ``[N*S, B, T]`` layout
+    the Pallas decode kernel streams directly (see
+    :func:`ops.gmm.gmm_neg_log_lik_ubt` for why)."""
+    from speech_recognition_tpu.ops.gmm import gmm_neg_log_lik_ubt
+
+    means, log_vars, log_weights = bank.flat_states()
+    w, lw = gmm_emission_weights(means, log_vars, log_weights)
+    return gmm_neg_log_lik_ubt(feats, w, lw, n_frames)
+
+
 def bank_nll(bank: HMMBank, x, frame_mask=None):
     """Emission costs of every frame against every (model, state) in the
     bank — one GEMM: ``[T, D] -> [T, N*S]``.

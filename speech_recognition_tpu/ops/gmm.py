@@ -66,6 +66,32 @@ def augment_features(x):
     return jnp.concatenate([x * x, x, ones], axis=-1)
 
 
+def gmm_neg_log_lik_ubt(feats, w, log_weights, n_frames):
+    """Batched GMM NLL in the state-major ``[U, T, B]`` layout.
+
+    ``feats [B, T, D]``, ``n_frames [B]`` -> ``[U, T, B]`` — the layout
+    the Pallas decode kernel streams directly (one frame block = a
+    middle-axis slice), so the ``[B, T, U] -> [T, U, B]`` transpose of
+    the row-major path (113 MB at the production shape) never exists:
+    only the features transpose (3x smaller) plus an output-transposed
+    GEMM; everything after is a reshape view.  Masked frames get NLL 0
+    (same convention as :func:`gmm_neg_log_lik`).
+    """
+    b, t, d = feats.shape
+    u, m, a = w.shape
+    ft = jnp.transpose(feats, (1, 0, 2))  # [T, B, D]
+    xa_t = jnp.concatenate(
+        [ft * ft, ft, jnp.ones((t, b, 1), feats.dtype)], axis=-1
+    ).reshape(t * b, a).T  # [A, T*B]
+    pm = jnp.dot(w.reshape(u * m, a), xa_t,
+                 precision=MATMUL_PRECISION).reshape(u, m, t, b)
+    z = log_weights[:, :, None, None] - pm
+    zmax = jnp.max(z, axis=1, keepdims=True)
+    nll = -(jnp.log(jnp.sum(jnp.exp(z - zmax), axis=1)) + zmax[:, 0])
+    mask = jnp.arange(t)[:, None] < n_frames[None, :]  # [T, B]
+    return jnp.where(mask[None], nll, 0.0)
+
+
 def gmm_neg_log_lik(x, w, log_weights, frame_mask=None):
     """GMM NLL for every (frame, state).
 

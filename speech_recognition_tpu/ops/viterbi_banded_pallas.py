@@ -71,16 +71,33 @@ class BandedTopo(NamedTuple):
     # [T, S_bank, B] emission block and expand it on the MXU instead of
     # the caller materializing the 7x larger [T, S, B] gather
     bank_map: Tuple[int, ...] = ()
+    # W when the graph is V uniform words of W states, slot-major
+    # (starts = v*W, ends = v*W + W-1) — every composed word graph.
+    # Unlocks arithmetic/view forms of the one-hot selects: slot =
+    # state // W and end-state = u*W + W-1 are integer expressions, so
+    # the eps machinery needs no MXU at all.  0 = irregular (lex trees).
+    uniform_w: int = 0
 
 
 def banded_topology(g: BandedGraph) -> BandedTopo:
     """Extract the static topology (host-side; concrete arrays only)."""
+    starts = np.asarray(g.word_starts)
+    ends = np.asarray(g.word_ends)
+    s = int(g.init_cost.shape[0])
+    v = len(starts)
+    uniform_w = 0
+    if v and s % v == 0:
+        w = s // v
+        if (np.array_equal(starts, np.arange(v) * w)
+                and np.array_equal(ends, np.arange(v) * w + w - 1)):
+            uniform_w = w
     return BandedTopo(
-        n_states=int(g.init_cost.shape[0]),
-        word_starts=tuple(int(x) for x in np.asarray(g.word_starts)),
-        word_ends=tuple(int(x) for x in np.asarray(g.word_ends)),
+        n_states=s,
+        word_starts=tuple(int(x) for x in starts),
+        word_ends=tuple(int(x) for x in ends),
         ranges=eps_ranges(g),
         bank_map=tuple(int(x) for x in np.asarray(g.bank_state)),
+        uniform_w=uniform_w,
     )
 
 
@@ -100,10 +117,14 @@ def _ceil(x, m):
 def _kernel(nll_ref, expand_ref, band_ref, eps_ref, e_end_ref, e_start_ref,
             sel_sg_ref, p_start_ref, init_ref, nf_ref, final_ref, bp_ref,
             epsu_ref, cost_ref, *, topo: BandedTopo, eps_depth: int,
-            frames_per_step: int, bank_mode: bool):
+            frames_per_step: int, bank_mode: bool,
+            uniform: Tuple[int, int] = (), ubt: bool = False):
     ti = pl.program_id(0)
     s8, b = cost_ref.shape
     v8 = sel_sg_ref.shape[0]
+
+    def nll_at(kk):
+        return nll_ref[:, kk, :] if ubt else nll_ref[kk]
 
     def dotf(a, x, precision=_SELECT_PRECISION):
         return jax.lax.dot_general(
@@ -125,9 +146,9 @@ def _kernel(nll_ref, expand_ref, band_ref, eps_ref, e_end_ref, e_start_ref,
         if bank_mode:
             # expand the compact bank emission block to graph states on
             # the MXU (exact one-hot select)
-            emis = dotf(expand_ref[...], nll_ref[k])
+            emis = dotf(expand_ref[...], nll_at(k))
         else:
-            emis = nll_ref[k]
+            emis = nll_at(k)
 
         # --- band relaxation of the previous frontier.  Row shifts are
         # native sublane rotates (pltpu.roll); the wrapped-around rows
@@ -165,7 +186,15 @@ def _kernel(nll_ref, expand_ref, band_ref, eps_ref, e_end_ref, e_start_ref,
 
         # --- eps relaxation: static block spans, first-min tie-break ---
         for _ in range(eps_depth):
-            end_vals = dotf(e_end_ref[...], cost)  # [L8, B] one-hot select
+            if uniform:
+                # uniform layout (S = V8*W8 padded, slot-major): arc-end
+                # and arc-start rows are mid-axis indices of a pure
+                # reshape VIEW — no one-hot MXU selects anywhere
+                w_live, w8 = uniform
+                view = cost.reshape(v8, w8, b)
+                end_vals = view[:, w_live - 1, :]  # [V8, B]
+            else:
+                end_vals = dotf(e_end_ref[...], cost)  # [L8, B] select
             # build [R8, B] base/arg by concatenating the (ascending,
             # disjoint) eps-block runs — Mosaic has no scatter
             pieces_b, pieces_a = [], []
@@ -193,18 +222,34 @@ def _kernel(nll_ref, expand_ref, band_ref, eps_ref, e_end_ref, e_start_ref,
                         if len(pieces_b) > 1 else pieces_b[0])
             arc_arg = (jnp.concatenate(pieces_a, axis=0)
                        if len(pieces_a) > 1 else pieces_a[0])
-            # in bank mode e_start_ref is (E_start @ G): select start
-            # emissions straight from the compact block
-            emis_starts = dotf(e_start_ref[...],
-                               nll_ref[k] if bank_mode else emis)  # [R8, B]
-            cand_arc = jnp.minimum(arc_base + emis_starts, POS_INF)
-            # improvement test at arc level (pad rows: cand POS_INF vs
-            # cost_starts 0 -> never better), then scattered densely by
-            # the exact one-hot matmul
-            cost_starts = dotf(sel_sg_ref[...], cost)  # [R8, B]
-            better_arc = (cand_arc < cost_starts).astype(jnp.float32)
-            cand_dense = dotf(p_start_ref[...], cand_arc)  # [S8, B]
-            better = dotf(p_start_ref[...], better_arc) > 0.0
+            if uniform:
+                emis_starts = emis.reshape(v8, w8, b)[:, 0, :]
+                cand_arc = jnp.minimum(arc_base + emis_starts, POS_INF)
+                cost_starts = view[:, 0, :]
+                better_arc = (cand_arc < cost_starts).astype(jnp.float32)
+                # scatter to start rows: broadcast along a fresh word
+                # axis + merge (row v*W8+w <- arc[v]), masked to w == 0
+                def up(a):
+                    return jnp.broadcast_to(
+                        a[:, None, :], (v8, w8, b)).reshape(s8, b)
+
+                start_mask = (jax.lax.broadcasted_iota(
+                    jnp.int32, (s8, 1), 0) % w8 == 0).astype(jnp.float32)
+                better = (up(better_arc) * start_mask) > 0.0
+                cand_dense = up(cand_arc)
+            else:
+                # in bank mode e_start_ref is (E_start @ G): select start
+                # emissions straight from the compact block
+                emis_starts = dotf(e_start_ref[...],
+                                   nll_at(k) if bank_mode else emis)  # [R8, B]
+                cand_arc = jnp.minimum(arc_base + emis_starts, POS_INF)
+                # improvement test at arc level (pad rows: cand POS_INF
+                # vs cost_starts 0 -> never better), then scattered
+                # densely by the exact one-hot matmul
+                cost_starts = dotf(sel_sg_ref[...], cost)  # [R8, B]
+                better_arc = (cand_arc < cost_starts).astype(jnp.float32)
+                cand_dense = dotf(p_start_ref[...], cand_arc)  # [S8, B]
+                better = dotf(p_start_ref[...], better_arc) > 0.0
             cost = jnp.where(better, cand_dense, cost)
             bp = jnp.where(better, jnp.float32(_EPS), bp)
             side = side * (1.0 - better_arc) + arc_arg * better_arc
@@ -223,13 +268,14 @@ def _kernel(nll_ref, expand_ref, band_ref, eps_ref, e_end_ref, e_start_ref,
 @functools.partial(jax.jit,
                    static_argnames=("topo", "eps_depth", "interpret",
                                     "frames_per_step", "bank_input",
-                                    "return_padded_bp"))
+                                    "return_padded_bp", "input_ubt"))
 def viterbi_banded_tb_pallas(nll_tb, g: BandedGraph, n_frames,
                              topo: BandedTopo, eps_depth: int = 1,
                              interpret: bool = False,
                              frames_per_step: int = 4,
                              bank_input: bool = None,
-                             return_padded_bp: bool = False):
+                             return_padded_bp: bool = False,
+                             input_ubt: bool = False):
     """Drop-in Pallas replacement for
     :func:`ops.viterbi_banded.viterbi_banded_tb`.
 
@@ -248,7 +294,13 @@ def viterbi_banded_tb_pallas(nll_tb, g: BandedGraph, n_frames,
     matching the XLA kernel's encoding (band codes, ``_EPS`` + side
     plane).
     """
-    t_len, s_in, b = nll_tb.shape
+    if input_ubt:
+        # [U, T, B] emission layout (gmm_neg_log_lik_ubt): frame blocks
+        # are middle-axis slices, so the producer never transposes the
+        # full nll tensor
+        s_in, t_len, b = nll_tb.shape
+    else:
+        t_len, s_in, b = nll_tb.shape
     s = topo.n_states
     if getattr(g, "cross_src", None) is not None:
         raise NotImplementedError("Pallas banded kernel: cross-arc edges "
@@ -265,10 +317,27 @@ def viterbi_banded_tb_pallas(nll_tb, g: BandedGraph, n_frames,
     r = len(topo.word_starts)
     l = len(topo.word_ends)
     u_dtype = _eps_u_dtype(l)
-    s8 = _ceil(s, 8)
     r8 = _ceil(r, 8)
     l8 = _ceil(l, 8)
     sb8 = _ceil(s_in, 8)  # emission-block state dim (bank or graph)
+
+    # Uniform layout: pad every word to W8 = ceil8(W) states so the eps
+    # arc rows become pure reshape views / sublane repeats in-kernel —
+    # zero one-hot MXU selects.  Only with bank emissions (graph-state
+    # inputs arrive in original numbering).
+    uniform = ()
+    if topo.uniform_w and bank_mode:
+        w_live = topo.uniform_w
+        w8 = _ceil(w_live, 8)
+        v8 = _ceil(r, 8)
+        s8 = v8 * w8
+        uniform = (w_live, w8)
+        # original state i = v*W + w  ->  padded row v*W8 + w
+        orig_rows = np.arange(s)
+        pad_rows = (orig_rows // w_live) * w8 + orig_rows % w_live
+    else:
+        s8 = _ceil(s, 8)
+        pad_rows = np.arange(s)
     if not bank_mode:
         sb8 = s8
     # VMEM budget: the nll in-block, bp8 and eps_u out-blocks are
@@ -277,20 +346,25 @@ def viterbi_banded_tb_pallas(nll_tb, g: BandedGraph, n_frames,
     # under ~12 MB.
     per_k = 8 * sb8 * b + 2 * s8 * b + 8 * r8 * b
     k = max(1, min(frames_per_step, (12 * 2**20 - 4 * s8 * b) // max(per_k, 1)))
+    if input_ubt:
+        # [U, T, B] blocks put the frame axis second-to-last, which
+        # Mosaic requires to be a multiple of 8
+        k = _ceil(k, 8)
     t8 = _ceil(t_len, k)
 
-    # static one-hot selectors from the topology
+    # static one-hot selectors from the topology (unused under the
+    # uniform layout except the bank expansion)
     e_end = np.zeros((l8, s8), np.float32)
-    e_end[np.arange(l), list(topo.word_ends)] = 1.0
+    e_end[np.arange(l), pad_rows[list(topo.word_ends)]] = 1.0
     sel_sg = np.zeros((r8, s8), np.float32)
-    sel_sg[np.arange(r), list(topo.word_starts)] = 1.0
+    sel_sg[np.arange(r), pad_rows[list(topo.word_starts)]] = 1.0
     p_start = np.zeros((s8, r8), np.float32)
-    p_start[list(topo.word_starts), np.arange(r)] = 1.0
+    p_start[pad_rows[list(topo.word_starts)], np.arange(r)] = 1.0
     if bank_mode:
         # graph-state expansion G[s, j] = 1 iff bank_map[s] == j, and the
         # start-emission selector composed through it (E_start @ G)
         expand = np.zeros((s8, sb8), np.float32)
-        expand[np.arange(s), list(topo.bank_map)] = 1.0
+        expand[pad_rows, list(topo.bank_map)] = 1.0
         e_start = np.zeros((r8, sb8), np.float32)
         e_start[np.arange(r),
                 [topo.bank_map[ws] for ws in topo.word_starts]] = 1.0
@@ -300,28 +374,39 @@ def viterbi_banded_tb_pallas(nll_tb, g: BandedGraph, n_frames,
         e_start[np.arange(r), list(topo.word_starts)] = 1.0
 
     # runtime cost arrays, padded (pad states unreachable: POS_INF)
+    pad_rows_j = jnp.asarray(pad_rows)
     band_t = jnp.full((s8, 8), POS_INF, jnp.float32)
-    band_t = band_t.at[:s, : MAX_BAND + 1].set(g.band.T)
+    band_t = band_t.at[pad_rows_j, : MAX_BAND + 1].set(g.band.T)
     eps_vals = jnp.full((r8, l8), POS_INF, jnp.float32)
     eps_vals = eps_vals.at[:r, :l].set(g.eps_block)
     init_col = jnp.full((s8, 1), POS_INF, jnp.float32)
-    init_col = init_col.at[:s, 0].set(g.init_cost)
+    init_col = init_col.at[pad_rows_j, 0].set(g.init_cost)
     if sb8 != s_in or t8 != t_len:
         # emission pad rows/frames are zeros; padded GRAPH states get
         # POS_INF via band/init so zero emissions never matter, and in
         # bank mode no graph state maps to a padded bank row
-        nll_tb = jnp.pad(nll_tb, ((0, t8 - t_len), (0, sb8 - s_in), (0, 0)))
+        if input_ubt:
+            nll_tb = jnp.pad(nll_tb, ((0, sb8 - s_in), (0, t8 - t_len),
+                                      (0, 0)))
+        else:
+            nll_tb = jnp.pad(nll_tb, ((0, t8 - t_len), (0, sb8 - s_in),
+                                      (0, 0)))
     nf_row = n_frames.astype(jnp.int32)[None, :]
 
     kernel = functools.partial(_kernel, topo=topo, eps_depth=eps_depth,
-                               frames_per_step=k, bank_mode=bank_mode)
+                               frames_per_step=k, bank_mode=bank_mode,
+                               uniform=uniform, ubt=input_ubt)
     const = lambda *_: (0, 0)
+    nll_spec = (pl.BlockSpec((sb8, k, b), lambda t: (0, t, 0),
+                             memory_space=pltpu.VMEM)
+                if input_ubt else
+                pl.BlockSpec((k, sb8, b), lambda t: (t, 0, 0),
+                             memory_space=pltpu.VMEM))
     final, bp8, eps_u = pl.pallas_call(
         kernel,
         grid=(t8 // k,),
         in_specs=[
-            pl.BlockSpec((k, sb8, b), lambda t: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
+            nll_spec,
             pl.BlockSpec(expand.shape, const, memory_space=pltpu.VMEM),
             pl.BlockSpec((s8, 8), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((r8, l8), const, memory_space=pltpu.VMEM),
@@ -352,19 +437,26 @@ def viterbi_banded_tb_pallas(nll_tb, g: BandedGraph, n_frames,
     )(nll_tb, jnp.asarray(expand), band_t, eps_vals, jnp.asarray(e_end),
       jnp.asarray(e_start), jnp.asarray(sel_sg), jnp.asarray(p_start),
       init_col, nf_row)
+    final = final[pad_rows_j] if uniform else final[:s]
     if return_padded_bp:
         # hand the padded [T8, S8, B] planes straight to the Pallas
         # backtrace — slicing here and re-padding there would copy the
         # ~100 MB int8 tensor twice (pad rows/frames are inert)
-        return final[:s], bp8, eps_u
-    return final[:s], bp8[:t_len, :s], eps_u[:t_len, :r].astype(u_dtype)
+        return final, bp8, eps_u
+    if uniform:
+        bp8 = bp8[:t_len, pad_rows_j]  # back to original numbering
+    else:
+        bp8 = bp8[:t_len, :s]
+    return final, bp8, eps_u[:t_len, :r].astype(u_dtype)
 
 
 def _backtrace_kernel(bp_ref, epsu_ref, end_oh_ref, p_we_ref, sel_sg_ref,
-                      nf_ref, out_ref, oh_ref, *, t_len: int, eps_depth: int):
+                      nf_ref, out_ref, oh_ref, *, t_len: int, eps_depth: int,
+                      frames_per_step: int, uniform: Tuple[int, int] = ()):
     i = pl.program_id(0)
-    t = t_len - 1 - i
+    n_blk = pl.num_programs(0)
     s8, b = oh_ref.shape
+    r8 = sel_sg_ref.shape[0]
     l8 = p_we_ref.shape[1]
 
     def dotf(a, x):
@@ -374,45 +466,70 @@ def _backtrace_kernel(bp_ref, epsu_ref, end_oh_ref, p_we_ref, sel_sg_ref,
             preferred_element_type=jnp.float32,
         )
 
-    plane = bp_ref[0].astype(jnp.float32)  # [S8, B]
-    eps_plane = epsu_ref[0].astype(jnp.float32)  # [R8, B] origins
-    oh = jnp.where(i == 0, end_oh_ref[...], oh_ref[...])
-    rec = oh  # recorded state for frame t (pre-unwind, XLA semantics)
-
-    code = jnp.sum(plane * oh, axis=0, keepdims=True)  # [1, B]
-    used = jnp.zeros((1, b), jnp.float32)
-    iota_l = jax.lax.broadcasted_iota(jnp.int32, (l8, 1), 0).astype(jnp.float32)
-    for _ in range(eps_depth):
-        m = (code == jnp.float32(_EPS)).astype(jnp.float32)  # [1, B]
-        used = jnp.maximum(used, m)
-        # origin u from the side plane at this state's start slot: a
-        # one-hot select of the slot row, then a one-hot of u itself
-        # (all-zero when not an eps code, incl. garbage on inactive
-        # frames)
-        r_oh = dotf(sel_sg_ref[...], oh)  # [R8, B] slot of current state
-        u_val = jnp.sum(eps_plane * r_oh, axis=0, keepdims=True)  # [1, B]
-        u_oh = (u_val == iota_l).astype(jnp.float32) * m
-        oh_end = dotf(p_we_ref[...], u_oh)  # [S8, B] one-hot of word_ends[u]
-        oh = oh * (1.0 - m) + oh_end * m
-        code = jnp.sum(plane * oh, axis=0, keepdims=True)
-
-    # prev = st - code, code in {0, 1, 2} (band guarantee: st >= code)
-    prev_oh = jnp.zeros((s8, b), jnp.float32)
-    for d in range(MAX_BAND + 1):
-        md = (code == jnp.float32(d)).astype(jnp.float32)
-        # roll up by d == roll down by s8-d (pltpu.roll wants shift >= 0)
-        rolled = oh if d == 0 else pltpu.roll(oh, s8 - d, 0)
-        prev_oh = prev_oh + rolled * md
-
-    nf = nf_ref[...]  # [1, B]
-    act = jnp.where(t > 0, 1.0, 0.0) * (t < nf).astype(jnp.float32)
-    oh_ref[...] = prev_oh * act + rec * (1.0 - act)
-
     iota_s = jax.lax.broadcasted_iota(jnp.int32, (s8, 1), 0).astype(jnp.float32)
-    state_row = jnp.sum(iota_s * rec, axis=0, keepdims=True)  # [1, B]
-    flag_row = used * (t < nf).astype(jnp.float32)
-    out_ref[0] = jnp.concatenate(
-        [state_row, flag_row, jnp.zeros((6, b), jnp.float32)], axis=0)
+    iota_l = jax.lax.broadcasted_iota(jnp.int32, (l8, 1), 0).astype(jnp.float32)
+    iota_r = jax.lax.broadcasted_iota(jnp.int32, (r8, 1), 0).astype(jnp.float32)
+    nf = nf_ref[...]  # [1, B]
+    oh = oh_ref[...]
+
+    for kk in range(frames_per_step - 1, -1, -1):
+        t = (n_blk - 1 - i) * frames_per_step + kk
+        # seed from the end state at the last real frame; padded tail
+        # frames (t >= t_len) pass the carry through untouched
+        oh = jnp.where(t == t_len - 1, end_oh_ref[...], oh)
+        plane = bp_ref[kk].astype(jnp.float32)  # [S8, B]
+        eps_plane = epsu_ref[kk].astype(jnp.float32)  # [R8, B]
+        rec = oh  # recorded state for frame t (pre-unwind, XLA semantics)
+
+        code = jnp.sum(plane * oh, axis=0, keepdims=True)  # [1, B]
+        used = jnp.zeros((1, b), jnp.float32)
+        st_val = jnp.sum(iota_s * oh, axis=0, keepdims=True)  # [1, B]
+        for _ in range(eps_depth):
+            m = (code == jnp.float32(_EPS)).astype(jnp.float32)  # [1, B]
+            used = jnp.maximum(used, m)
+            if uniform:
+                # slot r = state // stride and end state = u*stride+off
+                # are pure integer expressions on uniform graphs — the
+                # eps unwind is compares + reductions, zero MXU passes
+                stride, end_off = uniform
+                r_row = jnp.floor(st_val / stride)  # [1, B]
+                u_val = jnp.sum(
+                    eps_plane * (iota_r == r_row).astype(jnp.float32),
+                    axis=0, keepdims=True)
+                u_state = u_val * stride + end_off
+                oh_end = (iota_s == u_state).astype(jnp.float32)
+            else:
+                # origin u from the side plane at this state's start
+                # slot: a one-hot select of the slot row, then a one-hot
+                # of u itself (all-zero when not an eps code, incl.
+                # garbage on inactive frames)
+                r_oh = dotf(sel_sg_ref[...], oh)  # [R8, B] slot
+                u_val = jnp.sum(eps_plane * r_oh, axis=0, keepdims=True)
+                u_oh = (u_val == iota_l).astype(jnp.float32) * m
+                oh_end = dotf(p_we_ref[...], u_oh)  # word_ends[u] one-hot
+                u_state = jnp.sum(iota_s * oh_end, axis=0, keepdims=True)
+            oh = oh * (1.0 - m) + oh_end * m
+            st_val = st_val * (1.0 - m) + u_state * m
+            code = jnp.sum(plane * oh, axis=0, keepdims=True)
+
+        # prev = st - code, code in {0, 1, 2} (band: st >= code)
+        prev_oh = jnp.zeros((s8, b), jnp.float32)
+        for d in range(MAX_BAND + 1):
+            md = (code == jnp.float32(d)).astype(jnp.float32)
+            # roll up by d == roll down by s8-d (pltpu.roll shift >= 0)
+            rolled = oh if d == 0 else pltpu.roll(oh, s8 - d, 0)
+            prev_oh = prev_oh + rolled * md
+
+        act = (jnp.where(t > 0, 1.0, 0.0) * (t < nf).astype(jnp.float32)
+               * jnp.where(t <= t_len - 1, 1.0, 0.0))
+        oh = prev_oh * act + rec * (1.0 - act)
+
+        state_row = jnp.sum(iota_s * rec, axis=0, keepdims=True)  # [1, B]
+        flag_row = used * (t < nf).astype(jnp.float32)
+        out_ref[kk] = jnp.concatenate(
+            [state_row, flag_row, jnp.zeros((6, b), jnp.float32)], axis=0)
+
+    oh_ref[...] = oh
 
 
 @functools.partial(jax.jit,
@@ -433,16 +550,31 @@ def banded_backtrace_tb_pallas(bp8, eps_u, g: BandedGraph, end_state, n_frames,
     to the XLA kernel.
     """
     t_len, s, b = bp8.shape
-    s8 = _ceil(topo.n_states, 8)
-    if s == topo.n_states:
-        if s8 != s:
-            bp8 = jnp.pad(bp8, ((0, 0), (0, s8 - s), (0, 0)))
-    elif s != s8:  # already padded by viterbi_banded_tb_pallas is fine
-        raise ValueError(f"graph/topology mismatch: {s} vs {topo.n_states}")
     r = len(topo.word_starts)
     l = len(topo.word_ends)
     r8 = _ceil(r, 8)
     l8 = _ceil(l, 8)
+    w_live = topo.uniform_w
+    # detect the uniform-padded plane layout (rows v*W8 + w) produced by
+    # the uniform viterbi kernel's return_padded_bp path
+    padded_layout = bool(
+        w_live and s == r8 * _ceil(w_live, 8)
+        and s != _ceil(topo.n_states, 8) and s != topo.n_states)
+    if padded_layout:
+        s8 = s
+        w8 = _ceil(w_live, 8)
+        uniform = (w8, w_live - 1)
+        end_state = end_state.astype(jnp.int32)
+        end_ids = (end_state // w_live) * w8 + end_state % w_live
+    else:
+        s8 = _ceil(topo.n_states, 8)
+        if s == topo.n_states:
+            if s8 != s:
+                bp8 = jnp.pad(bp8, ((0, 0), (0, s8 - s), (0, 0)))
+        elif s != s8:
+            raise ValueError(f"graph/topology mismatch: {s} vs {topo.n_states}")
+        uniform = (w_live, w_live - 1) if w_live else ()
+        end_ids = end_state.astype(jnp.int32)
     eps_u = eps_u.astype(jnp.int32)
     if eps_u.shape[1] == r and r8 != r:
         eps_u = jnp.pad(eps_u, ((0, 0), (0, r8 - r), (0, 0)))
@@ -450,35 +582,53 @@ def banded_backtrace_tb_pallas(bp8, eps_u, g: BandedGraph, end_state, n_frames,
         raise ValueError(f"eps plane/topology mismatch: {eps_u.shape[1]} vs {r}")
 
     p_we = np.zeros((s8, l8), np.float32)
-    p_we[[topo.word_ends[u] for u in range(l)], np.arange(l)] = 1.0
+    if not padded_layout:
+        p_we[[topo.word_ends[u] for u in range(l)], np.arange(l)] = 1.0
     sel_sg = np.zeros((r8, s8), np.float32)
-    sel_sg[np.arange(r), list(topo.word_starts)] = 1.0
+    if not padded_layout:
+        sel_sg[np.arange(r), list(topo.word_starts)] = 1.0
     end_oh = (jax.lax.broadcasted_iota(jnp.int32, (s8, b), 0)
-              == end_state.astype(jnp.int32)[None, :]).astype(jnp.float32)
+              == end_ids[None, :]).astype(jnp.float32)
     nf_row = n_frames.astype(jnp.int32)[None, :]
 
+    # block the reverse walk into k-frame grid steps: per-step fixed
+    # overhead dominated the one-frame-per-step form (500 sequential
+    # tiny steps)
+    k = 8
+    t8 = _ceil(bp8.shape[0], k)
+    if bp8.shape[0] != t8:
+        bp8 = jnp.pad(bp8, ((0, t8 - bp8.shape[0]), (0, 0), (0, 0)))
+        eps_u = jnp.pad(eps_u, ((0, t8 - eps_u.shape[0]), (0, 0), (0, 0)))
+    elif eps_u.shape[0] != t8:  # viterbi pads both to its own multiple
+        eps_u = jnp.pad(eps_u, ((0, t8 - eps_u.shape[0]), (0, 0), (0, 0)))
+    n_blk = t8 // k
+
     kernel = functools.partial(_backtrace_kernel, t_len=t_len,
-                               eps_depth=eps_depth)
+                               eps_depth=eps_depth, frames_per_step=k,
+                               uniform=uniform)
     const = lambda *_: (0, 0)
-    rev = lambda i: (t_len - 1 - i, 0, 0)
+    rev = lambda i: (n_blk - 1 - i, 0, 0)
     outs = pl.pallas_call(
         kernel,
-        grid=(t_len,),
+        grid=(n_blk,),
         in_specs=[
-            pl.BlockSpec((1, s8, b), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, r8, b), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, s8, b), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, r8, b), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((s8, b), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((s8, l8), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((r8, s8), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, b), const, memory_space=pltpu.VMEM),
         ],
-        out_specs=[pl.BlockSpec((1, 8, b), rev, memory_space=pltpu.VMEM)],
-        out_shape=[jax.ShapeDtypeStruct((t_len, 8, b), jnp.float32)],
+        out_specs=[pl.BlockSpec((k, 8, b), rev, memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((t8, 8, b), jnp.float32)],
         scratch_shapes=[pltpu.VMEM((s8, b), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=100 * 2**20),
         interpret=interpret,
     )(bp8, eps_u, end_oh, jnp.asarray(p_we), jnp.asarray(sel_sg), nf_row)
-    out = outs[0]
-    return out[:, 0, :].astype(jnp.int32), out[:, 1, :] > 0.5
+    out = outs[0][:t_len]
+    states = out[:, 0, :].astype(jnp.int32)
+    if padded_layout:  # back to original numbering
+        states = (states // w8) * w_live + states % w8
+    return states, out[:, 1, :] > 0.5

@@ -62,46 +62,60 @@ def emission_gemm(batch, frames, n_bank_states, n_mix, dim) -> Dict:
 
 
 def banded_viterbi(batch, frames, n_graph_states, n_bank_states,
-                   n_starts, n_ends, eps_terms=None, bank_mode=True) -> Dict:
+                   n_starts, n_ends, eps_terms=None, bank_mode=True,
+                   uniform_w=0) -> Dict:
     """Per-frame work of the Pallas banded kernel (state-major [S, B]):
 
     * band relaxation: 3 offsets x (roll + add + cmp + 2 selects) plus
       emission add/clamp and length masking ~= 24 elem-ops on [S8, B];
-    * epsilon block: one-hot MXU selects (expand [S8, SB8], end-gather
-      [L8, S8], start-emis [R8, SB8], two scatters [S8, R8]) and the
-      per-block min chain (~4 ops per finite (r, u) term);
+    * epsilon block: with ``uniform_w`` the arc extraction/scatter is
+      reshape views + broadcasts (VPU only) and the ONLY remaining MXU
+      select is the bank expansion; otherwise one-hot MXU selects
+      (expand [S8, SB8], end-gather [L8, S8], start-emis [R8, SB8], two
+      scatters [S8, R8]); either way the per-block min chain costs ~4
+      ops per finite (r, u) term;
     * HBM: emission block in, int8 bp plane + eps side plane out
       (frontier stays in VMEM — zero carry traffic).
     """
-    s8 = _ceil8(n_graph_states)
-    sb8 = _ceil8(n_bank_states) if bank_mode else s8
     r8 = _ceil8(n_starts)
     l8 = _ceil8(n_ends)
+    if uniform_w:
+        s8 = r8 * _ceil8(uniform_w)  # words padded to 8 states
+    else:
+        s8 = _ceil8(n_graph_states)
+    sb8 = _ceil8(n_bank_states) if bank_mode else s8
     b = batch
     if eps_terms is None:
         eps_terms = n_starts * n_ends  # dense block worst case
-    per_frame_mxu = 2.0 * b * (s8 * sb8  # bank expand
-                               + l8 * s8  # end gather
-                               + r8 * sb8  # start emissions
-                               + 2 * s8 * r8  # cand + better scatters
-                               ) * HIGHEST_PASSES
+    per_frame_mxu = 2.0 * b * s8 * sb8 * HIGHEST_PASSES  # bank expand
+    if not uniform_w:
+        per_frame_mxu += 2.0 * b * (l8 * s8  # end gather
+                                    + r8 * sb8  # start emissions
+                                    + 2 * s8 * r8  # cand+better scatters
+                                    ) * HIGHEST_PASSES
     per_frame_vpu = b * (24.0 * s8 + 4.0 * eps_terms + 8.0 * r8)
     per_frame_hbm = b * (sb8 * 4.0 + s8 * 1.0 + r8 * 4.0)
     return stage_bound(frames * per_frame_mxu, frames * per_frame_hbm,
                        frames * per_frame_vpu)
 
 
-def banded_backtrace(batch, frames, n_graph_states, n_starts, n_ends) -> Dict:
+def banded_backtrace(batch, frames, n_graph_states, n_starts, n_ends,
+                     uniform_w=0) -> Dict:
     """One-hot backtrace: per frame one [S8, B] plane read (int8) +
-    eps plane, multiply-reduce for the code, an eps one-hot matmul and
-    3 masked rolls."""
-    s8 = _ceil8(n_graph_states)
+    eps plane, multiply-reduce for the code, 3 masked rolls, and —
+    only on irregular graphs — an eps one-hot matmul pair (uniform
+    graphs use slot arithmetic instead)."""
     r8 = _ceil8(n_starts)
     l8 = _ceil8(n_ends)
+    if uniform_w:
+        s8 = r8 * _ceil8(uniform_w)
+    else:
+        s8 = _ceil8(n_graph_states)
     b = batch
     per_frame_hbm = b * (s8 * 1.0 + r8 * 4.0)
-    per_frame_mxu = 2.0 * b * (s8 * l8 + r8 * s8) * HIGHEST_PASSES
-    per_frame_vpu = b * (10.0 * s8)
+    per_frame_mxu = 0.0 if uniform_w else (
+        2.0 * b * (s8 * l8 + r8 * s8) * HIGHEST_PASSES)
+    per_frame_vpu = b * (12.0 * s8)
     return stage_bound(frames * per_frame_mxu, frames * per_frame_hbm,
                        frames * per_frame_vpu)
 
