@@ -402,14 +402,21 @@ def cmd_connected_test(args):
                                  word_insertion_cost=args.word_insertion_cost)
         hyps, _ = decode_connected(bank, graph, fb, nb, drop_labels=drop)
     else:
+        # one graph + one batched decode per DISTINCT slot count — a
+        # compile per length group instead of per utterance (the round-1
+        # form decoded one utterance at a time)
         vocab = [i for i in range(bank.n_models) if i != sil]
-        hyps = []
+        by_slots = {}
         for i, r in enumerate(refs):
-            n_slots = args.n_slots or len(r)
+            by_slots.setdefault(args.n_slots or len(r), []).append(i)
+        hyps = [None] * len(refs)
+        for n_slots, idxs in sorted(by_slots.items()):
             graph = build_word_graph(trans_np, [vocab] * n_slots, lm=lm)
-            h, _ = decode_connected(bank, graph, fb[i : i + 1], nb[i : i + 1],
-                                    drop_labels=drop)
-            hyps.append(h[0])
+            sel = np.asarray(idxs)
+            hs, _ = decode_connected(bank, graph, fb[sel], nb[sel],
+                                     drop_labels=drop)
+            for i, h in zip(idxs, hs):
+                hyps[i] = h
 
     for h, r, f in zip(hyps, refs, files):
         tag = "Correct" if h == r else "Incorrect"

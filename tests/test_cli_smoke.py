@@ -61,6 +61,13 @@ def test_cli_pipeline_cmvn_silence(tmp_path, capsys, monkeypatch):
     out = capsys.readouterr().out
     wer = float([l for l in out.splitlines() if l.startswith("WER:")][0].split()[1])
     assert wer <= 0.3, wer
+    # reference-parity sausage mode: one batched decode per distinct
+    # transcript length (round-1 decoded one utterance at a time)
+    main(["connected_test", "-i", ck, "-d", "data/test", "--graph", "sausage"])
+    out = capsys.readouterr().out
+    wer_s = float([l for l in out.splitlines()
+                   if l.startswith("WER:")][0].split()[1])
+    assert wer_s <= 0.35, wer_s
 
 
 def test_cli_align(tmp_path, capsys, monkeypatch):
