@@ -342,7 +342,7 @@ def bench_pipeline(batch=256, samples=80000, n_slots=7):
 
 
 def bench_lextree(batch=64, frames=500, n_words=1000, frame_step_s=0.01,
-                  beam_k=0):
+                  beam_k=0, unroll=4):
     """Big-vocabulary lextree decode: 1,000-word trie over 8 unit
     models (~9.6k states), full exact kernel or the token beam."""
     import jax
@@ -407,7 +407,8 @@ def bench_lextree(batch=64, frames=500, n_words=1000, frame_step_s=0.01,
         def body(dep):
             nf2 = jnp.where(jnp.isnan(dep), nf + 1, nf)
             nll_tb = jnp.transpose(e, (1, 2, 0))[:, bank_state, :]
-            final, bp8, eps_u = viterbi_banded_tb(nll_tb, bg, nf2)
+            final, bp8, eps_u = viterbi_banded_tb(nll_tb, bg, nf2,
+                                                  unroll=unroll)
             end_costs = final[bg.end_states, :] + bg.end_bonus[:, None]
             best = jnp.argmin(end_costs, axis=0)
             states, _ = banded_backtrace_tb(bp8, eps_u, bg,

@@ -171,8 +171,12 @@ def embedded_step(
     init = (jnp.zeros((ns,), feats.dtype), jnp.zeros((ns,), feats.dtype),
             jnp.zeros((ns * m,), feats.dtype), jnp.zeros((ns * m, d), feats.dtype),
             jnp.zeros((ns * m, d), feats.dtype))
-    (frame_counts, run_counts, r_sum, rx, rxx), _ = jax.lax.scan(
-        chunk_stats, init, (ids_ck, x_ck, starts_ck))
+    if n_chunks == 1:  # small batches: no scan machinery at all
+        (frame_counts, run_counts, r_sum, rx, rxx), _ = chunk_stats(
+            init, (ids_ck[0], x_ck[0], starts_ck[0]))
+    else:
+        (frame_counts, run_counts, r_sum, rx, rxx), _ = jax.lax.scan(
+            chunk_stats, init, (ids_ck, x_ck, starts_ck))
     r_sum = r_sum.reshape(ns, m)
     rx = rx.reshape(ns, m, d)
     rxx = rxx.reshape(ns, m, d)
@@ -316,8 +320,12 @@ def embedded_step_soft(
     init = (jnp.zeros((ns * m,), feats.dtype),
             jnp.zeros((ns * m, d), feats.dtype),
             jnp.zeros((ns * m, d), feats.dtype))
-    (r_sum, rx, rxx), _ = jax.lax.scan(
-        chunk_stats, init, (pad_flat(feats), pad_flat(gamma_b)))
+    if n_chunks == 1:  # small batches: no scan machinery at all
+        (r_sum, rx, rxx), _ = chunk_stats(
+            init, (pad_flat(feats)[0], pad_flat(gamma_b)[0]))
+    else:
+        (r_sum, rx, rxx), _ = jax.lax.scan(
+            chunk_stats, init, (pad_flat(feats), pad_flat(gamma_b)))
     r_sum = r_sum.reshape(ns, m)
     rx = rx.reshape(ns, m, d)
     rxx = rxx.reshape(ns, m, d)
