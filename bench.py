@@ -455,11 +455,58 @@ def bench_soft_em(batch=32, frames=300):
     return batch / dt
 
 
+def bench_streaming(batch=64, chunk=256, n_chunks=20, frame_step_s=0.01):
+    """Long-audio streaming decoder: per-chunk device time of the
+    carried-frontier step, plus a real multi-chunk push + one-call
+    device backtrace (finish) timed end-to-end (host transfers ride
+    the axon tunnel; labeled separately)."""
+    import jax
+    import jax.numpy as jnp
+
+    from speech_recognition_tpu.decode.connected import connected_graph_arrays
+    from speech_recognition_tpu.decode.streaming import StreamingDecoder, _chunk_step
+
+    bank = _bank()
+    graph = connected_graph_arrays(bank, 7)
+    dec = StreamingDecoder(bank, graph, chunk_frames=chunk, batch=batch)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((batch, chunk, 39)), jnp.float32)
+    nv = jnp.full((batch,), chunk, jnp.int32)
+    fr = dec._frontier
+
+    def body(dep):
+        nv2 = jnp.where(jnp.isnan(dep), nv + 1, nv)
+        f2, bp8, eps_u = jax.vmap(
+            lambda f, xx, n: _chunk_step(bank, dec.bg, f, xx, n,
+                                         eps_depth=graph.eps_depth,
+                                         first_chunk=False))(fr, x, nv2)
+        return jnp.sum(f2) + jnp.sum(bp8[0, 0].astype(jnp.float32))
+
+    dt = _timeit_device(body)
+    audio_s = batch * chunk * frame_step_s
+    log(f"streaming chunk step: {batch}x{chunk} frames in {dt*1e3:.2f} ms "
+        f"device-time ({LAST_REGIME}) -> {audio_s/dt:.0f} audio-s/s")
+
+    # real end-to-end long-audio decode (incl. tunnel host transfers)
+    t0 = time.perf_counter()
+    dec.reset()
+    for i in range(n_chunks):
+        dec.push(np.asarray(rng.standard_normal((batch, chunk, 39)),
+                            np.float32))
+    words = dec.finish()
+    wall = time.perf_counter() - t0
+    total_audio = batch * chunk * n_chunks * frame_step_s
+    log(f"streaming e2e: {n_chunks} chunks x {batch} streams "
+        f"({total_audio:.0f} audio-s) in {wall:.2f} s wall incl. tunnel "
+        f"transfers -> {total_audio/wall:.0f} audio-s/s")
+    return audio_s / dt
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--what", default="headline",
                     choices=["headline", "frontend", "train", "soft_em",
-                             "decode", "pipeline", "lextree"])
+                             "decode", "pipeline", "lextree", "streaming"])
     ap.add_argument("--batch", type=int, default=0,
                     help="0 = per-benchmark default (headline pins 512 — "
                          "the shape RESULTS.md is measured at; the repo's "
@@ -492,6 +539,8 @@ def main():
         "train": (bench_embedded_train, "embedded-EM", "utterances/s/chip", 32),
         "soft_em": (bench_soft_em, "embedded-EM-baum-welch",
                     "utterances/s/chip", 32),
+        "streaming": (bench_streaming, "streaming-decode",
+                      "audio-seconds/s/chip", 64),
     }
     if args.what in simple:
         fn, metric, unit, default_b = simple[args.what]
