@@ -1,0 +1,259 @@
+"""Lexical-tree decoding graph: the prefix trie as banded arrays.
+
+The SURVEY.md §7 step-6 north star: the reference keeps its lexical
+tree on the *text* side only (``/root/reference/sr/langmodel/lextree.py:60``
+feeds ``spellchecker.py:15``) while its speech decoder enumerates one
+full HMM copy of every word per sentence slot
+(``/root/reference/main.py:35-46``).  Here the trie IS the speech
+decoding graph:
+
+* every trie arc carries one unit HMM's states, enumerated in trie
+  preorder (arc-major, states consecutive) — shared prefixes share
+  arcs, so a large vocabulary's state count grows with the trie, not
+  with ``sum(len(word))``;
+* parent-arc-end -> child-arc-start transitions are *static cross
+  frame edges* (``BandedGraph.cross_src`` / ``cross_cost``) — exactly
+  the 0-cost boundary step edge of a concatenated word HMM, so the
+  trie decode is provably equal to a word-loop graph over concatenated
+  unit models (asserted bit-for-bit in ``tests/test_lextree_decode.py``);
+* each word-final unit gets a *dedicated leaf arc* (the reference's
+  lextree property 2, ``lextree.py:42-48``), so every leaf identifies
+  exactly one word: ``word_ends`` = leaf arc ends, and leaf -> root-arc
+  re-entry is the LM-weighted ``[R, L]`` epsilon block.
+
+Language models:
+
+* **bigram** (`lm=`): exact only on *flat* vocabularies (every word a
+  single unit — the 11-digit task), where each root arc determines the
+  next word and each leaf the previous one, so
+  ``eps_block[r, l] = wic + bigram[word(l), word(r)]`` reproduces the
+  loop graph array-for-array.  On deep trees the next word is unknown
+  at re-entry; this builder raises, and the predecessor-carried
+  token-passing beam (``ops/beam.py``) provides the bigram instead.
+* **unigram** (`unigram_cost=`): exact on any tree via min-smearing —
+  each arc carries the minimum word cost of its subtree; entering a
+  root arc charges its smear, and every cross edge charges the
+  telescoping increment ``smear(child) - smear(parent)``, so the total
+  charge along any root-to-leaf path is exactly the leaf word's cost.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from speech_recognition_tpu.langmodel.lextree import lextree_from_words
+from speech_recognition_tpu.ops.viterbi_banded import MAX_BAND, BandedGraph
+from speech_recognition_tpu.utils.numerics import POS_INF
+
+__all__ = ["LexGraph", "build_lex_graph", "lex_words_from_path"]
+
+
+@dataclasses.dataclass
+class LexGraph:
+    """Device-ready lexical-tree graph plus host-side path metadata."""
+
+    banded: BandedGraph
+    words: List[str]
+    leaf_word: np.ndarray  # [L] word id of each leaf arc (leaf order)
+    arc_of_state: np.ndarray  # [S] arc index per state
+    arc_leaf_word: np.ndarray  # [A] word id if the arc is a leaf else -1
+    arc_unit: np.ndarray  # [A] unit model id per arc
+    eps_depth: int = 1
+
+    @property
+    def n_states(self) -> int:
+        return int(self.arc_of_state.shape[0])
+
+    @property
+    def n_arcs(self) -> int:
+        return int(self.arc_unit.shape[0])
+
+    @property
+    def n_words(self) -> int:
+        return len(self.words)
+
+
+def build_lex_graph(
+    words: Sequence[str],
+    unit_trans: Sequence[np.ndarray],
+    unit_ids: Dict[str, int],
+    lm=None,
+    unigram_cost: np.ndarray = None,
+    word_insertion_cost: float = 0.0,
+) -> LexGraph:
+    """Compose the prefix-tree decoding graph over unit HMMs.
+
+    Args:
+      words: vocabulary; each word is a sequence of unit symbols
+        (characters), each a key of ``unit_ids``.
+      unit_trans: per-unit ``[S, S]`` frame-edge transition costs
+        (T[to, from], inf/POS_INF where absent), >= 2 states each.
+      unit_ids: symbol -> unit model index (row block in the unit bank).
+      lm: optional :class:`~speech_recognition_tpu.langmodel.BigramLM`.
+        Flat vocabularies only (see module docstring); deep trees raise.
+      unigram_cost: optional ``[V]`` per-word costs, min-smeared down
+        the tree (exact on any shape).
+      word_insertion_cost: extra cost per word transition.
+    """
+    words = list(words)
+    if lm is not None and unigram_cost is not None:
+        raise ValueError("pass either lm or unigram_cost, not both")
+    if lm is not None and any(len(w) > 1 for w in words):
+        raise ValueError(
+            "exact bigram on a deep lexical tree needs predecessor-carried "
+            "token passing: build the graph without lm and decode with "
+            "beam_decode_lextree(..., lm=lm) (ops/beam.py)")
+
+    tree = lextree_from_words(words)
+    word_id = {w: i for i, w in enumerate(words)}
+    if len(word_id) != len(words):
+        raise ValueError("duplicate words in the lexicon")
+
+    # Arcs = trie nodes minus the root, kept in preorder (node index - 1).
+    n_arcs = tree.n_nodes - 1
+    arc_unit = np.empty(n_arcs, np.int64)
+    arc_parent = np.asarray(tree.parent[1:], np.int64) - 1  # -1 = root
+    arc_is_leaf = np.asarray(tree.prop[1:]) == 2
+    for a in range(n_arcs):
+        sym = chr(tree.val[a + 1])
+        if sym not in unit_ids:
+            raise ValueError(f"unit symbol {sym!r} not in unit_ids")
+        arc_unit[a] = unit_ids[sym]
+
+    # Per-unit blocks, cast exactly like models/graph.build_loop_graph
+    # so flat vocabularies are bit-identical to the loop graph.
+    unit_blk, unit_k = [], []
+    for t in unit_trans:
+        t32 = np.asarray(t, dtype=np.float32)
+        unit_blk.append(np.where(np.isfinite(t32), t32, POS_INF))
+        unit_k.append(t32.shape[0])
+        if t32.shape[0] < 2:
+            raise ValueError("lexical trees need units with >= 2 states")
+    su = max(unit_k)
+
+    arc_k = np.array([unit_k[u] for u in arc_unit], np.int64)
+    arc_start = np.concatenate([[0], np.cumsum(arc_k)[:-1]]).astype(np.int64)
+    arc_end = arc_start + arc_k - 1
+    n_states = int(arc_k.sum())
+
+    arc_leaf_word = np.full(n_arcs, -1, np.int64)
+    for a in np.nonzero(arc_is_leaf)[0]:
+        arc_leaf_word[a] = word_id[tree.word_of(int(a) + 1)]
+
+    # Min-smear of the unigram: sigma[a] = min word cost over the
+    # subtree below arc a (== the word's own cost at its dedicated
+    # leaf), computed leaf-up; reverse preorder visits children first.
+    sigma = np.zeros(n_arcs, np.float64)
+    if unigram_cost is not None:
+        unigram_cost = np.asarray(unigram_cost, np.float64)
+        sigma[:] = np.inf
+        for a in range(n_arcs - 1, -1, -1):
+            if arc_is_leaf[a]:
+                sigma[a] = unigram_cost[arc_leaf_word[a]]
+            p = arc_parent[a]
+            if p >= 0:
+                sigma[p] = min(sigma[p], sigma[a])
+
+    band = np.full((MAX_BAND + 1, n_states), POS_INF, np.float32)
+    cross_src = np.zeros(n_states, np.int32)
+    cross_cost = np.full(n_states, POS_INF, np.float32)
+    bank_state = np.empty(n_states, np.int32)
+    arc_of_state = np.empty(n_states, np.int32)
+    for a in range(n_arcs):
+        u, s0, k = int(arc_unit[a]), int(arc_start[a]), int(arc_k[a])
+        blk = unit_blk[u]
+        for d in range(MAX_BAND + 1):
+            j = np.arange(d, k)
+            band[d, s0 + j] = blk[j, j - d]
+        bank_state[s0 : s0 + k] = u * su + np.arange(k)
+        arc_of_state[s0 : s0 + k] = a
+        p = arc_parent[a]
+        if p >= 0:
+            # parent-end -> child-start frame edge: the concatenated
+            # word HMM's 0-cost boundary step, plus the smear increment.
+            cross_src[s0] = arc_end[p]
+            cross_cost[s0] = np.float32(sigma[a] - sigma[p])
+
+    roots = np.nonzero(arc_parent < 0)[0]
+    leaves = np.nonzero(arc_is_leaf)[0]
+    word_starts = arc_start[roots].astype(np.int32)
+    word_ends = arc_end[leaves].astype(np.int32)
+    leaf_word = arc_leaf_word[leaves].astype(np.int32)
+
+    start_pos = np.zeros(n_states, np.int32)
+    start_pos[word_starts] = np.arange(len(roots))
+    is_start = np.zeros(n_states, bool)
+    is_start[word_starts] = True
+
+    # Re-entry epsilon block and initial costs.  Matches
+    # build_loop_graph's arithmetic exactly: costs summed in float64,
+    # stored float32 (tests assert bit-equality on flat vocabularies).
+    eps_block = np.empty((len(roots), len(leaves)), np.float32)
+    init_cost = np.full(n_states, POS_INF, np.float32)
+    end_bonus = np.zeros(len(leaves), np.float32)
+    for ri, r in enumerate(roots):
+        c = float(word_insertion_cost) + sigma[r]
+        if lm is not None:
+            # flat vocabulary: root arc r IS word leaf_word over itself
+            v = arc_leaf_word[r]
+            eps_block[ri] = [
+                c + float(lm.cost[arc_leaf_word[l], v]) for l in leaves
+            ]
+            init_cost[arc_start[r]] = float(lm.start_cost[v])
+        else:
+            eps_block[ri] = c
+            init_cost[arc_start[r]] = sigma[r]
+    if lm is not None:
+        end_bonus = np.asarray(
+            [float(lm.end_cost[w]) for w in leaf_word], np.float32)
+
+    banded = BandedGraph(
+        band=jnp.asarray(band),
+        init_cost=jnp.asarray(init_cost),
+        word_starts=jnp.asarray(word_starts),
+        word_ends=jnp.asarray(word_ends),
+        eps_block=jnp.asarray(eps_block),
+        start_pos=jnp.asarray(start_pos),
+        is_start=jnp.asarray(is_start),
+        end_states=jnp.asarray(word_ends),
+        end_bonus=jnp.asarray(end_bonus),
+        bank_state=jnp.asarray(bank_state),
+        cross_src=jnp.asarray(cross_src),
+        cross_cost=jnp.asarray(cross_cost),
+    )
+    return LexGraph(
+        banded=banded,
+        words=words,
+        leaf_word=leaf_word,
+        arc_of_state=arc_of_state,
+        arc_leaf_word=arc_leaf_word.astype(np.int32),
+        arc_unit=arc_unit.astype(np.int32),
+        eps_depth=1,
+    )
+
+
+def lex_words_from_path(
+    lexg: LexGraph, states: np.ndarray, n_frames: int, eps_flags: np.ndarray
+) -> List[int]:
+    """Per-frame trie states -> word-id sequence.
+
+    A word completes exactly when a re-entry epsilon fires (or at the
+    final frame): the frame *before* an epsilon at ``t`` lies inside
+    the completed word's dedicated leaf arc (cross edges only enter arc
+    starts and units have >= 2 states, so the pre-epsilon leaf-end at
+    ``t`` was reached from inside the same arc at ``t - 1``).  The
+    trie-side equivalent of ``decode/connected.states_to_words``
+    (reference semantics at ``/root/reference/main.py:63-67``)."""
+    states = np.asarray(states)
+    eps_flags = np.asarray(eps_flags)
+    arc = lexg.arc_of_state
+    out: List[int] = []
+    for t in range(1, int(n_frames)):
+        if eps_flags[t]:
+            out.append(int(lexg.arc_leaf_word[arc[states[t - 1]]]))
+    out.append(int(lexg.arc_leaf_word[arc[states[int(n_frames) - 1]]]))
+    return out
