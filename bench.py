@@ -342,7 +342,7 @@ def bench_pipeline(batch=256, samples=80000, n_slots=7):
 
 
 def bench_lextree(batch=64, frames=500, n_words=1000, frame_step_s=0.01,
-                  beam_k=0, unroll=4):
+                  beam_k=0, unroll=4, pallas=False, frames_per_step=1):
     """Big-vocabulary lextree decode: 1,000-word trie over 8 unit
     models (~9.6k states), full exact kernel or the token beam."""
     import jax
@@ -401,6 +401,29 @@ def bench_lextree(batch=64, frames=500, n_words=1000, frame_step_s=0.01,
                 return cost + jnp.sum(words_rev[:2].astype(jnp.float32))
 
             return jnp.sum(jax.vmap(one)(e, nf2))
+    elif pallas:
+        from speech_recognition_tpu.ops.viterbi_lex_pallas import (
+            lex_backtrace_soa_pallas as lex_backtrace_soa,
+            lex_pallas_plan,
+            viterbi_lex_pallas,
+        )
+
+        plan = lex_pallas_plan(lexg)
+        log(f"lextree pallas plan: a_pad={plan.topo.a_pad} "
+            f"levels={plan.topo.level_sizes}")
+
+        def body(dep):
+            nf2 = jnp.where(jnp.isnan(dep), nf + 1, nf)
+            nll_tub = jnp.transpose(e, (1, 2, 0))
+            final, bp8, eps_u = viterbi_lex_pallas(
+                nll_tub, plan, nf2, plan.topo,
+                frames_per_step=frames_per_step)
+            end_costs = final[plan.ends_soa, :] + bg.end_bonus[:, None]
+            best = jnp.argmin(end_costs, axis=0)
+            states, _ = lex_backtrace_soa(bp8, eps_u, plan,
+                                          plan.ends_soa[best], nf2, plan.topo)
+            return (jnp.sum(jnp.take_along_axis(end_costs, best[None], 0))
+                    + jnp.sum(states[0].astype(jnp.float32)))
     else:
         bank_state = bg.bank_state
 
@@ -418,7 +441,8 @@ def bench_lextree(batch=64, frames=500, n_words=1000, frame_step_s=0.01,
 
     dt = _timeit_device(body)
     audio_s = batch * frames * frame_step_s
-    tag = f"beam k={beam_k}" if beam_k else "exact"
+    tag = ("pallas" if pallas else
+           f"beam k={beam_k}" if beam_k else "exact")
     log(f"lextree {tag}: {batch}x{frames} in {dt*1e3:.2f} ms device-time "
         f"({LAST_REGIME}) -> {audio_s/dt:.0f} audio-s/s")
     return audio_s / dt

@@ -401,6 +401,21 @@ def cmd_connected_test(args):
         graph = build_loop_graph(trans_np, lm=lm,
                                  word_insertion_cost=args.word_insertion_cost)
         hyps, _ = decode_connected(bank, graph, fb, nb, drop_labels=drop)
+    elif args.graph == "lextree":
+        # the large-vocabulary production decoder (models/lexgraph.py);
+        # on the flat digit vocabulary it is provably identical to the
+        # loop graph, and on TPU it runs the Pallas SoA kernel
+        from speech_recognition_tpu.decode.lextree import decode_lextree
+        from speech_recognition_tpu.models.lexgraph import build_lex_graph
+
+        symbols = [chr(ord("0") + i) if i < 10 else chr(ord("A") + i - 10)
+                   for i in range(bank.n_models)]
+        lexg = build_lex_graph(
+            symbols, trans_np, {s: i for i, s in enumerate(symbols)},
+            lm=lm, word_insertion_cost=args.word_insertion_cost)
+        hyps, _ = decode_lextree(bank, lexg, fb, nb)
+        if sil is not None:
+            hyps = [[w for w in h if w != sil] for h in hyps]
     else:
         # one graph + one batched decode per DISTINCT slot count — a
         # compile per length group instead of per utterance (the round-1
@@ -591,7 +606,8 @@ def main(argv=None):
     p.add_argument("-i", "--input", required=True, help="bank .npz")
     p.add_argument("-d", "--data", required=True, help="wav dir")
     _dc = DecodeConfig()
-    p.add_argument("--graph", choices=["loop", "sausage"], default="loop")
+    p.add_argument("--graph", choices=["loop", "lextree", "sausage"],
+                   default="loop")
     p.add_argument("--lm", choices=["none", "bigram"], default="none")
     p.add_argument("--n-slots", type=int, default=0,
                    help=f"sausage slots (0 = per-utterance ref length; "

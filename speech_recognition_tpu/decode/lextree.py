@@ -35,6 +35,34 @@ from speech_recognition_tpu.ops.viterbi_banded import (
 __all__ = ["decode_lextree", "beam_decode_lextree"]
 
 
+@functools.partial(jax.jit, static_argnames=("topo", "interpret"))
+def _decode_lex_batch_pallas(bank: HMMBank, feats, n_frames, plan, topo,
+                             end_bonus, interpret: bool = False):
+    """Pallas production path: compact bank emissions [T, U, B] feed the
+    SoA kernel; backtrace states come back in SoA numbering."""
+    from speech_recognition_tpu.ops.viterbi_lex_pallas import (
+        lex_backtrace_soa_pallas,
+        viterbi_lex_pallas,
+    )
+
+    b, t, d = feats.shape
+
+    def emis(x, nf):
+        frame_mask = jnp.arange(t) < nf
+        return bank_nll(bank, x, frame_mask)
+
+    nll_tub = jnp.transpose(jax.vmap(emis)(feats, n_frames), (1, 2, 0))
+    final, bp8, eps_u = viterbi_lex_pallas(nll_tub, plan, n_frames, topo,
+                                           interpret=interpret)
+    end_costs = final[plan.ends_soa, :] + end_bonus[:, None]  # [L, B]
+    best = jnp.argmin(end_costs, axis=0)
+    states, eps_flags = lex_backtrace_soa_pallas(
+        bp8, eps_u, plan, plan.ends_soa[best], n_frames, topo,
+        interpret=interpret)
+    costs = jnp.take_along_axis(end_costs, best[None, :], axis=0)[0]
+    return states.T, eps_flags.T, costs
+
+
 @functools.partial(jax.jit, static_argnames=("eps_depth", "beam_width"))
 def _decode_lex_batch(bank: HMMBank, feats, n_frames, g: BandedGraph,
                       eps_depth: int = 1, beam_width: int = 0):
@@ -71,19 +99,57 @@ def _decode_lex_batch(bank: HMMBank, feats, n_frames, g: BandedGraph,
     return states.T, eps_flags.T, costs
 
 
+def _lex_plan_cached(lexg: LexGraph):
+    """Build (and memoize on the LexGraph) the Pallas SoA plan, or None
+    if the graph is outside the kernel's structure."""
+    if not hasattr(lexg, "_pallas_plan"):
+        from speech_recognition_tpu.ops.viterbi_lex_pallas import (
+            lex_pallas_plan,
+        )
+
+        try:
+            object.__setattr__(lexg, "_pallas_plan", lex_pallas_plan(lexg))
+        except ValueError:
+            object.__setattr__(lexg, "_pallas_plan", None)
+    return lexg._pallas_plan
+
+
 def decode_lextree(
     bank: HMMBank, lexg: LexGraph, feats, n_frames, beam_width: int = 0,
+    backend: str = None,
 ) -> Tuple[List[List[int]], np.ndarray]:
     """Decode a batch of utterances to word-id sequences over the trie.
 
     ``bank`` is the *unit* bank (the models ``lexg`` was built from, in
     the same order as its ``unit_trans``).  Returns ``(word_sequences,
-    costs)`` with word ids indexing ``lexg.words``."""
-    states, eps_flags, costs = _decode_lex_batch(
-        bank, jnp.asarray(feats), jnp.asarray(n_frames), lexg.banded,
-        eps_depth=lexg.eps_depth, beam_width=beam_width)
-    states = np.asarray(states)
-    eps_flags = np.asarray(eps_flags)
+    costs)`` with word ids indexing ``lexg.words``.
+
+    ``backend``: None auto-selects (the Pallas SoA kernel on TPU when
+    the graph fits its structure — uniform units, few root arcs — else
+    the XLA scan); "xla" / "pallas" / "pallas-interpret" force a path."""
+    import jax as _jax
+
+    if backend is None:
+        backend = "pallas" if (
+            _jax.default_backend() == "tpu" and not beam_width
+            and _lex_plan_cached(lexg) is not None) else "xla"
+    if backend.startswith("pallas"):
+        if beam_width:
+            raise ValueError("beam_width runs on the XLA backend")
+        plan = _lex_plan_cached(lexg)
+        if plan is None:
+            raise ValueError("graph outside the Pallas kernel's structure")
+        states_soa, eps_flags, costs = _decode_lex_batch_pallas(
+            bank, jnp.asarray(feats), jnp.asarray(n_frames), plan, plan.topo,
+            lexg.banded.end_bonus, interpret=backend.endswith("interpret"))
+        states = plan.state_of_soa[np.asarray(states_soa)]
+        eps_flags = np.asarray(eps_flags)
+    else:
+        states, eps_flags, costs = _decode_lex_batch(
+            bank, jnp.asarray(feats), jnp.asarray(n_frames), lexg.banded,
+            eps_depth=lexg.eps_depth, beam_width=beam_width)
+        states = np.asarray(states)
+        eps_flags = np.asarray(eps_flags)
     from speech_recognition_tpu.decode.connected import _warn_no_path
 
     _warn_no_path(costs)

@@ -1,0 +1,553 @@
+"""Pallas TPU kernel for lexical-tree (cross-edge) banded Viterbi.
+
+The word-graph Pallas kernel (``ops/viterbi_banded_pallas.py``) rejects
+graphs with cross-arc frame edges, so large-vocabulary lextree decoding
+(``models/lexgraph.py``) fell back to the XLA ``lax.scan`` kernel —
+~300 us per frame at [S~9.6k, B=256], 50x above the VPU bound, all scan
+machinery and dynamic gathers.  This kernel keeps the big frontier in
+VMEM and turns every irregular access into TPU-native structure:
+
+* **SoA state layout**: with uniform W-state units, state (arc a,
+  offset j) lives at row ``j * A + a`` of the ``[W*A, B]`` frontier.
+  Then *all* arc starts are rows ``[0, A)``, *all* arc ends are rows
+  ``[(W-1)*A, W*A)`` — contiguous slices — and the band relaxation's
+  ``j-d -> j`` step is one ``pltpu.roll`` by ``d*A`` (the POS_INF
+  additive mask reproduces the shift fill bit-exactly);
+* **cross edges level-blocked**: arcs are reordered BFS-level-major
+  (roots first), so the parent-end gather decomposes into one small
+  exact one-hot matmul per trie level ``[n_{d+1}, n_d] @ [n_d, B]`` —
+  sum(n_d * n_{d+1}) is ~1/6 of the naive [A, A] one-hot for real
+  lexica, and the selectors stay int8 in VMEM (cast per use);
+* **eps re-entry without scatters**: root arcs occupy rows ``[0, R)``,
+  so the leaf -> root re-entry is a per-root min-reduction over the
+  contiguous end slice followed by a concat — no start-state gather at
+  all.  Tie-breaking matches the XLA kernel exactly (first minimum in
+  preorder-leaf order, via a masked leaf-id min).
+
+Bit-identical to :func:`ops.viterbi_banded.viterbi_banded_tb` modulo
+the static SoA renumbering (asserted in tests, interpret mode on CPU
+and compiled on-chip).  Replaces the reference's per-token Python dict
+decoder (``/root/reference/sr/recognition/decode.py:45-68``) at
+vocabulary scales the reference never reaches.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from speech_recognition_tpu.ops.viterbi_banded import _CROSS, _EPS, MAX_BAND
+from speech_recognition_tpu.utils.numerics import POS_INF
+
+__all__ = ["LexTopo", "LexPlan", "lex_pallas_plan", "viterbi_lex_pallas",
+           "lex_backtrace_soa"]
+
+_SELECT_PRECISION = jax.lax.Precision.HIGHEST
+
+
+class LexTopo(NamedTuple):
+    """Hashable static shape data for the kernel."""
+
+    su: int  # uniform unit state count
+    a_pad: int  # padded arc count (sum of 8-padded level sizes)
+    n_roots: int  # R (root arcs = re-entry slots)
+    n_leaves: int  # L
+    level_sizes: Tuple[int, ...]  # 8-padded arcs per level
+    n_bank: int  # bank emission rows (= n_units * su_bank)
+
+
+class LexPlan(NamedTuple):
+    """Runtime arrays for the kernel plus decode-side remapping."""
+
+    topo: LexTopo
+    band_soa: jnp.ndarray  # [W*A, MAX_BAND+1] f32
+    cross_cost: jnp.ndarray  # [A, 1] f32 (POS_INF at roots/pads)
+    eps_exit: jnp.ndarray  # [A, R8] f32: eps_block[r, leaf(a)] by arc
+    leaf_id: jnp.ndarray  # [A, 1] f32 preorder leaf slot (L at non-leaf)
+    expand: jnp.ndarray  # [W*A, U8] f32 one-hot bank -> SoA state
+    init_soa: jnp.ndarray  # [W*A, 1] f32
+    sels: Tuple[jnp.ndarray, ...]  # per-level bf16 [n_{d+1}, n_d] one-hots
+    # decode-side maps (host numpy)
+    state_of_soa: np.ndarray  # [W*A] original state id (-1 at pads)
+    cross_src_soa: jnp.ndarray  # [W*A] int32 SoA parent-end row
+    ends_soa: jnp.ndarray  # [L] int32 SoA rows of leaf ends (leaf order)
+
+
+def _ceil8(x: int) -> int:
+    return (x + 7) // 8 * 8
+
+
+def lex_pallas_plan(lexg) -> LexPlan:
+    """Build the SoA/level plan for a LexGraph, or raise ValueError if
+    the graph is outside the kernel's structure (non-uniform units or
+    too many root arcs) — callers fall back to the XLA kernel."""
+    g = lexg.banded
+    band = np.asarray(g.band)
+    arc_of_state = np.asarray(lexg.arc_of_state)
+    n_arcs = lexg.n_arcs
+    s = lexg.n_states
+    if s % n_arcs != 0:
+        raise ValueError("lex Pallas kernel needs uniform unit sizes")
+    su = s // n_arcs
+    if not np.all(np.bincount(arc_of_state, minlength=n_arcs) == su):
+        raise ValueError("lex Pallas kernel needs uniform unit sizes")
+    roots_orig = np.asarray(g.word_starts) // su  # arc ids (preorder)
+    r = len(roots_orig)
+    if r > 64:
+        raise ValueError("lex Pallas kernel: too many root arcs "
+                         f"({r}); use the XLA kernel")
+    cross_src = np.asarray(g.cross_src)
+    cross_cost = np.asarray(g.cross_cost)
+    parent = np.full(n_arcs, -1, np.int64)  # parent arc (preorder ids)
+    ccost = np.full(n_arcs, POS_INF, np.float32)
+    for a in range(n_arcs):
+        st = a * su
+        if cross_cost[st] < POS_INF / 2:
+            parent[a] = cross_src[st] // su
+            ccost[a] = cross_cost[st]
+
+    # BFS-level order, roots first, children parent-major.
+    depth = np.zeros(n_arcs, np.int64)
+    for a in range(n_arcs):  # preorder: parent precedes child
+        if parent[a] >= 0:
+            depth[a] = depth[parent[a]] + 1
+    children = [[] for _ in range(n_arcs)]
+    order = [int(a) for a in range(n_arcs) if parent[a] < 0]
+    if len(order) != r or not np.array_equal(np.sort(roots_orig),
+                                             np.sort(order)):
+        raise ValueError("root arcs do not match eps re-entry slots")
+    # re-entry slot order must match eps_block rows: use word_starts order
+    order = [int(a) for a in roots_orig]
+    for a in range(n_arcs):
+        if parent[a] >= 0:
+            children[parent[a]].append(a)
+    levels = [order[:]]
+    while True:
+        nxt = [c for p in levels[-1] for c in children[p]]
+        if not nxt:
+            break
+        levels.append(nxt)
+        order += nxt
+    order = np.asarray(order, np.int64)
+
+    # padded level layout
+    lv_sizes = tuple(_ceil8(len(lv)) for lv in levels)
+    a_pad = sum(lv_sizes)
+    pos = np.full(n_arcs, -1, np.int64)  # preorder arc -> padded BFS pos
+    off = 0
+    for lv, p8 in zip(levels, lv_sizes):
+        for i, a in enumerate(lv):
+            pos[a] = off + i
+        off += p8
+
+    s_soa = su * a_pad
+    bank_state = np.asarray(g.bank_state)
+    n_bank = int(bank_state.max()) + 1
+    u8 = _ceil8(n_bank)
+
+    band_soa = np.full((s_soa, MAX_BAND + 1), POS_INF, np.float32)
+    expand = np.zeros((s_soa, u8), np.float32)
+    init_soa = np.full((s_soa, 1), POS_INF, np.float32)
+    state_of_soa = np.full(s_soa, -1, np.int64)
+    cross_src_soa = np.zeros(s_soa, np.int32)
+    init_orig = np.asarray(g.init_cost)
+    for a in range(n_arcs):
+        p = pos[a]
+        rows = np.arange(su) * a_pad + p
+        sts = a * su + np.arange(su)
+        band_soa[rows] = band[:, sts].T
+        expand[rows, bank_state[sts]] = 1.0
+        init_soa[rows, 0] = init_orig[sts]
+        state_of_soa[rows] = sts
+        if parent[a] >= 0:
+            cross_src_soa[p] = (su - 1) * a_pad + pos[parent[a]]
+
+    cc = np.full((a_pad, 1), POS_INF, np.float32)
+    for a in range(n_arcs):
+        if parent[a] >= 0:
+            cc[pos[a], 0] = ccost[a]
+
+    # per-level one-hot parent selectors (child-local row, parent-local
+    # col), bf16 (0/1 exact) for single-pass MXU selects
+    sels = []
+    src_off = 0
+    for li in range(1, len(levels)):
+        sel = np.zeros((lv_sizes[li], lv_sizes[li - 1]), np.float32)
+        for i, a in enumerate(levels[li]):
+            sel[i, pos[parent[a]] - src_off] = 1.0
+        sels.append(jnp.asarray(sel, jnp.bfloat16))
+        src_off += lv_sizes[li - 1]
+
+    # eps exit: eps_block[r, leaf_slot(a)] laid out per arc column
+    eps_block = np.asarray(g.eps_block)
+    l = eps_block.shape[1]
+    r8 = _ceil8(r)
+    eps_exit = np.full((a_pad, r8), POS_INF, np.float32)
+    leaf_id = np.full((a_pad, 1), float(l), np.float32)
+    ends_orig_arcs = np.asarray(g.word_ends) // su  # leaf arcs, slot order
+    for slot, a in enumerate(ends_orig_arcs):
+        eps_exit[pos[a], :r] = eps_block[:, slot]
+        leaf_id[pos[a], 0] = float(slot)
+    ends_soa = ((su - 1) * a_pad + pos[ends_orig_arcs]).astype(np.int32)
+
+    topo = LexTopo(su=su, a_pad=a_pad, n_roots=r, n_leaves=l,
+                   level_sizes=lv_sizes, n_bank=n_bank)
+    return LexPlan(
+        topo=topo,
+        band_soa=jnp.asarray(band_soa),
+        cross_cost=jnp.asarray(cc),
+        eps_exit=jnp.asarray(eps_exit),
+        leaf_id=jnp.asarray(leaf_id),
+        expand=jnp.asarray(expand),
+        init_soa=jnp.asarray(init_soa),
+        sels=tuple(sels),
+        state_of_soa=state_of_soa,
+        cross_src_soa=jnp.asarray(cross_src_soa),
+        ends_soa=jnp.asarray(ends_soa),
+    )
+
+
+def _lex_kernel(nll_ref, expand_ref, band_ref, cc_ref, eps_ref, lid_ref,
+                init_ref, nf_ref, *rest, topo: LexTopo, n_levels: int,
+                frames_per_step: int):
+    sel_refs = rest[:n_levels]
+    final_ref, bp_ref, epsu_ref, cost_ref = rest[n_levels:]
+    ti = pl.program_id(0)
+    s8, b = cost_ref.shape
+    su, a_pad, r = topo.su, topo.a_pad, topo.n_roots
+    r8 = eps_ref.shape[1]
+    end_lo = (su - 1) * a_pad
+
+    def dotf(sel, x):
+        return jax.lax.dot_general(
+            sel, x, (((1,), (0,)), ((), ())),
+            precision=_SELECT_PRECISION,
+            preferred_element_type=jnp.float32)
+
+    def dotd(sel, x):  # bf16 x bf16 -> f32 accumulate, one MXU pass
+        return jax.lax.dot_general(
+            sel, x, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.DEFAULT,
+            preferred_element_type=jnp.float32)
+
+    prev = cost_ref[...]
+    fin = final_ref[...]
+    nf_b = nf_ref[...] + jnp.zeros((s8, b), jnp.int32)
+    inf_sb = jnp.full((s8, b), POS_INF, jnp.float32)
+
+    for k in range(frames_per_step):
+        t_abs = ti * frames_per_step + k
+        emis = dotf(expand_ref[...], nll_ref[k])  # [S_soa, B] exact select
+
+        # band relaxation: SoA j-1 -> j is a roll by a_pad rows
+        best = inf_sb
+        dsel = jnp.zeros((s8, b), jnp.float32)
+        for d in range(MAX_BAND + 1):
+            col = band_ref[:, d : d + 1]
+            if d == 0:
+                shifted = prev
+            else:
+                pen = jnp.where(
+                    jax.lax.broadcasted_iota(jnp.int32, (s8, 1), 0)
+                    < d * a_pad,
+                    jnp.float32(POS_INF), jnp.float32(0))
+                shifted = jnp.minimum(
+                    pltpu.roll(prev, d * a_pad, 0) + pen, POS_INF)
+            cand = col + shifted
+            take = cand <= best
+            best = jnp.where(take, cand, best)
+            dsel = jnp.where(take, jnp.float32(d), dsel)
+        base = jnp.minimum(best, POS_INF)
+
+        # cross edges: level-blocked one-hot gathers of the previous
+        # frontier's arc-end slice (reads PREV, like the XLA kernel).
+        # The f32 end values split exactly into three bf16 planes
+        # (24 = 3 x 8 mantissa bits), so each gather is three DEFAULT
+        # bf16 matmuls instead of HIGHEST's six passes — the select
+        # stays bit-exact (one-hot rows pick one value; the f32
+        # accumulator re-sums the non-overlapping parts exactly).
+        ends_prev = prev[end_lo:, :]  # [A, B]
+        e0 = ends_prev.astype(jnp.bfloat16)
+        r1 = ends_prev - e0.astype(jnp.float32)
+        e1 = r1.astype(jnp.bfloat16)
+        e2 = (r1 - e1.astype(jnp.float32)).astype(jnp.bfloat16)
+        pieces = [jnp.full((topo.level_sizes[0], b), POS_INF, jnp.float32)]
+        src_off = 0
+        for li in range(n_levels):
+            n_src = topo.level_sizes[li]
+            sel = sel_refs[li][...]
+            sl = slice(src_off, src_off + n_src)
+            g = (dotd(sel, e0[sl, :]) + dotd(sel, e1[sl, :])
+                 + dotd(sel, e2[sl, :]))
+            pieces.append(g)
+            src_off += n_src
+        gath = jnp.concatenate(pieces, axis=0) if len(pieces) > 1 else pieces[0]
+        cand_start = jnp.minimum(gath + cc_ref[...], POS_INF)  # [A, B]
+        if su > 1:
+            cand_cross = jnp.concatenate(
+                [cand_start,
+                 jnp.full((end_lo, b), POS_INF, jnp.float32)], axis=0)
+        else:
+            cand_cross = cand_start
+        take = cand_cross <= base
+        base = jnp.where(take, cand_cross, base)
+        dsel = jnp.where(take, jnp.float32(_CROSS), dsel)
+
+        if k == 0:  # first frame of step 0 seeds from init
+            is0 = ti == 0
+            init_b = init_ref[...] + jnp.zeros((s8, b), jnp.float32)
+            base = jnp.where(is0, init_b, base)
+            dsel = jnp.where(is0, jnp.float32(0), dsel)
+            prev = jnp.where(is0, inf_sb, prev)
+            fin = jnp.where(is0, inf_sb, fin)
+
+        cost = jnp.minimum(base + emis, POS_INF)
+        bp = dsel
+
+        # eps re-entry: per-root min over the end slice, first minimum
+        # in preorder-leaf order (masked leaf-id min), then a concat
+        # update of the root rows [0, R8)
+        end_vals = cost[end_lo:, :]  # [A, B]
+        mins, args = [], []
+        big = jnp.float32(topo.n_leaves + 1)
+        for ri in range(r):
+            sc = jnp.minimum(eps_ref[:, ri : ri + 1] + end_vals, POS_INF)
+            m = jnp.min(sc, axis=0, keepdims=True)  # [1, B]
+            ids = jnp.where(sc == m, lid_ref[...], big)
+            arg = jnp.min(ids, axis=0, keepdims=True)
+            mins.append(m)
+            args.append(arg)
+        pad_rows = r8 - r
+        if pad_rows:
+            mins.append(jnp.full((pad_rows, b), POS_INF, jnp.float32))
+            args.append(jnp.zeros((pad_rows, b), jnp.float32))
+        eps_min = jnp.concatenate(mins, axis=0)  # [R8, B]
+        eps_arg = jnp.concatenate(args, axis=0)
+        cand_re = jnp.minimum(eps_min + emis[:r8, :], POS_INF)
+        head_cost = cost[:r8, :]
+        better = cand_re < head_cost
+        new_head_cost = jnp.where(better, cand_re, head_cost)
+        new_head_bp = jnp.where(better, jnp.float32(_EPS), bp[:r8, :])
+        cost = jnp.concatenate([new_head_cost, cost[r8:, :]], axis=0)
+        bp = jnp.concatenate([new_head_bp, bp[r8:, :]], axis=0)
+        side = jnp.where(better, eps_arg, jnp.float32(0))
+
+        cost = jnp.where(t_abs < nf_b, cost, prev)
+        bp_ref[k] = bp.astype(jnp.int8)
+        epsu_ref[k] = side.astype(jnp.int32)
+        fin = jnp.where(t_abs == nf_b - 1, cost, fin)
+        prev = cost
+
+    cost_ref[...] = prev
+    final_ref[...] = fin
+
+
+@functools.partial(jax.jit, static_argnames=("topo", "interpret",
+                                             "frames_per_step"))
+def viterbi_lex_pallas(nll_tub, plan: LexPlan, n_frames, topo: LexTopo,
+                       interpret: bool = False, frames_per_step: int = 1):
+    """Lexical-tree banded Viterbi over compact bank emissions.
+
+    ``nll_tub [T, U, B]`` (bank rows), ``n_frames [B]`` ->
+    ``(final [S_soa, B], bp8 [T, S_soa, B] int8, eps_u [T, R8, B]
+    int32)`` in the plan's SoA numbering — decode with
+    :func:`lex_backtrace_soa` and remap via ``plan.state_of_soa``.
+    """
+    t_len, u_in, b = nll_tub.shape
+    su, a_pad = topo.su, topo.a_pad
+    s_soa = su * a_pad
+    u8 = plan.expand.shape[1]
+    r8 = plan.eps_exit.shape[1]
+    n_levels = len(plan.sels)
+    k = frames_per_step
+    t8 = (t_len + k - 1) // k * k
+    if u8 != u_in or t8 != t_len:
+        nll_tub = jnp.pad(nll_tub, ((0, t8 - t_len), (0, u8 - u_in), (0, 0)))
+    nf_row = n_frames.astype(jnp.int32)[None, :]
+
+    kernel = functools.partial(_lex_kernel, topo=topo, n_levels=n_levels,
+                               frames_per_step=k)
+    const = lambda *_: (0, 0)
+    sel_specs = [pl.BlockSpec(s.shape, const, memory_space=pltpu.VMEM)
+                 for s in plan.sels]
+    final, bp8, eps_u = pl.pallas_call(
+        kernel,
+        grid=(t8 // k,),
+        in_specs=[
+            pl.BlockSpec((k, u8, b), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(plan.expand.shape, const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((s_soa, MAX_BAND + 1), const,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((a_pad, 1), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((a_pad, r8), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((a_pad, 1), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((s_soa, 1), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b), const, memory_space=pltpu.VMEM),
+        ] + sel_specs,
+        out_specs=[
+            pl.BlockSpec((s_soa, b), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, s_soa, b), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, r8, b), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((s_soa, b), jnp.float32),
+            jax.ShapeDtypeStruct((t8, s_soa, b), jnp.int8),
+            jax.ShapeDtypeStruct((t8, r8, b), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.VMEM((s_soa, b), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=127 * 2**20),
+        interpret=interpret,
+    )(nll_tub, plan.expand, plan.band_soa, plan.cross_cost, plan.eps_exit,
+      plan.leaf_id, plan.init_soa, nf_row, *plan.sels)
+    return final, bp8[:t_len], eps_u[:t_len]
+
+
+def _lex_bt_kernel(bp_ref, epsu_ref, endv_ref, cross_ref, ends_ref, nf_ref,
+                   out_ref, st_ref, *, t_len: int, a_pad: int,
+                   frames_per_step: int):
+    """Reverse-walk kernel: the per-stream state rides as a VALUE row
+    [1, B]; every lookup is an iota-compare + masked reduction (zero
+    MXU).  Cross codes follow the SoA parent column, eps codes the
+    preorder-leaf side plane."""
+    i = pl.program_id(0)
+    n_blk = pl.num_programs(0)
+    s8, b = cross_ref.shape[0], endv_ref.shape[1]
+    r8 = epsu_ref.shape[1]
+    l8 = ends_ref.shape[0]
+
+    iota_s = jax.lax.broadcasted_iota(jnp.int32, (s8, 1), 0).astype(jnp.float32)
+    iota_r = jax.lax.broadcasted_iota(jnp.int32, (r8, 1), 0).astype(jnp.float32)
+    iota_l = jax.lax.broadcasted_iota(jnp.int32, (l8, 1), 0).astype(jnp.float32)
+    nf = nf_ref[...].astype(jnp.float32)  # [1, B]
+    st = st_ref[...]  # [1, B] carried state value
+
+    for kk in range(frames_per_step - 1, -1, -1):
+        t = (n_blk - 1 - i) * frames_per_step + kk
+        st = jnp.where(t == t_len - 1, endv_ref[...], st)
+        plane = bp_ref[kk].astype(jnp.float32)  # [S8, B]
+        eps_plane = epsu_ref[kk].astype(jnp.float32)  # [R8, B]
+        rec = st
+
+        oh = (iota_s == st).astype(jnp.float32)  # [S8, B]
+        code = jnp.sum(plane * oh, axis=0, keepdims=True)
+        m = (code == jnp.float32(_EPS)).astype(jnp.float32)
+        used = m
+        # root rows [0, R): the re-entry slot IS the row value
+        u = jnp.sum(eps_plane * (iota_r == st).astype(jnp.float32),
+                    axis=0, keepdims=True)
+        end_st = jnp.sum(ends_ref[...] * (iota_l == u).astype(jnp.float32),
+                         axis=0, keepdims=True)
+        st = st * (1.0 - m) + end_st * m
+        oh = (iota_s == st).astype(jnp.float32)
+        code = jnp.sum(plane * oh, axis=0, keepdims=True)
+
+        src = jnp.sum(cross_ref[...] * oh, axis=0, keepdims=True)
+        band_prev = st - jnp.minimum(code, jnp.float32(MAX_BAND)) * a_pad
+        prev = jnp.where(code == jnp.float32(_CROSS), src, band_prev)
+
+        act = (jnp.where(t > 0, 1.0, 0.0) * (t < nf).astype(jnp.float32)
+               * jnp.where(t <= t_len - 1, 1.0, 0.0))
+        st = prev * act + rec * (1.0 - act)
+        out_ref[kk] = jnp.concatenate(
+            [rec, used * (t < nf).astype(jnp.float32),
+             jnp.zeros((6, b), jnp.float32)], axis=0)
+
+    st_ref[...] = st
+
+
+@functools.partial(jax.jit, static_argnames=("topo", "interpret"))
+def lex_backtrace_soa_pallas(bp8, eps_u, plan: LexPlan, end_state_soa,
+                             n_frames, topo: LexTopo,
+                             interpret: bool = False):
+    """Pallas twin of :func:`lex_backtrace_soa`: blocked reverse grid,
+    value-carried states, bit-identical output (asserted in tests)."""
+    t_len, s_soa, b = bp8.shape
+    r8 = eps_u.shape[1]
+    l8 = _ceil8(topo.n_leaves)
+    ends_col = jnp.zeros((l8, 1), jnp.float32).at[: topo.n_leaves, 0].set(
+        plan.ends_soa.astype(jnp.float32))
+    cross_col = plan.cross_src_soa.astype(jnp.float32)[:, None]  # [A, 1]
+    cross_full = jnp.concatenate(
+        [cross_col, jnp.zeros((s_soa - topo.a_pad, 1), jnp.float32)], axis=0)
+    endv = end_state_soa.astype(jnp.float32)[None, :]
+    nf_row = n_frames.astype(jnp.int32)[None, :]
+
+    k = 8
+    t8 = _ceil8(t_len)
+    if t8 != t_len:
+        bp8 = jnp.pad(bp8, ((0, t8 - t_len), (0, 0), (0, 0)))
+        eps_u = jnp.pad(eps_u, ((0, t8 - t_len), (0, 0), (0, 0)))
+    n_blk = t8 // k
+
+    kernel = functools.partial(_lex_bt_kernel, t_len=t_len,
+                               a_pad=topo.a_pad, frames_per_step=k)
+    const = lambda *_: (0, 0)
+    rev = lambda i: (n_blk - 1 - i, 0, 0)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_blk,),
+        in_specs=[
+            pl.BlockSpec((k, s_soa, b), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, r8, b), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((s_soa, 1), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((l8, 1), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b), const, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[pl.BlockSpec((k, 8, b), rev, memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((t8, 8, b), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((1, b), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 2**20),
+        interpret=interpret,
+    )(bp8, eps_u, endv, cross_full, ends_col, nf_row)
+    out = outs[0][:t_len]
+    return out[:, 0, :].astype(jnp.int32), out[:, 1, :] > 0.5
+
+
+@functools.partial(jax.jit, static_argnames=("topo", "unroll"))
+def lex_backtrace_soa(bp8, eps_u, plan: LexPlan, end_state_soa, n_frames,
+                      topo: LexTopo, unroll: int = 1):
+    """SoA twin of :func:`ops.viterbi_banded.banded_backtrace_tb`:
+    band codes step by ``a_pad`` rows, cross codes follow the SoA
+    parent map, eps codes re-enter via the preorder-leaf side plane.
+    ``bp8 [T, S_soa, B]``, ``end_state_soa [B]`` ->
+    ``(states_soa [T, B], eps_entered [T, B])``."""
+    t_len, s_soa, b = bp8.shape
+    a_pad = topo.a_pad
+
+    def take(plane, idx):
+        return jnp.take_along_axis(plane, idx[None, :], axis=0)[0]
+
+    def step(carry, t):
+        rec = carry
+        st = carry
+        plane = bp8[t]
+        code = take(plane, st).astype(jnp.int32)
+        is_eps = code == _EPS
+        # root rows [0, R): the re-entry slot index IS the row
+        u = take(eps_u[t], jnp.minimum(st, eps_u.shape[1] - 1))
+        st = jnp.where(is_eps, plan.ends_soa[jnp.clip(u, 0,
+                                                      topo.n_leaves - 1)], st)
+        code = jnp.where(is_eps, take(plane, st).astype(jnp.int32), code)
+        prev = jnp.where(code == _CROSS, plan.cross_src_soa[st],
+                         st - jnp.minimum(code, MAX_BAND) * a_pad)
+        active = (t > 0) & (t < n_frames)
+        return jnp.where(active, prev, rec), (rec, is_eps & (t < n_frames))
+
+    ts = jnp.arange(t_len - 1, -1, -1)
+    _, (states_rev, eps_rev) = jax.lax.scan(
+        step, end_state_soa.astype(jnp.int32), ts, unroll=unroll)
+    return states_rev[::-1], eps_rev[::-1]

@@ -39,6 +39,15 @@ def test_cli_pipeline(tmp_path, capsys, monkeypatch):
     wer = float([l for l in out.splitlines() if l.startswith("WER:")][0].split()[1])
     assert wer <= 0.25, f"CLI connected WER {wer}"
 
+    # the lextree decoder on the flat digit vocabulary is provably the
+    # loop graph: identical WER line for line
+    main(["connected_test", "-i", sorted(glob.glob("models-cont/*.npz"))[-1],
+          "-d", "data/test", "--graph", "lextree", "--lm", "bigram"])
+    out = capsys.readouterr().out
+    wer_lex = float(
+        [l for l in out.splitlines() if l.startswith("WER:")][0].split()[1])
+    assert wer_lex == wer, (wer_lex, wer)
+
 
 def test_cli_pipeline_cmvn_silence(tmp_path, capsys, monkeypatch):
     """CMVN + silence-model flags end to end."""

@@ -1,0 +1,184 @@
+"""Pallas lexical-tree kernel: bit-parity with the XLA banded kernel
+(modulo the static SoA renumbering), interpret mode on CPU."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from speech_recognition_tpu.models.lexgraph import (
+    build_lex_graph,
+    lex_words_from_path,
+)
+from speech_recognition_tpu.ops.viterbi_banded import (
+    banded_backtrace_tb,
+    viterbi_banded_tb,
+)
+from speech_recognition_tpu.ops.viterbi_lex_pallas import (
+    lex_backtrace_soa,
+    lex_backtrace_soa_pallas,
+    lex_pallas_plan,
+    viterbi_lex_pallas,
+)
+from speech_recognition_tpu.utils.numerics import POS_INF
+
+
+def ltr(S, rng, skip=True):
+    t = np.full((S, S), np.inf)
+    for i in range(S):
+        t[i, i] = rng.uniform(0.1, 1)
+        if i + 1 < S:
+            t[i + 1, i] = rng.uniform(0.1, 1)
+        if skip and i + 2 < S:
+            t[i + 2, i] = rng.uniform(0.5, 2)
+    return t
+
+
+def make_lexg(rng, words=None, unigram=False, su=3):
+    words = words or ["aa", "ab", "abb", "ba", "b", "cab", "ca"]
+    units = sorted(set("".join(words)))
+    unit_ids = {ch: i for i, ch in enumerate(units)}
+    unit_trans = [ltr(su, rng, skip=(i % 2 == 0)) for i in range(len(units))]
+    uni = rng.uniform(0.5, 3.0, len(words)).astype(np.float32) \
+        if unigram else None
+    lexg = build_lex_graph(words, unit_trans, unit_ids, unigram_cost=uni,
+                           word_insertion_cost=0.4)
+    return lexg, unit_trans, unit_ids, units
+
+
+def run_both(lexg, e_tub, nf):
+    """XLA reference vs Pallas (interpret): final costs, states, flags."""
+    t_len, u, b = e_tub.shape
+    bank_state = np.asarray(lexg.banded.bank_state)
+    nll_tsb = jnp.asarray(e_tub)[:, bank_state, :]  # [T, S, B]
+    fin_x, bp_x, eu_x = viterbi_banded_tb(nll_tsb, lexg.banded,
+                                          jnp.asarray(nf))
+
+    plan = lex_pallas_plan(lexg)
+    fin_p, bp_p, eu_p = viterbi_lex_pallas(
+        jnp.asarray(e_tub), plan, jnp.asarray(nf), plan.topo, interpret=True)
+
+    # remap Pallas SoA finals to original numbering
+    live = plan.state_of_soa >= 0
+    fin_p_orig = np.full((lexg.n_states, b), np.nan, np.float32)
+    fin_p_orig[plan.state_of_soa[live]] = np.asarray(fin_p)[live]
+    np.testing.assert_array_equal(fin_p_orig, np.asarray(fin_x))
+
+    # best ends and backtraces
+    ends = np.asarray(lexg.banded.end_states)
+    bonus = np.asarray(lexg.banded.end_bonus)
+    costs = np.asarray(fin_x)[ends] + bonus[:, None]  # [L, B]
+    best = np.argmin(costs, axis=0)
+    end_x = jnp.asarray(ends[best])
+    s_x, f_x = banded_backtrace_tb(bp_x, eu_x, lexg.banded, end_x,
+                                   jnp.asarray(nf))
+
+    soa_of_state = np.full(lexg.n_states, -1, np.int64)
+    soa_of_state[plan.state_of_soa[live]] = np.nonzero(live)[0]
+    end_p = jnp.asarray(np.asarray(plan.ends_soa)[best])
+    s_p, f_p = lex_backtrace_soa(bp_p, eu_p, plan, end_p, jnp.asarray(nf),
+                                 plan.topo)
+    # the Pallas backtrace must match the XLA SoA backtrace bit-for-bit
+    s_pp, f_pp = lex_backtrace_soa_pallas(bp_p, eu_p, plan, end_p,
+                                          jnp.asarray(nf), plan.topo,
+                                          interpret=True)
+    for i in range(b):
+        n = int(nf[i])
+        np.testing.assert_array_equal(np.asarray(s_pp)[:n, i],
+                                      np.asarray(s_p)[:n, i])
+        np.testing.assert_array_equal(np.asarray(f_pp)[:n, i],
+                                      np.asarray(f_p)[:n, i])
+    s_p_orig = plan.state_of_soa[np.asarray(s_p)]
+    for i in range(b):
+        n = int(nf[i])
+        np.testing.assert_array_equal(s_p_orig[:n, i],
+                                      np.asarray(s_x)[:n, i])
+        np.testing.assert_array_equal(np.asarray(f_p)[:n, i],
+                                      np.asarray(f_x)[:n, i])
+        w_x = lex_words_from_path(lexg, np.asarray(s_x)[:, i], n,
+                                  np.asarray(f_x)[:, i])
+        w_p = lex_words_from_path(lexg, s_p_orig[:, i], n,
+                                  np.asarray(f_p)[:, i])
+        assert w_x == w_p
+    return costs[best, np.arange(b)]
+
+
+@pytest.mark.parametrize("unigram", [False, True])
+def test_lex_pallas_parity_deep_tree(rng, unigram):
+    lexg, unit_trans, unit_ids, units = make_lexg(rng, unigram=unigram)
+    su = 3
+    T, B = 33, 8
+    e = rng.uniform(0, 5, (T, len(units) * su, B)).astype(np.float32)
+    nf = np.array([T, 19, 7, T, 12, 25, 1, T], np.int32)
+    run_both(lexg, e, nf)
+
+
+def test_lex_pallas_parity_bigger_vocab(rng):
+    """~200-word trie: multiple levels, chains, branch points."""
+    units = list("abcde")
+    unit_ids = {ch: i for i, ch in enumerate(units)}
+    unit_trans = [ltr(3, rng, skip=False) for _ in units]
+    nprng = np.random.default_rng(3)
+    vocab = set()
+    while len(vocab) < 200:
+        n = int(nprng.integers(2, 7))
+        vocab.add("".join(nprng.choice(units, n)))
+    words = sorted(vocab)
+    lexg = build_lex_graph(words, unit_trans, unit_ids,
+                           word_insertion_cost=0.5)
+    T, B = 24, 8
+    e = rng.uniform(0, 5, (T, len(units) * 3, B)).astype(np.float32)
+    nf = np.array([T, 11, T, 5, 17, T, 2, 9], np.int32)
+    run_both(lexg, e, nf)
+
+
+def test_lex_pallas_decode_api(rng):
+    """decode_lextree with backend='pallas-interpret' equals the XLA
+    path (words and costs) on GMM-bank features."""
+    from speech_recognition_tpu.data.synthetic import random_gmm_hmm
+    from speech_recognition_tpu.decode.lextree import decode_lextree
+    from speech_recognition_tpu.models.hmm import GMMHMM, HMMBank
+    from speech_recognition_tpu.utils.numerics import to_cost_matrix
+
+    units = list("abcd")
+    unit_ids = {ch: i for i, ch in enumerate(units)}
+    D = 6
+    nprng = np.random.default_rng(5)
+    models, unit_trans, means = [], [], []
+    for _ in units:
+        p = random_gmm_hmm(nprng, n_states=3, n_mix=1, dim=D, sep=6.0)
+        models.append(GMMHMM(
+            means=jnp.asarray(p["means"], jnp.float32),
+            log_vars=jnp.log(jnp.asarray(p["variances"], jnp.float32)),
+            log_weights=jnp.log(jnp.asarray(p["weights"], jnp.float32)),
+            trans_cost=jnp.asarray(to_cost_matrix(p["trans"])),
+        ))
+        unit_trans.append(p["trans"])
+        means.append(p["means"][:, 0, :])
+    bank = HMMBank.stack(models)
+    words = ["ab", "abc", "ba", "d", "ca"]
+    lexg = build_lex_graph(words, unit_trans, unit_ids,
+                           word_insertion_cost=0.5)
+
+    paths = [["ab", "d"], ["ca", "ba"], ["abc"]]
+    feats, nfs, refs = [], [], []
+    for seq in paths:
+        fs = []
+        for w in seq:
+            for ch in w:
+                m = means[unit_ids[ch]]
+                for j in range(m.shape[0]):
+                    fs.extend([m[j]] * 3)
+        feats.append(np.asarray(fs, np.float32))
+        nfs.append(len(fs))
+        refs.append([words.index(w) for w in seq])
+    tmax = max(nfs)
+    x = np.zeros((len(paths), tmax, D), np.float32)
+    for i, f in enumerate(feats):
+        x[i, : len(f)] = f
+    nfs = np.asarray(nfs, np.int32)
+
+    seqs_x, costs_x = decode_lextree(bank, lexg, x, nfs, backend="xla")
+    seqs_p, costs_p = decode_lextree(bank, lexg, x, nfs,
+                                     backend="pallas-interpret")
+    assert seqs_p == seqs_x == refs
+    np.testing.assert_array_equal(costs_p, costs_x)
