@@ -573,7 +573,11 @@ def main():
                           "vs_baseline": 0, "regime": LAST_REGIME}))
         return
     if args.what == "lextree":
-        v = bench_lextree(args.batch or 64, args.frames, beam_k=args.beam_k)
+        import jax as _jax
+
+        v = bench_lextree(args.batch or 64, args.frames, beam_k=args.beam_k,
+                          pallas=(_jax.default_backend() == "tpu"
+                                  and not args.beam_k))
         print(json.dumps({"metric": "lextree-1k-word-decode",
                           "value": round(v, 1),
                           "unit": "audio-seconds/s/chip", "vs_baseline": 0,

@@ -533,10 +533,12 @@ def _backtrace_kernel(bp_ref, epsu_ref, end_oh_ref, p_we_ref, sel_sg_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("topo", "eps_depth", "interpret"))
+                   static_argnames=("topo", "eps_depth", "interpret",
+                                    "frames_per_step"))
 def banded_backtrace_tb_pallas(bp8, eps_u, g: BandedGraph, end_state, n_frames,
                                topo: BandedTopo, eps_depth: int = 1,
-                               interpret: bool = False):
+                               interpret: bool = False,
+                               frames_per_step: int = 8):
     """Pallas twin of :func:`ops.viterbi_banded.banded_backtrace_tb`.
 
     The XLA form is a T-step ``lax.scan`` of [B]-scalar work — scan
@@ -594,7 +596,7 @@ def banded_backtrace_tb_pallas(bp8, eps_u, g: BandedGraph, end_state, n_frames,
     # block the reverse walk into k-frame grid steps: per-step fixed
     # overhead dominated the one-frame-per-step form (500 sequential
     # tiny steps)
-    k = 8
+    k = frames_per_step
     t8 = _ceil(bp8.shape[0], k)
     if bp8.shape[0] != t8:
         bp8 = jnp.pad(bp8, ((0, t8 - bp8.shape[0]), (0, 0), (0, 0)))

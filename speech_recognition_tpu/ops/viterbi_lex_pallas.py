@@ -60,6 +60,13 @@ class LexTopo(NamedTuple):
     n_leaves: int  # L
     level_sizes: Tuple[int, ...]  # 8-padded arcs per level
     n_bank: int  # bank emission rows (= n_units * su_bank)
+    # True when every eps_block row is constant (wic + smear graphs):
+    # the per-root reduction collapses to ONE masked min over the end
+    # slice.  The shared argmin is taken on the raw end values; it can
+    # pick a different (equal-cost) origin than the XLA kernel only if
+    # f32 rounding of c_r + end creates a tie the raw ends don't have
+    # (measure-zero for continuous costs).
+    eps_rowconst: bool = False
 
 
 class LexPlan(NamedTuple):
@@ -69,10 +76,11 @@ class LexPlan(NamedTuple):
     band_soa: jnp.ndarray  # [W*A, MAX_BAND+1] f32
     cross_cost: jnp.ndarray  # [A, 1] f32 (POS_INF at roots/pads)
     eps_exit: jnp.ndarray  # [A, R8] f32: eps_block[r, leaf(a)] by arc
+    eps_rows: jnp.ndarray  # [R8, 1] f32 row constants (rowconst graphs)
     leaf_id: jnp.ndarray  # [A, 1] f32 preorder leaf slot (L at non-leaf)
-    expand: jnp.ndarray  # [W*A, U8] f32 one-hot bank -> SoA state
+    expand: jnp.ndarray  # [W*A, 3*U8] bf16 one-hot bank -> SoA, x3 planes
     init_soa: jnp.ndarray  # [W*A, 1] f32
-    sels: Tuple[jnp.ndarray, ...]  # per-level bf16 [n_{d+1}, n_d] one-hots
+    sels: Tuple[jnp.ndarray, ...]  # per-level bf16 [n_{d+1}, 3*n_d] one-hots
     # decode-side maps (host numpy)
     state_of_soa: np.ndarray  # [W*A] original state id (-1 at pads)
     cross_src_soa: jnp.ndarray  # [W*A] int32 SoA parent-end row
@@ -174,15 +182,18 @@ def lex_pallas_plan(lexg) -> LexPlan:
             cc[pos[a], 0] = ccost[a]
 
     # per-level one-hot parent selectors (child-local row, parent-local
-    # col), bf16 (0/1 exact) for single-pass MXU selects
+    # col), bf16 (0/1 exact), tripled along the contraction dim so the
+    # three bf16 value planes gather in ONE MXU pass per level
     sels = []
     src_off = 0
     for li in range(1, len(levels)):
-        sel = np.zeros((lv_sizes[li], lv_sizes[li - 1]), np.float32)
+        n_p = lv_sizes[li - 1]
+        sel = np.zeros((lv_sizes[li], n_p), np.float32)
         for i, a in enumerate(levels[li]):
             sel[i, pos[parent[a]] - src_off] = 1.0
-        sels.append(jnp.asarray(sel, jnp.bfloat16))
-        src_off += lv_sizes[li - 1]
+        sels.append(jnp.asarray(np.concatenate([sel] * 3, axis=1),
+                                jnp.bfloat16))
+        src_off += n_p
 
     # eps exit: eps_block[r, leaf_slot(a)] laid out per arc column
     eps_block = np.asarray(g.eps_block)
@@ -195,16 +206,22 @@ def lex_pallas_plan(lexg) -> LexPlan:
         eps_exit[pos[a], :r] = eps_block[:, slot]
         leaf_id[pos[a], 0] = float(slot)
     ends_soa = ((su - 1) * a_pad + pos[ends_orig_arcs]).astype(np.int32)
+    eps_rowconst = bool(np.all(eps_block == eps_block[:, :1]))
+    eps_rows = np.full((r8, 1), POS_INF, np.float32)
+    eps_rows[:r, 0] = eps_block[:, 0]
 
     topo = LexTopo(su=su, a_pad=a_pad, n_roots=r, n_leaves=l,
-                   level_sizes=lv_sizes, n_bank=n_bank)
+                   level_sizes=lv_sizes, n_bank=n_bank,
+                   eps_rowconst=eps_rowconst)
     return LexPlan(
         topo=topo,
         band_soa=jnp.asarray(band_soa),
         cross_cost=jnp.asarray(cc),
         eps_exit=jnp.asarray(eps_exit),
+        eps_rows=jnp.asarray(eps_rows),
         leaf_id=jnp.asarray(leaf_id),
-        expand=jnp.asarray(expand),
+        expand=jnp.asarray(
+            np.concatenate([expand] * 3, axis=1), jnp.bfloat16),
         init_soa=jnp.asarray(init_soa),
         sels=tuple(sels),
         state_of_soa=state_of_soa,
@@ -213,9 +230,9 @@ def lex_pallas_plan(lexg) -> LexPlan:
     )
 
 
-def _lex_kernel(nll_ref, expand_ref, band_ref, cc_ref, eps_ref, lid_ref,
-                init_ref, nf_ref, *rest, topo: LexTopo, n_levels: int,
-                frames_per_step: int):
+def _lex_kernel(nll_ref, expand_ref, band_ref, cc_ref, eps_ref, rows_ref,
+                lid_ref, init_ref, nf_ref, *rest, topo: LexTopo,
+                n_levels: int, frames_per_step: int):
     sel_refs = rest[:n_levels]
     final_ref, bp_ref, epsu_ref, cost_ref = rest[n_levels:]
     ti = pl.program_id(0)
@@ -224,17 +241,21 @@ def _lex_kernel(nll_ref, expand_ref, band_ref, cc_ref, eps_ref, lid_ref,
     r8 = eps_ref.shape[1]
     end_lo = (su - 1) * a_pad
 
-    def dotf(sel, x):
-        return jax.lax.dot_general(
-            sel, x, (((1,), (0,)), ((), ())),
-            precision=_SELECT_PRECISION,
-            preferred_element_type=jnp.float32)
-
     def dotd(sel, x):  # bf16 x bf16 -> f32 accumulate, one MXU pass
         return jax.lax.dot_general(
             sel, x, (((1,), (0,)), ((), ())),
             precision=jax.lax.Precision.DEFAULT,
             preferred_element_type=jnp.float32)
+
+    def split3(v):
+        """f32 -> three stacked bf16 planes reconstructing v exactly
+        (24 = 3 x 8 mantissa bits; the one-hot select re-sums the
+        non-overlapping parts exactly in the f32 accumulator)."""
+        v0 = v.astype(jnp.bfloat16)
+        r1 = v - v0.astype(jnp.float32)
+        v1 = r1.astype(jnp.bfloat16)
+        v2 = (r1 - v1.astype(jnp.float32)).astype(jnp.bfloat16)
+        return jnp.concatenate([v0, v1, v2], axis=0)
 
     prev = cost_ref[...]
     fin = final_ref[...]
@@ -243,7 +264,8 @@ def _lex_kernel(nll_ref, expand_ref, band_ref, cc_ref, eps_ref, lid_ref,
 
     for k in range(frames_per_step):
         t_abs = ti * frames_per_step + k
-        emis = dotf(expand_ref[...], nll_ref[k])  # [S_soa, B] exact select
+        # [S_soa, B] exact one-hot bank expansion, one MXU pass
+        emis = dotd(expand_ref[...], split3(nll_ref[k]))
 
         # band relaxation: SoA j-1 -> j is a roll by a_pad rows
         best = inf_sb
@@ -273,19 +295,12 @@ def _lex_kernel(nll_ref, expand_ref, band_ref, cc_ref, eps_ref, lid_ref,
         # stays bit-exact (one-hot rows pick one value; the f32
         # accumulator re-sums the non-overlapping parts exactly).
         ends_prev = prev[end_lo:, :]  # [A, B]
-        e0 = ends_prev.astype(jnp.bfloat16)
-        r1 = ends_prev - e0.astype(jnp.float32)
-        e1 = r1.astype(jnp.bfloat16)
-        e2 = (r1 - e1.astype(jnp.float32)).astype(jnp.bfloat16)
         pieces = [jnp.full((topo.level_sizes[0], b), POS_INF, jnp.float32)]
         src_off = 0
         for li in range(n_levels):
             n_src = topo.level_sizes[li]
-            sel = sel_refs[li][...]
             sl = slice(src_off, src_off + n_src)
-            g = (dotd(sel, e0[sl, :]) + dotd(sel, e1[sl, :])
-                 + dotd(sel, e2[sl, :]))
-            pieces.append(g)
+            pieces.append(dotd(sel_refs[li][...], split3(ends_prev[sl, :])))
             src_off += n_src
         gath = jnp.concatenate(pieces, axis=0) if len(pieces) > 1 else pieces[0]
         cand_start = jnp.minimum(gath + cc_ref[...], POS_INF)  # [A, B]
@@ -314,21 +329,32 @@ def _lex_kernel(nll_ref, expand_ref, band_ref, cc_ref, eps_ref, lid_ref,
         # in preorder-leaf order (masked leaf-id min), then a concat
         # update of the root rows [0, R8)
         end_vals = cost[end_lo:, :]  # [A, B]
-        mins, args = [], []
         big = jnp.float32(topo.n_leaves + 1)
-        for ri in range(r):
-            sc = jnp.minimum(eps_ref[:, ri : ri + 1] + end_vals, POS_INF)
-            m = jnp.min(sc, axis=0, keepdims=True)  # [1, B]
-            ids = jnp.where(sc == m, lid_ref[...], big)
-            arg = jnp.min(ids, axis=0, keepdims=True)
-            mins.append(m)
-            args.append(arg)
-        pad_rows = r8 - r
-        if pad_rows:
-            mins.append(jnp.full((pad_rows, b), POS_INF, jnp.float32))
-            args.append(jnp.zeros((pad_rows, b), jnp.float32))
-        eps_min = jnp.concatenate(mins, axis=0)  # [R8, B]
-        eps_arg = jnp.concatenate(args, axis=0)
+        if topo.eps_rowconst:
+            # constant eps rows (wic + smear): ONE masked min over the
+            # end slice serves every root; eps_rows broadcasts on top
+            masked = jnp.where(lid_ref[...] < jnp.float32(topo.n_leaves),
+                               end_vals, POS_INF)
+            m = jnp.min(masked, axis=0, keepdims=True)  # [1, B]
+            ids = jnp.where(masked == m, lid_ref[...], big)
+            u = jnp.min(ids, axis=0, keepdims=True)
+            eps_min = jnp.minimum(rows_ref[...] + m, POS_INF)  # [R8, B]
+            eps_arg = u + jnp.zeros((r8, b), jnp.float32)
+        else:
+            mins, args = [], []
+            for ri in range(r):
+                sc = jnp.minimum(eps_ref[:, ri : ri + 1] + end_vals, POS_INF)
+                m = jnp.min(sc, axis=0, keepdims=True)  # [1, B]
+                ids = jnp.where(sc == m, lid_ref[...], big)
+                arg = jnp.min(ids, axis=0, keepdims=True)
+                mins.append(m)
+                args.append(arg)
+            pad_rows = r8 - r
+            if pad_rows:
+                mins.append(jnp.full((pad_rows, b), POS_INF, jnp.float32))
+                args.append(jnp.zeros((pad_rows, b), jnp.float32))
+            eps_min = jnp.concatenate(mins, axis=0)  # [R8, B]
+            eps_arg = jnp.concatenate(args, axis=0)
         cand_re = jnp.minimum(eps_min + emis[:r8, :], POS_INF)
         head_cost = cost[:r8, :]
         better = cand_re < head_cost
@@ -362,7 +388,7 @@ def viterbi_lex_pallas(nll_tub, plan: LexPlan, n_frames, topo: LexTopo,
     t_len, u_in, b = nll_tub.shape
     su, a_pad = topo.su, topo.a_pad
     s_soa = su * a_pad
-    u8 = plan.expand.shape[1]
+    u8 = plan.expand.shape[1] // 3
     r8 = plan.eps_exit.shape[1]
     n_levels = len(plan.sels)
     k = frames_per_step
@@ -387,6 +413,7 @@ def viterbi_lex_pallas(nll_tub, plan: LexPlan, n_frames, topo: LexTopo,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((a_pad, 1), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((a_pad, r8), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((r8, 1), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((a_pad, 1), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((s_soa, 1), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, b), const, memory_space=pltpu.VMEM),
@@ -409,7 +436,7 @@ def viterbi_lex_pallas(nll_tub, plan: LexPlan, n_frames, topo: LexTopo,
             vmem_limit_bytes=127 * 2**20),
         interpret=interpret,
     )(nll_tub, plan.expand, plan.band_soa, plan.cross_cost, plan.eps_exit,
-      plan.leaf_id, plan.init_soa, nf_row, *plan.sels)
+      plan.eps_rows, plan.leaf_id, plan.init_soa, nf_row, *plan.sels)
     return final, bp8[:t_len], eps_u[:t_len]
 
 
