@@ -443,6 +443,13 @@ def bench_lextree(batch=64, frames=500, n_words=1000, frame_step_s=0.01,
     audio_s = batch * frames * frame_step_s
     tag = ("pallas" if pallas else
            f"beam k={beam_k}" if beam_k else "exact")
+    if pallas:
+        from speech_recognition_tpu.utils.roofline import lex_viterbi, report
+
+        bound = lex_viterbi(batch, frames, plan.topo.a_pad, plan.topo.su,
+                            len(units) * su, plan.topo.level_sizes,
+                            plan.topo.n_roots)
+        log(report({"lex-viterbi": bound}, dt))
     log(f"lextree {tag}: {batch}x{frames} in {dt*1e3:.2f} ms device-time "
         f"({LAST_REGIME}) -> {audio_s/dt:.0f} audio-s/s")
     return audio_s / dt

@@ -91,10 +91,8 @@ def make_sharded_banded_viterbi(
     """
     from jax import shard_map
 
-    if g.cross_src is not None:
-        raise NotImplementedError("state-sharded kernel: cross-arc edges "
-                                  "(lex graphs) are single-device for now")
     n = mesh.shape[axis]
+    has_cross = g.cross_src is not None
     s_pad = g.band.shape[1]
     assert s_pad % n == 0, "pad the graph first"
     c = s_pad // n
@@ -103,9 +101,25 @@ def make_sharded_banded_viterbi(
     perm = [(i, (i + 1) % n) for i in range(n)]
 
     def kernel(nll_l, band_l, init_l, is_start_l, start_pos_l,
-               ends, word_starts, eps_block, n_frames):
+               ends, word_starts, eps_block, n_frames, cross_src_l,
+               cross_cost_l):
         d = jax.lax.axis_index(axis)
         offset = d * c
+
+        def cross_relax(base, d_sel, prev):
+            """Trie cross edges: sources are arbitrary global states, so
+            the frontier is all_gathered once per frame — [S_pad] floats
+            over the mesh axis, small next to the ICI budget (the lex
+            Pallas kernel owns the single-chip fast path; this kernel
+            exists for graphs larger than one chip's HBM)."""
+            if not has_cross:
+                return base, d_sel
+            prev_full = jax.lax.all_gather(prev, axis, tiled=True)  # [S_pad]
+            cand = jnp.minimum(prev_full[cross_src_l] + cross_cost_l,
+                               POS_INF)
+            take = cand <= base
+            return (jnp.where(take, cand, base),
+                    jnp.where(take, jnp.int8(MAX_BAND + 1), d_sel))
 
         def eps_pass(cost, emis_l, side):
             # collective word-end gather: local contributions + pmin
@@ -176,6 +190,7 @@ def make_sharded_banded_viterbi(
             prev, final = carry
             t, emis_l = inputs
             base, d_sel = band_relax(prev)
+            base, d_sel = cross_relax(base, d_sel, prev)
             cost, bp8, side = column(base, d_sel, emis_l)
             active = t < n_frames
             cost = jnp.where(active, cost, prev)
@@ -204,14 +219,23 @@ def make_sharded_banded_viterbi(
             P(),  # word starts (replicated)
             P(),  # eps block (replicated)
             P(),  # n_frames
+            P(axis),  # cross_src [S]
+            P(axis),  # cross_cost [S]
         ),
         out_specs=(P(axis), P(None, axis), P(None, None)),
         check_vma=False,
     )
 
+    if has_cross:
+        cross_src, cross_cost = g.cross_src, g.cross_cost
+    else:  # dummies with the right sharded shape
+        cross_src = jnp.zeros((s_pad,), jnp.int32)
+        cross_cost = jnp.full((s_pad,), POS_INF, jnp.float32)
+
     @jax.jit
     def run(nll, n_frames):
         return sm(nll, g.band, g.init_cost, g.is_start, g.start_pos,
-                  g.word_ends, g.word_starts, g.eps_block, jnp.int32(n_frames))
+                  g.word_ends, g.word_starts, g.eps_block,
+                  jnp.int32(n_frames), cross_src, cross_cost)
 
     return run

@@ -120,6 +120,32 @@ def banded_backtrace(batch, frames, n_graph_states, n_starts, n_ends,
                        frames * per_frame_vpu)
 
 
+def lex_viterbi(batch, frames, n_arcs_pad, su, n_bank_states,
+                level_sizes, n_roots) -> Dict:
+    """Per-frame work of the Pallas lexical-tree kernel
+    (``ops/viterbi_lex_pallas.py``, SoA [su*A, B] layout):
+
+    * bank expansion: one bf16 pass over [su*A, 3*U8];
+    * band: 3 offsets x (roll + add + cmp + 2 selects) on [su*A, B];
+    * cross edges: one bf16 pass per trie level,
+      sum(3 * n_{d+1} * n_d) MACs, plus the split/concat traffic;
+    * eps (row-constant): masked min + leaf-id argmin over [A, B];
+    * HBM: compact bank block in, int8 bp plane + side plane out.
+    """
+    s8 = su * n_arcs_pad
+    u8 = _ceil8(n_bank_states)
+    b = batch
+    cross_macs = 3.0 * sum(a * c for a, c in zip(level_sizes[:-1],
+                                                 level_sizes[1:]))
+    per_frame_mxu = 2.0 * b * (s8 * 3 * u8 + cross_macs)  # single bf16 pass
+    per_frame_vpu = b * (24.0 * s8  # band chain
+                         + 10.0 * n_arcs_pad  # eps min/argmin + cross merge
+                         + 12.0 * n_arcs_pad)  # splits/concats (3 planes)
+    per_frame_hbm = b * (u8 * 4.0 + s8 * 1.0 + _ceil8(n_roots) * 4.0)
+    return stage_bound(frames * per_frame_mxu, frames * per_frame_hbm,
+                       frames * per_frame_vpu)
+
+
 def mfcc_frontend(batch, samples, n_fft=512, n_frames=None, n_mel=40,
                   n_ceps=13, dim39=39) -> Dict:
     """GEMM-native frontend: framing matmuls, DFT as two [T, F] x
