@@ -342,7 +342,7 @@ def bench_pipeline(batch=256, samples=80000, n_slots=7):
 
 
 def bench_lextree(batch=64, frames=500, n_words=1000, frame_step_s=0.01,
-                  beam_k=0, unroll=4, pallas=False, frames_per_step=1):
+                  beam_k=0, unroll=4, pallas=False, frames_per_step=2):
     """Big-vocabulary lextree decode: 1,000-word trie over 8 unit
     models (~9.6k states), full exact kernel or the token beam."""
     import jax

@@ -113,11 +113,17 @@ class StreamingDecoder:
     (each ``push`` takes ``[B, C, D]`` chunks with per-stream valid
     counts) — the production serving shape."""
 
-    def __init__(self, bank: HMMBank, graph: WordGraph, chunk_frames: int = 256,
+    def __init__(self, bank: HMMBank, graph, chunk_frames: int = 256,
                  batch: int = 1):
+        """``graph`` is a WordGraph or a LexGraph — streaming over the
+        lexical tree works unchanged (the chunk step already relaxes
+        cross-arc edges; only word recovery differs)."""
+        from speech_recognition_tpu.models.lexgraph import LexGraph
+
         self.bank = bank
         self.graph = graph
-        self.bg = banded_arrays(graph)
+        self._is_lex = isinstance(graph, LexGraph)
+        self.bg = graph.banded if self._is_lex else banded_arrays(graph)
         self.chunk_frames = chunk_frames
         self.batch = batch
         def make_step(first):
@@ -223,8 +229,16 @@ class StreamingDecoder:
         for b in range(self.batch):
             t_total = int(self._n_frames[b])
             states = states_all[b, :t_total].astype(np.int32)
-            words = states_to_words(self.graph, states, t_total,
-                                    eps_all[b, :t_total])
+            if self._is_lex:
+                from speech_recognition_tpu.models.lexgraph import (
+                    lex_words_from_path,
+                )
+
+                words = lex_words_from_path(self.graph, states, t_total,
+                                            eps_all[b, :t_total])
+            else:
+                words = states_to_words(self.graph, states, t_total,
+                                        eps_all[b, :t_total])
             results.append((words, states, float(costs[b])))
         if self.batch == 1:
             return results[0]

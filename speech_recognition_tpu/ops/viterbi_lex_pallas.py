@@ -184,6 +184,12 @@ def lex_pallas_plan(lexg) -> LexPlan:
     # per-level one-hot parent selectors (child-local row, parent-local
     # col), bf16 (0/1 exact), tripled along the contraction dim so the
     # three bf16 value planes gather in ONE MXU pass per level
+    sel_bytes = 6 * sum(a * b_ for a, b_ in zip(lv_sizes[:-1], lv_sizes[1:]))
+    if sel_bytes > 48 * 2**20:
+        raise ValueError(
+            f"lex Pallas kernel: level selectors need {sel_bytes >> 20} MB "
+            "VMEM (vocabulary too large); use the XLA kernel or the "
+            "state-sharded decoder")
     sels = []
     src_off = 0
     for li in range(1, len(levels)):
@@ -377,7 +383,7 @@ def _lex_kernel(nll_ref, expand_ref, band_ref, cc_ref, eps_ref, rows_ref,
 @functools.partial(jax.jit, static_argnames=("topo", "interpret",
                                              "frames_per_step"))
 def viterbi_lex_pallas(nll_tub, plan: LexPlan, n_frames, topo: LexTopo,
-                       interpret: bool = False, frames_per_step: int = 1):
+                       interpret: bool = False, frames_per_step: int = 2):
     """Lexical-tree banded Viterbi over compact bank emissions.
 
     ``nll_tub [T, U, B]`` (bank rows), ``n_frames [B]`` ->

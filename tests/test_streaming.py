@@ -65,6 +65,61 @@ def test_streaming_matches_monolithic(setup, chunk):
     assert words == seq  # and it actually decodes the audio correctly
 
 
+def test_streaming_lexgraph_matches_monolithic(rng):
+    """StreamingDecoder over a lexical tree (cross-arc graph) must be
+    bit-identical to the monolithic decode_lextree."""
+    from speech_recognition_tpu.decode.lextree import decode_lextree
+    from speech_recognition_tpu.models.lexgraph import build_lex_graph
+
+    units = list("abcd")
+    unit_ids = {ch: i for i, ch in enumerate(units)}
+    S, D = 3, 6
+    nprng = np.random.default_rng(5)
+    models, unit_trans, means = [], [], []
+    for _ in units:
+        p = random_gmm_hmm(nprng, n_states=S, n_mix=1, dim=D, sep=6.0)
+        models.append(GMMHMM(
+            means=jnp.asarray(p["means"], jnp.float32),
+            log_vars=jnp.log(jnp.asarray(p["variances"], jnp.float32)),
+            log_weights=jnp.log(jnp.asarray(p["weights"], jnp.float32)),
+            trans_cost=jnp.asarray(to_cost_matrix(p["trans"])),
+        ))
+        unit_trans.append(p["trans"])
+        means.append(p["means"][:, 0, :])
+    bank = HMMBank.stack(models)
+    words = ["ab", "abc", "ba", "d", "ca"]
+    lexg = build_lex_graph(words, unit_trans, unit_ids,
+                           word_insertion_cost=0.5)
+
+    seq = ["ab", "d", "ca", "abc", "ba", "d"]
+    fs = []
+    for w in seq:
+        for ch in w:
+            m = means[unit_ids[ch]]
+            for j in range(m.shape[0]):
+                fs.extend([m[j]] * 3)
+    x = np.asarray(fs, np.float32)
+    ref = [words.index(w) for w in seq]
+
+    mono_seqs, mono_costs = decode_lextree(
+        bank, lexg, x[None], np.asarray([len(x)], np.int32))
+    # (the synthetic acoustics need not force `ref` exactly — the
+    # property under test is chunked == monolithic, bit for bit)
+
+    for chunk in (16, 50):
+        dec = StreamingDecoder(bank, lexg, chunk_frames=chunk)
+        t = 0
+        while t < len(x):
+            c = min(chunk, len(x) - t)
+            buf = np.zeros((chunk, x.shape[1]), np.float32)
+            buf[:c] = x[t : t + c]
+            dec.push(buf, n_valid=c)
+            t += c
+        w, states, cost = dec.finish()
+        assert w == mono_seqs[0]
+        np.testing.assert_allclose(cost, mono_costs[0], rtol=1e-6)
+
+
 def test_streaming_best_cost_monotone_info(setup):
     bank, graph, x, seq = setup
     dec = StreamingDecoder(bank, graph, chunk_frames=64)
