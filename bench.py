@@ -341,6 +341,77 @@ def bench_pipeline(batch=256, samples=80000, n_slots=7):
     return audio_s / dt
 
 
+def bench_lex_pipeline(batch=128, samples=80000, n_words=1000):
+    """Device-resident wav -> words over the 1,000-word trie: one jit
+    for MFCC + unit-bank emissions + Pallas lex Viterbi + Pallas
+    backtrace — the big-vocabulary serving pipeline."""
+    import jax
+    import jax.numpy as jnp
+
+    from speech_recognition_tpu.config import FrontendConfig
+    from speech_recognition_tpu.data.synthetic import random_gmm_hmm
+    from speech_recognition_tpu.models.hmm import GMMHMM, HMMBank, bank_nll
+    from speech_recognition_tpu.models.lexgraph import build_lex_graph
+    from speech_recognition_tpu.ops.frontend import mfcc39_batch, padded_length
+    from speech_recognition_tpu.ops.viterbi_lex_pallas import (
+        lex_backtrace_soa_pallas,
+        lex_pallas_plan,
+        viterbi_lex_pallas,
+    )
+    from speech_recognition_tpu.utils.numerics import to_cost_matrix
+
+    cfg = FrontendConfig()
+    units = list("abcdefgh")
+    unit_ids = {ch: i for i, ch in enumerate(units)}
+    rng = np.random.default_rng(7)
+    models, unit_trans = [], []
+    for _ in units:
+        p = random_gmm_hmm(rng, n_states=3, n_mix=4, dim=39, sep=4.0)
+        models.append(GMMHMM(
+            means=jnp.asarray(p["means"], jnp.float32),
+            log_vars=jnp.log(jnp.asarray(p["variances"], jnp.float32)),
+            log_weights=jnp.log(jnp.asarray(p["weights"], jnp.float32)),
+            trans_cost=jnp.asarray(to_cost_matrix(p["trans"])),
+        ))
+        unit_trans.append(p["trans"])
+    bank = HMMBank.stack(models)
+    vocab = set()
+    while len(vocab) < n_words:
+        n = int(rng.integers(3, 9))
+        vocab.add("".join(rng.choice(units, n)))
+    lexg = build_lex_graph(sorted(vocab), unit_trans, unit_ids,
+                           word_insertion_cost=0.5)
+    plan = lex_pallas_plan(lexg)
+
+    L = padded_length(cfg, samples)
+    sig = jnp.asarray(rng.standard_normal((batch, L)) * 3000, jnp.float32)
+    lens = jnp.full((batch,), samples, jnp.int32)
+
+    def body(dep):
+        l2 = jnp.where(jnp.isnan(dep), lens - 1, lens)
+        feats, nf = mfcc39_batch(sig, l2, cfg)
+        t = feats.shape[1]
+
+        def emis(x, n):
+            return bank_nll(bank, x, jnp.arange(t) < n)
+
+        nll_tub = jnp.transpose(jax.vmap(emis)(feats, nf), (1, 2, 0))
+        final, bp8, eps_u = viterbi_lex_pallas(nll_tub, plan, nf, plan.topo)
+        end_costs = final[plan.ends_soa, :] + lexg.banded.end_bonus[:, None]
+        best = jnp.argmin(end_costs, axis=0)
+        states, _ = lex_backtrace_soa_pallas(
+            bp8, eps_u, plan, plan.ends_soa[best], nf, plan.topo)
+        return (jnp.sum(jnp.take_along_axis(end_costs, best[None], 0))
+                + jnp.sum(states[0].astype(jnp.float32)))
+
+    dt = _timeit_device(body)
+    audio_s = batch * samples / cfg.sample_rate
+    log(f"lex pipeline ({n_words} words): {audio_s:.0f} audio-s in "
+        f"{dt*1e3:.2f} ms device-time ({LAST_REGIME}) "
+        f"-> {audio_s/dt:.0f} audio-s/s")
+    return audio_s / dt
+
+
 def bench_lextree(batch=64, frames=500, n_words=1000, frame_step_s=0.01,
                   beam_k=0, unroll=4, pallas=False, frames_per_step=2):
     """Big-vocabulary lextree decode: 1,000-word trie over 8 unit
@@ -537,7 +608,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--what", default="headline",
                     choices=["headline", "frontend", "train", "soft_em",
-                             "decode", "pipeline", "lextree", "streaming"])
+                             "decode", "pipeline", "lextree", "lex_pipeline",
+                             "streaming"])
     ap.add_argument("--batch", type=int, default=0,
                     help="0 = per-benchmark default (headline pins 512 — "
                          "the shape RESULTS.md is measured at; the repo's "
@@ -572,6 +644,8 @@ def main():
                     "utterances/s/chip", 32),
         "streaming": (bench_streaming, "streaming-decode",
                       "audio-seconds/s/chip", 64),
+        "lex_pipeline": (bench_lex_pipeline, "lex-wav-to-words-pipeline",
+                         "audio-seconds/s/chip", 128),
     }
     if args.what in simple:
         fn, metric, unit, default_b = simple[args.what]

@@ -38,22 +38,24 @@ def ltr(S, rng, skip=True):
     return t
 
 
+n_words = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
 rng = np.random.default_rng(0)
 units = list("abcdefgh")
 unit_ids = {ch: i for i, ch in enumerate(units)}
 unit_trans = [ltr(3, rng, skip=False) for _ in units]
 nprng = np.random.default_rng(7)
 vocab = set()
-while len(vocab) < 1000:
+while len(vocab) < n_words:
     n = int(nprng.integers(3, 9))
     vocab.add("".join(nprng.choice(units, n)))
 words = sorted(vocab)
 lexg = build_lex_graph(words, unit_trans, unit_ids, word_insertion_cost=0.5)
 plan = lex_pallas_plan(lexg)
 print("arcs", lexg.n_arcs, "states", lexg.n_states,
-      "a_pad", plan.topo.a_pad, "levels", plan.topo.level_sizes)
+      "a_pad", plan.topo.a_pad, "levels", plan.topo.level_sizes,
+      "sel_tripled", plan.topo.sel_tripled)
 
-T, B = 50, 64
+T, B = 50, 64 if n_words <= 1000 else 32
 e = rng.uniform(0, 5, (T, len(units) * 3, B)).astype(np.float32)
 nf = np.full((B,), T, np.int32)
 nf[1] = 17

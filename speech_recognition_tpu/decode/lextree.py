@@ -130,9 +130,16 @@ def decode_lextree(
     import jax as _jax
 
     if backend is None:
+        from speech_recognition_tpu.ops.viterbi_lex_pallas import (
+            lex_pallas_fits,
+        )
+
+        plan = _lex_plan_cached(lexg)
         backend = "pallas" if (
             _jax.default_backend() == "tpu" and not beam_width
-            and _lex_plan_cached(lexg) is not None) else "xla"
+            and plan is not None
+            and lex_pallas_fits(plan, int(np.asarray(feats).shape[0]))
+        ) else "xla"
     if backend.startswith("pallas"):
         if beam_width:
             raise ValueError("beam_width runs on the XLA backend")

@@ -133,6 +133,22 @@ def _kernel(nll_ref, expand_ref, band_ref, eps_ref, e_end_ref, e_start_ref,
             preferred_element_type=jnp.float32,
         )
 
+    def expand_bank(nll_t):
+        """Exact one-hot bank expansion in ONE bf16 MXU pass: the f32
+        block splits into three bf16 planes (24 = 3 x 8 mantissa bits)
+        and the tripled selector re-sums them exactly in the f32
+        accumulator — bit-identical to the HIGHEST select at 1/6 the
+        passes."""
+        v0 = nll_t.astype(jnp.bfloat16)
+        r1 = nll_t - v0.astype(jnp.float32)
+        v1 = r1.astype(jnp.bfloat16)
+        v2 = (r1 - v1.astype(jnp.float32)).astype(jnp.bfloat16)
+        stacked = jnp.concatenate([v0, v1, v2], axis=0)
+        return jax.lax.dot_general(
+            expand_ref[...], stacked, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.DEFAULT,
+            preferred_element_type=jnp.float32)
+
     # All masks/backpointers are f32 in-kernel (one int8 cast at the
     # write): Mosaic cannot relayout i1 masks between the f32 (8,128)
     # and int8 (32,128) tilings.
@@ -145,8 +161,8 @@ def _kernel(nll_ref, expand_ref, band_ref, eps_ref, e_end_ref, e_start_ref,
         t_abs = ti * frames_per_step + k
         if bank_mode:
             # expand the compact bank emission block to graph states on
-            # the MXU (exact one-hot select)
-            emis = dotf(expand_ref[...], nll_at(k))
+            # the MXU (exact one-hot select, single bf16 pass)
+            emis = expand_bank(nll_at(k))
         else:
             emis = nll_at(k)
 
@@ -361,15 +377,17 @@ def viterbi_banded_tb_pallas(nll_tb, g: BandedGraph, n_frames,
     p_start = np.zeros((s8, r8), np.float32)
     p_start[pad_rows[list(topo.word_starts)], np.arange(r)] = 1.0
     if bank_mode:
-        # graph-state expansion G[s, j] = 1 iff bank_map[s] == j, and the
-        # start-emission selector composed through it (E_start @ G)
+        # graph-state expansion G[s, j] = 1 iff bank_map[s] == j (bf16,
+        # tripled along the contraction for the single-pass exact
+        # select), and the start-emission selector composed through it
         expand = np.zeros((s8, sb8), np.float32)
         expand[pad_rows, list(topo.bank_map)] = 1.0
+        expand = np.concatenate([expand] * 3, axis=1)
         e_start = np.zeros((r8, sb8), np.float32)
         e_start[np.arange(r),
                 [topo.bank_map[ws] for ws in topo.word_starts]] = 1.0
     else:
-        expand = np.zeros((8, sb8), np.float32)  # unused dummy
+        expand = np.zeros((8, 3 * sb8), np.float32)  # unused dummy
         e_start = np.zeros((r8, sb8), np.float32)
         e_start[np.arange(r), list(topo.word_starts)] = 1.0
 
@@ -434,7 +452,8 @@ def viterbi_banded_tb_pallas(nll_tb, g: BandedGraph, n_frames,
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=100 * 2**20),
         interpret=interpret,
-    )(nll_tb, jnp.asarray(expand), band_t, eps_vals, jnp.asarray(e_end),
+    )(nll_tb, jnp.asarray(expand, jnp.bfloat16), band_t, eps_vals,
+      jnp.asarray(e_end),
       jnp.asarray(e_start), jnp.asarray(sel_sg), jnp.asarray(p_start),
       init_col, nf_row)
     final = final[pad_rows_j] if uniform else final[:s]

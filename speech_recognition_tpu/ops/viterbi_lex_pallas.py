@@ -67,6 +67,11 @@ class LexTopo(NamedTuple):
     # f32 rounding of c_r + end creates a tie the raw ends don't have
     # (measure-zero for continuous costs).
     eps_rowconst: bool = False
+    # True: selectors are bf16 tripled along the contraction (ONE MXU
+    # pass per level — fastest, 6 bytes/entry).  False: int8 singles
+    # cast in-kernel, three passes per level (1 byte/entry — doubles
+    # the vocabulary that fits VMEM).
+    sel_tripled: bool = True
 
 
 class LexPlan(NamedTuple):
@@ -184,12 +189,16 @@ def lex_pallas_plan(lexg) -> LexPlan:
     # per-level one-hot parent selectors (child-local row, parent-local
     # col), bf16 (0/1 exact), tripled along the contraction dim so the
     # three bf16 value planes gather in ONE MXU pass per level
-    sel_bytes = 6 * sum(a * b_ for a, b_ in zip(lv_sizes[:-1], lv_sizes[1:]))
-    if sel_bytes > 48 * 2**20:
+    sel_entries = sum(a * b_ for a, b_ in zip(lv_sizes[:-1], lv_sizes[1:]))
+    if 6 * sel_entries <= 16 * 2**20:
+        sel_tripled = True  # bf16 x3: one MXU pass per level
+    elif sel_entries <= 16 * 2**20:
+        sel_tripled = False  # int8 singles: 1/6 the VMEM, 3 passes
+    else:
         raise ValueError(
-            f"lex Pallas kernel: level selectors need {sel_bytes >> 20} MB "
-            "VMEM (vocabulary too large); use the XLA kernel or the "
-            "state-sharded decoder")
+            f"lex Pallas kernel: level selectors need {sel_entries >> 20} MB"
+            " VMEM even as int8 (measured scoped-budget ceiling ~16 MB); "
+            "use the XLA kernel or the state-sharded decoder")
     sels = []
     src_off = 0
     for li in range(1, len(levels)):
@@ -197,8 +206,11 @@ def lex_pallas_plan(lexg) -> LexPlan:
         sel = np.zeros((lv_sizes[li], n_p), np.float32)
         for i, a in enumerate(levels[li]):
             sel[i, pos[parent[a]] - src_off] = 1.0
-        sels.append(jnp.asarray(np.concatenate([sel] * 3, axis=1),
-                                jnp.bfloat16))
+        if sel_tripled:
+            sels.append(jnp.asarray(np.concatenate([sel] * 3, axis=1),
+                                    jnp.bfloat16))
+        else:
+            sels.append(jnp.asarray(sel, jnp.int8))
         src_off += n_p
 
     # eps exit: eps_block[r, leaf_slot(a)] laid out per arc column
@@ -218,7 +230,7 @@ def lex_pallas_plan(lexg) -> LexPlan:
 
     topo = LexTopo(su=su, a_pad=a_pad, n_roots=r, n_leaves=l,
                    level_sizes=lv_sizes, n_bank=n_bank,
-                   eps_rowconst=eps_rowconst)
+                   eps_rowconst=eps_rowconst, sel_tripled=sel_tripled)
     return LexPlan(
         topo=topo,
         band_soa=jnp.asarray(band_soa),
@@ -234,6 +246,20 @@ def lex_pallas_plan(lexg) -> LexPlan:
         cross_src_soa=jnp.asarray(cross_src_soa),
         ends_soa=jnp.asarray(ends_soa),
     )
+
+
+def lex_pallas_fits(plan: "LexPlan", batch: int) -> bool:
+    """Measured VMEM envelope for the kernel (128 MB physical on v5e).
+    Mosaic's scoped-vmem accounting for this kernel is dominated by the
+    (buffered) level selectors, nearly batch-independent: a 1k-word trie
+    (10 MB of selectors) compiles and runs at B <= 256, a 2k-word trie
+    (35 MB) hits 139 MB scoped at ANY batch.  Accept what is measured
+    to work: selectors <= 16 MB and one [S_soa, B] f32 plane <= 10 MB."""
+    sel_bytes = sum(int(np.prod(s.shape)) * s.dtype.itemsize
+                    for s in plan.sels)
+    s_soa = plan.topo.su * plan.topo.a_pad
+    return (sel_bytes <= 16 * 2**20
+            and s_soa * batch * 4 <= 10 * 2**20)
 
 
 def _lex_kernel(nll_ref, expand_ref, band_ref, cc_ref, eps_ref, rows_ref,
@@ -306,7 +332,15 @@ def _lex_kernel(nll_ref, expand_ref, band_ref, cc_ref, eps_ref, rows_ref,
         for li in range(n_levels):
             n_src = topo.level_sizes[li]
             sl = slice(src_off, src_off + n_src)
-            pieces.append(dotd(sel_refs[li][...], split3(ends_prev[sl, :])))
+            if topo.sel_tripled:
+                pieces.append(dotd(sel_refs[li][...],
+                                   split3(ends_prev[sl, :])))
+            else:
+                selb = sel_refs[li][...].astype(jnp.bfloat16)
+                s3 = split3(ends_prev[sl, :])
+                g = (dotd(selb, s3[:n_src]) + dotd(selb, s3[n_src:2 * n_src])
+                     + dotd(selb, s3[2 * n_src:]))
+                pieces.append(g)
             src_off += n_src
         gath = jnp.concatenate(pieces, axis=0) if len(pieces) > 1 else pieces[0]
         cand_start = jnp.minimum(gath + cc_ref[...], POS_INF)  # [A, B]

@@ -135,6 +135,8 @@ def lex_viterbi(batch, frames, n_arcs_pad, su, n_bank_states,
     s8 = su * n_arcs_pad
     u8 = _ceil8(n_bank_states)
     b = batch
+    # both selector formats move 3 bf16 value planes through the MXU
+    # (tripled contraction or three separate dots) — same MAC count
     cross_macs = 3.0 * sum(a * c for a, c in zip(level_sizes[:-1],
                                                  level_sizes[1:]))
     per_frame_mxu = 2.0 * b * (s8 * 3 * u8 + cross_macs)  # single bf16 pass

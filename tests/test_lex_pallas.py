@@ -131,6 +131,36 @@ def test_lex_pallas_parity_bigger_vocab(rng):
     run_both(lexg, e, nf)
 
 
+def test_lex_pallas_int8_selector_mode(rng):
+    """The large-vocabulary selector format (int8 singles, three MXU
+    passes per level) must be bit-identical to the bf16x3 fast path."""
+    import jax.numpy as jnp
+
+    lexg, unit_trans, unit_ids, units = make_lexg(rng, unigram=True)
+    plan = lex_pallas_plan(lexg)
+    assert plan.topo.sel_tripled  # small vocab picks the fast format
+    n_levels = len(plan.sels)
+    sels_int8 = tuple(
+        jnp.asarray(np.asarray(s, np.float32)[:, : s.shape[1] // 3], jnp.int8)
+        for s in plan.sels)
+    plan8 = plan._replace(sels=sels_int8,
+                          topo=plan.topo._replace(sel_tripled=False))
+
+    T, B = 21, 8
+    e = rng.uniform(0, 5, (T, len(units) * 3, B)).astype(np.float32)
+    nf = np.array([T, 9, T, 4, 15, T, 1, 12], np.int32)
+    fin_a, bp_a, eu_a = viterbi_lex_pallas(jnp.asarray(e), plan,
+                                           jnp.asarray(nf), plan.topo,
+                                           interpret=True)
+    fin_b, bp_b, eu_b = viterbi_lex_pallas(jnp.asarray(e), plan8,
+                                           jnp.asarray(nf), plan8.topo,
+                                           interpret=True)
+    np.testing.assert_array_equal(np.asarray(fin_a), np.asarray(fin_b))
+    np.testing.assert_array_equal(np.asarray(bp_a), np.asarray(bp_b))
+    np.testing.assert_array_equal(np.asarray(eu_a), np.asarray(eu_b))
+    assert n_levels == len(plan8.sels)
+
+
 def test_lex_pallas_decode_api(rng):
     """decode_lextree with backend='pallas-interpret' equals the XLA
     path (words and costs) on GMM-bank features."""
