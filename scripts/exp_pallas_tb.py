@@ -48,28 +48,32 @@ def main():
     audio_s = b * t * 0.01
     print(f"backend: {jax.default_backend()}  S={s} B={b} T={t}", flush=True)
 
-    f0, bp0 = viterbi_banded_tb(nll_tb, bg, n_frames, eps_depth=graph.eps_depth)
-    f1, bp1 = viterbi_banded_tb_pallas(nll_tb, bg, n_frames, topo,
-                                       eps_depth=graph.eps_depth,
-                                       frames_per_step=8)
+    f0, bp0, eu0 = viterbi_banded_tb(nll_tb, bg, n_frames, eps_depth=graph.eps_depth)
+    f1, bp1, eu1 = viterbi_banded_tb_pallas(nll_tb, bg, n_frames, topo,
+                                            eps_depth=graph.eps_depth,
+                                            frames_per_step=8)
     f0, f1 = np.asarray(f0), np.asarray(f1)
     bp0, bp1 = np.asarray(bp0), np.asarray(bp1)
     print("final equal:", np.array_equal(f0, f1),
-          " bp equal:", np.array_equal(bp0, bp1), flush=True)
+          " bp equal:", np.array_equal(bp0, bp1),
+          " eps_u equal:", np.array_equal(np.asarray(eu0, np.int32),
+                                          np.asarray(eu1, np.int32)),
+          flush=True)
     if not np.array_equal(bp0, bp1):
         d = np.argwhere(bp0 != bp1)
         print("n diffs", len(d), "first", d[:3],
               bp0[tuple(d[0])], bp1[tuple(d[0])], flush=True)
 
     def run_xla():
-        f, bp = viterbi_banded_tb(nll_tb, bg, n_frames, eps_depth=graph.eps_depth)
+        f, bp, _ = viterbi_banded_tb(nll_tb, bg, n_frames,
+                                     eps_depth=graph.eps_depth)
         return jnp.sum(f) + jnp.sum(bp[-1].astype(jnp.int32))
 
     def run_pl(k):
         def f_():
-            f, bp = viterbi_banded_tb_pallas(nll_tb, bg, n_frames, topo,
-                                             eps_depth=graph.eps_depth,
-                                             frames_per_step=k)
+            f, bp, _ = viterbi_banded_tb_pallas(nll_tb, bg, n_frames, topo,
+                                                eps_depth=graph.eps_depth,
+                                                frames_per_step=k)
             return jnp.sum(f) + jnp.sum(bp[-1].astype(jnp.int32))
         return f_
 

@@ -291,7 +291,7 @@ def _lex_kernel(nll_ref, expand_ref, band_ref, cc_ref, eps_ref, rows_ref,
 
     prev = cost_ref[...]
     fin = final_ref[...]
-    nf_b = nf_ref[...] + jnp.zeros((s8, b), jnp.int32)
+    nf_b = nf_ref[...]  # [1, B]; where() broadcasts over sublanes
     inf_sb = jnp.full((s8, b), POS_INF, jnp.float32)
 
     for k in range(frames_per_step):
@@ -299,24 +299,20 @@ def _lex_kernel(nll_ref, expand_ref, band_ref, cc_ref, eps_ref, rows_ref,
         # [S_soa, B] exact one-hot bank expansion, one MXU pass
         emis = dotd(expand_ref[...], split3(nll_ref[k]))
 
-        # band relaxation: SoA j-1 -> j is a roll by a_pad rows
-        best = inf_sb
-        dsel = jnp.zeros((s8, b), jnp.float32)
-        for d in range(MAX_BAND + 1):
-            col = band_ref[:, d : d + 1]
-            if d == 0:
-                shifted = prev
-            else:
-                pen = jnp.where(
-                    jax.lax.broadcasted_iota(jnp.int32, (s8, 1), 0)
-                    < d * a_pad,
-                    jnp.float32(POS_INF), jnp.float32(0))
-                shifted = jnp.minimum(
-                    pltpu.roll(prev, d * a_pad, 0) + pen, POS_INF)
-            cand = col + shifted
-            take = cand <= best
-            best = jnp.where(take, cand, best)
-            dsel = jnp.where(take, jnp.float32(d), dsel)
+        # band relaxation: SoA j-1 -> j is a roll by a_pad rows.  No
+        # wrap penalty: band columns are POS_INF at rows < d*a_pad, and
+        # POS_INF + x == POS_INF bitwise for |x| << ulp(1e30) ~ 1e23,
+        # so wrapped garbage can never leak past the final clamp.  The
+        # min-chain + post-hoc code derivation replaces per-d selects;
+        # tie-breaking is unchanged (largest finite d wins: c2 checked
+        # first, matching dense first-minimum-origin semantics).
+        c0 = band_ref[:, 0:1] + prev
+        c1 = band_ref[:, 1:2] + pltpu.roll(prev, a_pad, 0)
+        c2 = band_ref[:, 2:3] + pltpu.roll(prev, 2 * a_pad, 0)
+        best = jnp.minimum(jnp.minimum(c0, c1), c2)
+        dsel = jnp.where(best == c2, jnp.float32(2),
+                         jnp.where(best == c1, jnp.float32(1),
+                                   jnp.float32(0)))
         base = jnp.minimum(best, POS_INF)
 
         # cross edges: level-blocked one-hot gathers of the previous

@@ -131,6 +131,27 @@ def test_lex_pallas_parity_bigger_vocab(rng):
     run_both(lexg, e, nf)
 
 
+def test_lex_pallas_parity_flat_vocab(rng):
+    """Flat vocabulary (the 11-digit shape: every word one arc, no
+    cross edges, per-row bigram eps block) — the path the CLI's
+    --graph lextree takes on TPU."""
+    from speech_recognition_tpu.langmodel.bigram import fit_bigram
+
+    words = list("123456789OZ")
+    unit_ids = {ch: i for i, ch in enumerate(words)}
+    unit_trans = [ltr(5, rng) for _ in words]
+    lm = fit_bigram([[0, 1, 2, 3, 4], [10, 9, 8], [5, 6, 7, 0]], len(words))
+    lexg = build_lex_graph(words, unit_trans, unit_ids, lm=lm,
+                           word_insertion_cost=0.2)
+    plan = lex_pallas_plan(lexg)
+    assert not plan.topo.eps_rowconst  # bigram rows vary
+    assert len(plan.sels) == 0  # no cross edges
+    T, B = 27, 8
+    e = rng.uniform(0, 5, (T, len(words) * 5, B)).astype(np.float32)
+    nf = np.array([T, 13, 1, T, 8, 21, T, 5], np.int32)
+    run_both(lexg, e, nf)
+
+
 def test_lex_pallas_int8_selector_mode(rng):
     """The large-vocabulary selector format (int8 singles, three MXU
     passes per level) must be bit-identical to the bf16x3 fast path."""
