@@ -127,12 +127,21 @@ def build_lex_graph(
     # Per-unit blocks, cast exactly like models/graph.build_loop_graph
     # so flat vocabularies are bit-identical to the loop graph.
     unit_blk, unit_k = [], []
-    for t in unit_trans:
+    for ui, t in enumerate(unit_trans):
         t32 = np.asarray(t, dtype=np.float32)
         unit_blk.append(np.where(np.isfinite(t32), t32, POS_INF))
         unit_k.append(t32.shape[0])
         if t32.shape[0] < 2:
             raise ValueError("lexical trees need units with >= 2 states")
+        # The band holds diagonals 0..MAX_BAND only; any finite
+        # transition outside it (backward, or a jump > MAX_BAND) would
+        # be silently dropped — raise instead, exactly like
+        # viterbi_banded.banded_arrays does for composed word graphs.
+        j, i = np.nonzero(unit_blk[-1] < POS_INF / 2)
+        if np.any((j < i) | (j - i > MAX_BAND)):
+            raise ValueError(
+                f"unit {ui}: transition matrix is not banded "
+                f"(finite entries outside diagonals 0..{MAX_BAND})")
     su = max(unit_k)
 
     arc_k = np.array([unit_k[u] for u in arc_unit], np.int64)

@@ -224,6 +224,17 @@ def lex_pallas_plan(lexg) -> LexPlan:
         eps_exit[pos[a], :r] = eps_block[:, slot]
         leaf_id[pos[a], 0] = float(slot)
     ends_soa = ((su - 1) * a_pad + pos[ends_orig_arcs]).astype(np.int32)
+    # Row-constant eps fast path: selected only when every eps_block row
+    # is constant across leaves (wic + unigram-smear graphs).  Caveat
+    # (documented restriction): the kernel then takes ONE shared argmin
+    # over the RAW end values, while the XLA kernel argmins per root
+    # over f32-rounded (c_r + end).  If that rounding creates a tie the
+    # raw ends do not have (plausible with quantized/int8-derived
+    # emission costs), the recorded eps ORIGIN — and hence the word
+    # sequence — can differ from the XLA kernel at equal path cost.
+    # Continuous (float) acoustic costs make this measure-zero; callers
+    # feeding quantized costs who need bit-identical origins should
+    # force the XLA backend.
     eps_rowconst = bool(np.all(eps_block == eps_block[:, :1]))
     eps_rows = np.full((r8, 1), POS_INF, np.float32)
     eps_rows[:r, 0] = eps_block[:, 0]
@@ -429,6 +440,12 @@ def viterbi_lex_pallas(nll_tub, plan: LexPlan, n_frames, topo: LexTopo,
     n_levels = len(plan.sels)
     k = frames_per_step
     t8 = (t_len + k - 1) // k * k
+    if u_in > u8:
+        # Bank emissions cover n_models * su rows; a lexicon that never
+        # references the trailing bank units makes u8 < u_in.  The
+        # dropped rows are unreferenced by the expand one-hot.
+        nll_tub = nll_tub[:, :u8]
+        u_in = u8
     if u8 != u_in or t8 != t_len:
         nll_tub = jnp.pad(nll_tub, ((0, t8 - t_len), (0, u8 - u_in), (0, 0)))
     nf_row = n_frames.astype(jnp.int32)[None, :]

@@ -233,3 +233,23 @@ def test_lex_pallas_decode_api(rng):
                                      backend="pallas-interpret")
     assert seqs_p == seqs_x == refs
     np.testing.assert_array_equal(costs_p, costs_x)
+
+
+def test_lex_pallas_unused_trailing_bank_units(rng):
+    """Bank emissions with MORE rows than the lexicon references
+    (vocab over units 0..1 of a 4-unit bank): u_in > ceil8(max bank
+    row), which used to crash viterbi_lex_pallas with a negative pad
+    width (advisor finding, round 2).  The extra rows are unreferenced
+    and must simply be sliced away, with full parity kept."""
+    su = 3
+    units4 = list("abcd")
+    unit_ids = {ch: i for i, ch in enumerate(units4)}
+    unit_trans = [ltr(su, rng, skip=False) for _ in units4]
+    words = ["ab", "ba", "a", "bb"]  # only units a, b referenced
+    lexg = build_lex_graph(words, unit_trans, unit_ids,
+                           word_insertion_cost=0.3)
+    assert int(np.asarray(lexg.banded.bank_state).max()) + 1 < len(units4) * su
+    T, B = 19, 8
+    e = rng.uniform(0, 5, (T, len(units4) * su, B)).astype(np.float32)
+    nf = np.array([T, 9, T, 4, 15, T, 1, 12], np.int32)
+    run_both(lexg, e, nf)

@@ -362,3 +362,25 @@ def test_decode_lextree_api(rng):
                                      beam_width=lexg.n_states)
     assert seqs_b == refs
     np.testing.assert_array_equal(costs, costs_b)
+
+
+def test_non_banded_unit_raises(rng):
+    """A unit HMM with a finite transition outside the band (jump 3 >
+    MAX_BAND, or backward) must fail loudly instead of decoding with
+    silently dropped costs (advisor finding, round 2)."""
+    units = ["a", "b"]
+    unit_ids = {ch: i for i, ch in enumerate(units)}
+    good = np.full((4, 4), np.inf)
+    for i in range(4):
+        good[i, i] = 0.5
+        if i + 1 < 4:
+            good[i + 1, i] = 0.5
+    skip3 = good.copy()
+    skip3[3, 0] = 0.9  # jump of 3: outside diagonals 0..MAX_BAND
+    with pytest.raises(ValueError, match="not banded"):
+        build_lex_graph(["ab"], [good, skip3], unit_ids)
+    back = good.copy()
+    back[0, 2] = 0.9  # backward transition
+    with pytest.raises(ValueError, match="not banded"):
+        build_lex_graph(["ab"], [back, good], unit_ids)
+    build_lex_graph(["ab"], [good, good], unit_ids)  # sanity: banded ok
