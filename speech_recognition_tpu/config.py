@@ -66,6 +66,16 @@ class FrontendConfig:
     # Use the GEMM-native DFT (two matmuls onto the MXU) instead of
     # jnp.fft.rfft.  Identical results; much better TPU mapping.
     dft_as_gemm: bool = True
+    # TPU matmul pass count for the spectral chain (DFT/mel/DCT GEMMs):
+    # 'highest' = 6 bf16 passes (exact f32; the only mode inside the
+    # 1.3e-3 vs-float64 budget — measured on-chip: 'high' is 1.0e-2,
+    # 'default' 1.0 absolute on standardized features, the log stage
+    # amplifies quiet mel channels).  'high'/'default' are kept as
+    # measurement dials; round-3 finding: 6 passes is the floor for
+    # f32-exact bf16-MXU matmuls, so frontend speed comes from the
+    # fused Pallas kernel (ops/pallas_kernels.pallas_mfcc), not from
+    # precision dialing.  See scripts/exp_frontend_precision.py.
+    spectral_precision: str = "highest"
 
     @property
     def effective_preemph(self) -> float:

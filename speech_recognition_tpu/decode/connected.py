@@ -139,10 +139,26 @@ def _decode_banded_batch(bank: HMMBank, feats, n_frames, g: BandedGraph,
         # padded end to end (no slice+repad copies of the ~100 MB
         # tensor)
         nll_ubt = bank_nll_ubt(bank, feats, n_frames)
-        final, bp8, eps_u = viterbi_banded_tb_pallas(
-            nll_ubt, g, n_frames, pallas_topo, eps_depth=eps_depth,
-            bank_input=True, return_padded_bp=True, input_ubt=True,
-            interpret=pallas_interpret)
+        # emit_eps_prev: the forward kernel records each eps winner's
+        # post-unwind predecessor in a second side plane, unlocking the
+        # value-carried backtrace (one full-plane lookup per frame
+        # instead of ~15 one-hot plane passes) — only on uniform
+        # single-eps graphs (composed word graphs; guarded below)
+        emit_prev = bool(
+            pallas_topo.uniform_w and eps_depth == 1
+            and not (set(pallas_topo.word_starts)
+                     & set(pallas_topo.word_ends)))
+        eps_prev = None
+        if emit_prev:
+            final, bp8, eps_u, eps_prev = viterbi_banded_tb_pallas(
+                nll_ubt, g, n_frames, pallas_topo, eps_depth=eps_depth,
+                bank_input=True, return_padded_bp=True, input_ubt=True,
+                interpret=pallas_interpret, emit_eps_prev=True)
+        else:
+            final, bp8, eps_u = viterbi_banded_tb_pallas(
+                nll_ubt, g, n_frames, pallas_topo, eps_depth=eps_depth,
+                bank_input=True, return_padded_bp=True, input_ubt=True,
+                interpret=pallas_interpret)
     else:
         def emis(x, nf):
             frame_mask = jnp.arange(t) < nf
@@ -164,6 +180,7 @@ def _decode_banded_batch(bank: HMMBank, feats, n_frames, g: BandedGraph,
         states, eps_flags = banded_backtrace_tb_pallas(
             bp8, eps_u, g, g.end_states[best], n_frames, pallas_topo,
             eps_depth=eps_depth, interpret=pallas_interpret,
+            eps_prev=eps_prev,
         )
         states, eps_flags = states[:t], eps_flags[:t]  # drop pad frames
     else:

@@ -37,7 +37,20 @@ import jax.numpy as jnp
 import numpy as np
 
 from speech_recognition_tpu.config import FrontendConfig
-from speech_recognition_tpu.utils.numerics import MATMUL_PRECISION
+
+
+def _spectral_precision(cfg: FrontendConfig):
+    """Matmul precision for the DFT/mel/DCT chain.  The bf16 single-pass
+    default corrupts MFCCs by ~4.7 absolute (round-1 on-chip finding);
+    3-pass 'high' is measured within the 1.3e-3 vs-float64 budget at
+    half the MXU passes of 'highest' (tests/test_frontend.py guards the
+    CPU equivalence; scripts/exp_frontend_precision.py the on-chip one)."""
+    name = getattr(cfg, "spectral_precision", "highest")
+    return {
+        "highest": jax.lax.Precision.HIGHEST,
+        "high": jax.lax.Precision.HIGH,
+        "default": jax.lax.Precision.DEFAULT,
+    }[name]
 
 __all__ = [
     "padded_length",
@@ -263,21 +276,22 @@ def mfcc(signal, length, cfg: FrontendConfig = FrontendConfig(), n_frames_cap: i
     frames = _frame_signal(emph, F, fl, fs)
 
     # Windowed power spectrum.
+    prec = _spectral_precision(cfg)
     if cfg.dft_as_gemm:
-        re = jnp.dot(frames, consts["dft_cos"], precision=MATMUL_PRECISION)
-        im = jnp.dot(frames, consts["dft_sin"], precision=MATMUL_PRECISION)
+        re = jnp.dot(frames, consts["dft_cos"], precision=prec)
+        im = jnp.dot(frames, consts["dft_sin"], precision=prec)
         power = (re * re + im * im) * (1.0 / cfg.n_fft)
     else:
         spec = jnp.fft.rfft(frames * consts["window"][None, :], cfg.n_fft)
         power = (jnp.abs(spec) ** 2) * (1.0 / cfg.n_fft)
 
     # Mel energies -> log -> DCT -> lifter.
-    mel = jnp.dot(power, consts["mel_w"], precision=MATMUL_PRECISION)
+    mel = jnp.dot(power, consts["mel_w"], precision=prec)
     # reference floors exact zeros to float64 eps (cast so f32 stays f32)
     eps = jnp.asarray(np.finfo(np.float64).eps, dtype=dt)
     mel = jnp.where(mel <= 0.0, eps, mel)
     log_mel = jnp.log(mel) if cfg.variant == "psf" else jnp.log10(mel)
-    ceps = jnp.dot(log_mel, consts["dct_m"], precision=MATMUL_PRECISION)
+    ceps = jnp.dot(log_mel, consts["dct_m"], precision=prec)
     ceps = ceps * consts["lifter"][None, :]
     ceps = jnp.where(frame_mask[:, None], ceps, 0.0)
     return ceps, nf

@@ -116,9 +116,15 @@ def _ceil(x, m):
 
 def _kernel(nll_ref, expand_ref, band_ref, eps_ref, e_end_ref, e_start_ref,
             sel_sg_ref, p_start_ref, init_ref, nf_ref, final_ref, bp_ref,
-            epsu_ref, cost_ref, *, topo: BandedTopo, eps_depth: int,
+            epsu_ref, *rest, topo: BandedTopo, eps_depth: int,
             frames_per_step: int, bank_mode: bool,
-            uniform: Tuple[int, int] = (), ubt: bool = False):
+            uniform: Tuple[int, int] = (), ubt: bool = False,
+            emit_eps_prev: bool = False):
+    if emit_eps_prev:
+        epsp_ref, cost_ref = rest
+    else:
+        (cost_ref,) = rest
+        epsp_ref = None
     ti = pl.program_id(0)
     s8, b = cost_ref.shape
     v8 = sel_sg_ref.shape[0]
@@ -199,6 +205,17 @@ def _kernel(nll_ref, expand_ref, band_ref, eps_ref, e_end_ref, e_start_ref,
         cost = jnp.minimum(base + emis, POS_INF)
         bp = dsel
         side = jnp.zeros((v8, b), jnp.float32)  # eps origins (as f32)
+        side_prev = jnp.zeros((v8, b), jnp.float32)  # post-unwind prev state
+        if emit_eps_prev:
+            # band code at every word-end row, captured pre-eps: the eps
+            # winner's true path predecessor is end_row(u) - d_end(u),
+            # recorded into a second side plane so the value-carried
+            # backtrace needs no second full-plane lookup per frame.
+            if uniform:
+                w_live_, w8_ = uniform
+                d_ends = dsel.reshape(v8, w8_, b)[:, w_live_ - 1, :]  # [V8,B]
+            else:
+                d_ends = dotf(e_end_ref[...], dsel)  # [L8, B]
 
         # --- eps relaxation: static block spans, first-min tie-break ---
         for _ in range(eps_depth):
@@ -213,31 +230,45 @@ def _kernel(nll_ref, expand_ref, band_ref, eps_ref, e_end_ref, e_start_ref,
                 end_vals = dotf(e_end_ref[...], cost)  # [L8, B] select
             # build [R8, B] base/arg by concatenating the (ascending,
             # disjoint) eps-block runs — Mosaic has no scatter
-            pieces_b, pieces_a = [], []
+            pieces_b, pieces_a, pieces_p = [], [], []
             cursor = 0
             for (v_lo, v_hi, u_lo, u_hi) in topo.ranges:
                 if v_lo > cursor:
                     pieces_b.append(
                         jnp.full((v_lo - cursor, b), POS_INF, jnp.float32))
                     pieces_a.append(jnp.zeros((v_lo - cursor, b), jnp.float32))
+                    pieces_p.append(jnp.zeros((v_lo - cursor, b), jnp.float32))
                 bb = jnp.full((v_hi - v_lo, b), POS_INF, jnp.float32)
                 aa = jnp.zeros((v_hi - v_lo, b), jnp.float32)
+                pp = jnp.zeros((v_hi - v_lo, b), jnp.float32)
                 for u in range(u_lo, u_hi):
                     cand_u = (eps_ref[v_lo:v_hi, u : u + 1]
                               + end_vals[u : u + 1, :])
                     take = cand_u < bb  # strict: keep first minimum
                     bb = jnp.where(take, cand_u, bb)
                     aa = jnp.where(take, jnp.float32(u), aa)
+                    if emit_eps_prev:
+                        if uniform:
+                            end_row = u * uniform[1] + uniform[0] - 1
+                        else:
+                            end_row = topo.word_ends[u]
+                        prev_u = jnp.float32(end_row) - d_ends[u : u + 1, :]
+                        pp = jnp.where(take, prev_u, pp)
                 pieces_b.append(bb)
                 pieces_a.append(aa)
+                pieces_p.append(pp)
                 cursor = v_hi
             if cursor < v8:
                 pieces_b.append(jnp.full((v8 - cursor, b), POS_INF, jnp.float32))
                 pieces_a.append(jnp.zeros((v8 - cursor, b), jnp.float32))
+                pieces_p.append(jnp.zeros((v8 - cursor, b), jnp.float32))
             arc_base = (jnp.concatenate(pieces_b, axis=0)
                         if len(pieces_b) > 1 else pieces_b[0])
             arc_arg = (jnp.concatenate(pieces_a, axis=0)
                        if len(pieces_a) > 1 else pieces_a[0])
+            if emit_eps_prev:
+                arc_prev = (jnp.concatenate(pieces_p, axis=0)
+                            if len(pieces_p) > 1 else pieces_p[0])
             if uniform:
                 emis_starts = emis.reshape(v8, w8, b)[:, 0, :]
                 cand_arc = jnp.minimum(arc_base + emis_starts, POS_INF)
@@ -269,11 +300,16 @@ def _kernel(nll_ref, expand_ref, band_ref, eps_ref, e_end_ref, e_start_ref,
             cost = jnp.where(better, cand_dense, cost)
             bp = jnp.where(better, jnp.float32(_EPS), bp)
             side = side * (1.0 - better_arc) + arc_arg * better_arc
+            if emit_eps_prev:
+                side_prev = (side_prev * (1.0 - better_arc)
+                             + arc_prev * better_arc)
 
         # --- variable-length masking + final capture (XLA semantics) ---
         cost = jnp.where(t_abs < nf_b, cost, prev)
         bp_ref[k] = bp.astype(jnp.int8)
         epsu_ref[k] = side.astype(jnp.int32)
+        if emit_eps_prev:
+            epsp_ref[k] = side_prev.astype(jnp.int32)
         fin = jnp.where(t_abs == nf_b - 1, cost, fin)
         prev = cost
 
@@ -284,14 +320,16 @@ def _kernel(nll_ref, expand_ref, band_ref, eps_ref, e_end_ref, e_start_ref,
 @functools.partial(jax.jit,
                    static_argnames=("topo", "eps_depth", "interpret",
                                     "frames_per_step", "bank_input",
-                                    "return_padded_bp", "input_ubt"))
+                                    "return_padded_bp", "input_ubt",
+                                    "emit_eps_prev"))
 def viterbi_banded_tb_pallas(nll_tb, g: BandedGraph, n_frames,
                              topo: BandedTopo, eps_depth: int = 1,
                              interpret: bool = False,
                              frames_per_step: int = 4,
                              bank_input: bool = None,
                              return_padded_bp: bool = False,
-                             input_ubt: bool = False):
+                             input_ubt: bool = False,
+                             emit_eps_prev: bool = False):
     """Drop-in Pallas replacement for
     :func:`ops.viterbi_banded.viterbi_banded_tb`.
 
@@ -336,6 +374,14 @@ def viterbi_banded_tb_pallas(nll_tb, g: BandedGraph, n_frames,
     r8 = _ceil(r, 8)
     l8 = _ceil(l, 8)
     sb8 = _ceil(s_in, 8)  # emission-block state dim (bank or graph)
+    if emit_eps_prev:
+        # The prev side plane captures word-end band codes BEFORE the
+        # eps pass; with a start that is also an end (single-state
+        # words) a same-frame eps chain could overwrite the origin's
+        # code and the two backtrace forms would diverge — guard it out.
+        if eps_depth != 1 or (set(topo.word_starts) & set(topo.word_ends)):
+            raise ValueError("emit_eps_prev needs eps_depth == 1 and "
+                             "disjoint word starts/ends")
 
     # Uniform layout: pad every word to W8 = ceil8(W) states so the eps
     # arc rows become pure reshape views / sublane repeats in-kernel —
@@ -413,14 +459,20 @@ def viterbi_banded_tb_pallas(nll_tb, g: BandedGraph, n_frames,
 
     kernel = functools.partial(_kernel, topo=topo, eps_depth=eps_depth,
                                frames_per_step=k, bank_mode=bank_mode,
-                               uniform=uniform, ubt=input_ubt)
+                               uniform=uniform, ubt=input_ubt,
+                               emit_eps_prev=emit_eps_prev)
     const = lambda *_: (0, 0)
     nll_spec = (pl.BlockSpec((sb8, k, b), lambda t: (0, t, 0),
                              memory_space=pltpu.VMEM)
                 if input_ubt else
                 pl.BlockSpec((k, sb8, b), lambda t: (t, 0, 0),
                              memory_space=pltpu.VMEM))
-    final, bp8, eps_u = pl.pallas_call(
+    extra_specs = ([pl.BlockSpec((k, r8, b), lambda t: (t, 0, 0),
+                                 memory_space=pltpu.VMEM)]
+                   if emit_eps_prev else [])
+    extra_shapes = ([jax.ShapeDtypeStruct((t8, r8, b), jnp.int32)]
+                    if emit_eps_prev else [])
+    outs = pl.pallas_call(
         kernel,
         grid=(t8 // k,),
         in_specs=[
@@ -441,12 +493,12 @@ def viterbi_banded_tb_pallas(nll_tb, g: BandedGraph, n_frames,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((k, r8, b), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-        ],
+        ] + extra_specs,
         out_shape=[
             jax.ShapeDtypeStruct((s8, b), jnp.float32),
             jax.ShapeDtypeStruct((t8, s8, b), jnp.int8),
             jax.ShapeDtypeStruct((t8, r8, b), jnp.int32),
-        ],
+        ] + extra_shapes,
         scratch_shapes=[pltpu.VMEM((s8, b), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
@@ -456,16 +508,26 @@ def viterbi_banded_tb_pallas(nll_tb, g: BandedGraph, n_frames,
       jnp.asarray(e_end),
       jnp.asarray(e_start), jnp.asarray(sel_sg), jnp.asarray(p_start),
       init_col, nf_row)
+    final, bp8, eps_u = outs[:3]
+    eps_prev = outs[3] if emit_eps_prev else None
     final = final[pad_rows_j] if uniform else final[:s]
     if return_padded_bp:
         # hand the padded [T8, S8, B] planes straight to the Pallas
         # backtrace — slicing here and re-padding there would copy the
         # ~100 MB int8 tensor twice (pad rows/frames are inert)
+        if emit_eps_prev:
+            return final, bp8, eps_u, eps_prev
         return final, bp8, eps_u
     if uniform:
         bp8 = bp8[:t_len, pad_rows_j]  # back to original numbering
+        if emit_eps_prev:  # prev-state VALUES also carry padded row ids
+            w_live, w8 = uniform
+            eps_prev = (eps_prev // w8) * w_live + eps_prev % w8
     else:
         bp8 = bp8[:t_len, :s]
+    if emit_eps_prev:
+        return (final, bp8, eps_u[:t_len, :r].astype(u_dtype),
+                eps_prev[:t_len, :r])
     return final, bp8, eps_u[:t_len, :r].astype(u_dtype)
 
 
@@ -551,13 +613,58 @@ def _backtrace_kernel(bp_ref, epsu_ref, end_oh_ref, p_we_ref, sel_sg_ref,
     oh_ref[...] = oh
 
 
+def _backtrace_kernel_val(bp_ref, epsp_ref, endv_ref, nf_ref, out_ref,
+                          st_ref, *, t_len: int, frames_per_step: int,
+                          stride: int):
+    """Value-carried reverse walk: the per-stream state rides as ONE
+    [1, B] value row, so each frame costs a single full-plane lookup
+    (cast + iota-compare + mul + reduce) instead of the one-hot form's
+    ~15 plane passes.  The eps unwind reads the post-unwind predecessor
+    straight from the forward kernel's ``eps_prev`` side plane — no
+    second full-plane lookup.  Requires eps_depth == 1 and disjoint
+    word starts/ends (guarded at emit time)."""
+    i = pl.program_id(0)
+    n_blk = pl.num_programs(0)
+    s8, b = bp_ref.shape[1], bp_ref.shape[2]
+    r8 = epsp_ref.shape[1]
+
+    iota_s = jax.lax.broadcasted_iota(jnp.int32, (s8, 1), 0).astype(jnp.float32)
+    iota_r = jax.lax.broadcasted_iota(jnp.int32, (r8, 1), 0).astype(jnp.float32)
+    nf = nf_ref[...].astype(jnp.float32)  # [1, B]
+    st = st_ref[...]  # [1, B] carried state value
+
+    for kk in range(frames_per_step - 1, -1, -1):
+        t = (n_blk - 1 - i) * frames_per_step + kk
+        st = jnp.where(t == t_len - 1, endv_ref[...], st)
+        rec = st
+        plane = bp_ref[kk].astype(jnp.float32)  # [S8, B] — the ONE big op
+        code = jnp.sum(plane * (iota_s == st).astype(jnp.float32),
+                       axis=0, keepdims=True)  # [1, B]
+        m = (code == jnp.float32(_EPS)).astype(jnp.float32)
+        # recorded state is a word-start row: its slot is st // stride
+        r_row = jnp.floor(st / jnp.float32(stride))
+        pprev = jnp.sum(epsp_ref[kk].astype(jnp.float32)
+                        * (iota_r == r_row).astype(jnp.float32),
+                        axis=0, keepdims=True)  # [1, B]
+        band_prev = st - jnp.minimum(code, jnp.float32(MAX_BAND))
+        prev = pprev * m + band_prev * (1.0 - m)
+        act = (jnp.where(t > 0, 1.0, 0.0) * (t < nf).astype(jnp.float32)
+               * jnp.where(t <= t_len - 1, 1.0, 0.0))
+        st = prev * act + rec * (1.0 - act)
+        out_ref[kk] = jnp.concatenate(
+            [rec, m * (t < nf).astype(jnp.float32),
+             jnp.zeros((6, b), jnp.float32)], axis=0)
+
+    st_ref[...] = st
+
+
 @functools.partial(jax.jit,
                    static_argnames=("topo", "eps_depth", "interpret",
                                     "frames_per_step"))
 def banded_backtrace_tb_pallas(bp8, eps_u, g: BandedGraph, end_state, n_frames,
                                topo: BandedTopo, eps_depth: int = 1,
                                interpret: bool = False,
-                               frames_per_step: int = 8):
+                               frames_per_step: int = 8, eps_prev=None):
     """Pallas twin of :func:`ops.viterbi_banded.banded_backtrace_tb`.
 
     The XLA form is a T-step ``lax.scan`` of [B]-scalar work — scan
@@ -623,6 +730,44 @@ def banded_backtrace_tb_pallas(bp8, eps_u, g: BandedGraph, end_state, n_frames,
     elif eps_u.shape[0] != t8:  # viterbi pads both to its own multiple
         eps_u = jnp.pad(eps_u, ((0, t8 - eps_u.shape[0]), (0, 0), (0, 0)))
     n_blk = t8 // k
+
+    if eps_prev is not None and uniform and eps_depth == 1:
+        # fast path: value-carried walk + eps_prev side plane (uniform
+        # layouts only — the slot of a start row is st // stride)
+        stride = w8 if padded_layout else w_live
+        if eps_prev.shape[0] != t8:
+            eps_prev = jnp.pad(
+                eps_prev, ((0, t8 - eps_prev.shape[0]), (0, 0), (0, 0)))
+        if eps_prev.shape[1] != r8:
+            eps_prev = jnp.pad(eps_prev, ((0, 0), (0, r8 - eps_prev.shape[1]),
+                                          (0, 0)))
+        kernel = functools.partial(_backtrace_kernel_val, t_len=t_len,
+                                   frames_per_step=k, stride=stride)
+        const = lambda *_: (0, 0)
+        rev = lambda i: (n_blk - 1 - i, 0, 0)
+        endv = end_ids.astype(jnp.float32)[None, :]
+        outs = pl.pallas_call(
+            kernel,
+            grid=(n_blk,),
+            in_specs=[
+                pl.BlockSpec((k, s8, b), rev, memory_space=pltpu.VMEM),
+                pl.BlockSpec((k, r8, b), rev, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, b), const, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, b), const, memory_space=pltpu.VMEM),
+            ],
+            out_specs=[pl.BlockSpec((k, 8, b), rev, memory_space=pltpu.VMEM)],
+            out_shape=[jax.ShapeDtypeStruct((t8, 8, b), jnp.float32)],
+            scratch_shapes=[pltpu.VMEM((1, b), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+                vmem_limit_bytes=100 * 2**20),
+            interpret=interpret,
+        )(bp8, eps_prev, endv, nf_row)
+        out = outs[0][:t_len]
+        states = out[:, 0, :].astype(jnp.int32)
+        if padded_layout:  # back to original numbering
+            states = (states // w8) * w_live + states % w8
+        return states, out[:, 1, :] > 0.5
 
     kernel = functools.partial(_backtrace_kernel, t_len=t_len,
                                eps_depth=eps_depth, frames_per_step=k,

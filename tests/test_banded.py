@@ -366,3 +366,79 @@ def test_pallas_mfcc_interpret_matches(rng):
             )
     finally:
         pk.pl.pallas_call = orig
+
+
+def test_pallas_value_backtrace_bit_parity(rng):
+    """emit_eps_prev + the value-carried backtrace (the production
+    headline path) are bit-identical to the one-hot backtrace and the
+    XLA scan on uniform graphs, bank-mode, variable lengths."""
+    from speech_recognition_tpu.ops.viterbi_banded import (
+        banded_backtrace_tb,
+        viterbi_banded_tb,
+    )
+    from speech_recognition_tpu.ops.viterbi_banded_pallas import (
+        banded_backtrace_tb_pallas,
+        banded_topology,
+        viterbi_banded_tb_pallas,
+    )
+
+    for name, g in graphs(rng):
+        bg = banded_arrays(g)
+        topo = banded_topology(bg)
+        if not topo.uniform_w or g.eps_depth != 1:
+            continue
+        assert not (set(topo.word_starts) & set(topo.word_ends))
+        B, T = 4, 19
+        n_bank = int(np.asarray(bg.bank_state).max()) + 1
+        nll_bank = rng.uniform(0, 5, (T, n_bank, B)).astype(np.float32)
+        nll_g = nll_bank[:, np.asarray(bg.bank_state), :]
+        nfs = np.array([19, 9, 1, 13], np.int32)
+        # XLA reference
+        f_x, bp_x, eu_x = viterbi_banded_tb(
+            jnp.asarray(nll_g), bg, jnp.asarray(nfs), eps_depth=1)
+        # Pallas forward WITH the eps_prev side plane: first three
+        # outputs must be unchanged vs the XLA kernel
+        f_p, bp_p, eu_p, ep_p = viterbi_banded_tb_pallas(
+            jnp.asarray(nll_bank), bg, jnp.asarray(nfs), topo,
+            eps_depth=1, interpret=True, bank_input=True,
+            emit_eps_prev=True)
+        np.testing.assert_array_equal(np.asarray(f_x), np.asarray(f_p),
+                                      err_msg=name)
+        np.testing.assert_array_equal(np.asarray(bp_x), np.asarray(bp_p),
+                                      err_msg=name)
+        np.testing.assert_array_equal(np.asarray(eu_x), np.asarray(eu_p),
+                                      err_msg=name)
+        ends = jnp.asarray(np.full((B,), int(np.asarray(bg.end_states)[-1]),
+                                   np.int32))
+        s_x, e_x = banded_backtrace_tb(bp_x, eu_x, bg, ends,
+                                       jnp.asarray(nfs), eps_depth=1)
+        # one-hot Pallas backtrace (no eps_prev) and the value-carried
+        # one (with) must both equal the XLA walk
+        s_p1, e_p1 = banded_backtrace_tb_pallas(
+            bp_p, eu_p, bg, ends, jnp.asarray(nfs), topo, eps_depth=1,
+            interpret=True)
+        s_p2, e_p2 = banded_backtrace_tb_pallas(
+            bp_p, eu_p, bg, ends, jnp.asarray(nfs), topo, eps_depth=1,
+            interpret=True, eps_prev=ep_p)
+        for i, nf in enumerate(nfs):
+            for s_p, e_p in ((s_p1, e_p1), (s_p2, e_p2)):
+                np.testing.assert_array_equal(np.asarray(s_x)[:nf, i],
+                                              np.asarray(s_p)[:nf, i],
+                                              err_msg=name)
+                np.testing.assert_array_equal(np.asarray(e_x)[:nf, i],
+                                              np.asarray(e_p)[:nf, i],
+                                              err_msg=name)
+        # padded-plane path (production wiring): forward keeps padded
+        # planes, value backtrace converts back at the end
+        f_q, bp_q, eu_q, ep_q = viterbi_banded_tb_pallas(
+            jnp.asarray(nll_bank), bg, jnp.asarray(nfs), topo,
+            eps_depth=1, interpret=True, bank_input=True,
+            emit_eps_prev=True, return_padded_bp=True)
+        s_q, e_q = banded_backtrace_tb_pallas(
+            bp_q, eu_q, bg, ends, jnp.asarray(nfs), topo, eps_depth=1,
+            interpret=True, eps_prev=ep_q)
+        for i, nf in enumerate(nfs):
+            np.testing.assert_array_equal(np.asarray(s_x)[:nf, i],
+                                          np.asarray(s_q)[:nf, i], err_msg=name)
+            np.testing.assert_array_equal(np.asarray(e_x)[:nf, i],
+                                          np.asarray(e_q)[:nf, i], err_msg=name)
