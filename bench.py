@@ -413,9 +413,13 @@ def bench_lex_pipeline(batch=128, samples=80000, n_words=1000):
 
 
 def bench_lextree(batch=64, frames=500, n_words=1000, frame_step_s=0.01,
-                  beam_k=0, unroll=4, pallas=False, frames_per_step=2):
+                  beam_k=0, unroll=4, pallas=False, frames_per_step=2,
+                  dict1=False):
     """Big-vocabulary lextree decode: 1,000-word trie over 8 unit
-    models (~9.6k states), full exact kernel or the token beam."""
+    models (~9.6k states), full exact kernel or the token beam.
+    ``dict1=True`` swaps in the reference's own 6,250-word dictionary
+    (/root/reference/tests/test_data/dict1.txt, 31 units, ~83k
+    states — the block-banded Pallas format)."""
     import jax
     import jax.numpy as jnp
 
@@ -425,10 +429,20 @@ def bench_lextree(batch=64, frames=500, n_words=1000, frame_step_s=0.01,
         viterbi_banded_tb,
     )
 
-    units = list("abcdefgh")
+    rng = np.random.default_rng(7)
+    if dict1:
+        raw = [line.strip() for line in
+               open("/root/reference/tests/test_data/dict1.txt")][1:]
+        seen, words = set(), []
+        for w in raw:
+            if w and w not in seen:
+                seen.add(w)
+                words.append(w)
+        units = sorted(set("".join(words)))
+    else:
+        units = list("abcdefgh")
     unit_ids = {ch: i for i, ch in enumerate(units)}
     su = 3
-    rng = np.random.default_rng(7)
     trans = []
     for _ in units:
         t = np.full((su, su), np.inf)
@@ -437,11 +451,12 @@ def bench_lextree(batch=64, frames=500, n_words=1000, frame_step_s=0.01,
             if i + 1 < su:
                 t[i + 1, i] = rng.uniform(0.1, 1)
         trans.append(t)
-    vocab = set()
-    while len(vocab) < n_words:
-        n = int(rng.integers(3, 9))
-        vocab.add("".join(rng.choice(units, n)))
-    words = sorted(vocab)
+    if not dict1:
+        vocab = set()
+        while len(vocab) < n_words:
+            n = int(rng.integers(3, 9))
+            vocab.add("".join(rng.choice(units, n)))
+        words = sorted(vocab)
     lexg = build_lex_graph(words, trans, unit_ids, word_insertion_cost=0.5)
     bg = lexg.banded
     log(f"lextree: {lexg.n_words} words, {lexg.n_arcs} arcs, "
@@ -486,13 +501,14 @@ def bench_lextree(batch=64, frames=500, n_words=1000, frame_step_s=0.01,
         def body(dep):
             nf2 = jnp.where(jnp.isnan(dep), nf + 1, nf)
             nll_tub = jnp.transpose(e, (1, 2, 0))
-            final, bp8, eps_u = viterbi_lex_pallas(
+            final, bp8, eps_u, eps_prev = viterbi_lex_pallas(
                 nll_tub, plan, nf2, plan.topo,
-                frames_per_step=frames_per_step)
+                frames_per_step=frames_per_step, emit_eps_prev=True)
             end_costs = final[plan.ends_soa, :] + bg.end_bonus[:, None]
             best = jnp.argmin(end_costs, axis=0)
             states, _ = lex_backtrace_soa(bp8, eps_u, plan,
-                                          plan.ends_soa[best], nf2, plan.topo)
+                                          plan.ends_soa[best], nf2, plan.topo,
+                                          eps_prev=eps_prev)
             return (jnp.sum(jnp.take_along_axis(end_costs, best[None], 0))
                     + jnp.sum(states[0].astype(jnp.float32)))
     else:
@@ -609,7 +625,7 @@ def main():
     ap.add_argument("--what", default="headline",
                     choices=["headline", "frontend", "train", "soft_em",
                              "decode", "pipeline", "lextree", "lex_pipeline",
-                             "streaming"])
+                             "lextree_dict1", "streaming"])
     ap.add_argument("--batch", type=int, default=0,
                     help="0 = per-benchmark default (headline pins 512 — "
                          "the shape RESULTS.md is measured at; the repo's "
@@ -660,6 +676,16 @@ def main():
                           pallas=(_jax.default_backend() == "tpu"
                                   and not args.beam_k))
         print(json.dumps({"metric": "lextree-1k-word-decode",
+                          "value": round(v, 1),
+                          "unit": "audio-seconds/s/chip", "vs_baseline": 0,
+                          "regime": LAST_REGIME}))
+        return
+    if args.what == "lextree_dict1":
+        import jax as _jax
+
+        v = bench_lextree(args.batch or 32, args.frames, dict1=True,
+                          pallas=(_jax.default_backend() == "tpu"))
+        print(json.dumps({"metric": "lextree-dict1-6250-word-decode",
                           "value": round(v, 1),
                           "unit": "audio-seconds/s/chip", "vs_baseline": 0,
                           "regime": LAST_REGIME}))

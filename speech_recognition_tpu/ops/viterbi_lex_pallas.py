@@ -72,6 +72,22 @@ class LexTopo(NamedTuple):
     # cast in-kernel, three passes per level (1 byte/entry — doubles
     # the vocabulary that fits VMEM).
     sel_tripled: bool = True
+    # Block-banded selector mode (reference-dictionary scale): the
+    # parent-major child order makes each level's one-hot selector a
+    # monotone staircase, so every <=128-row child block references a
+    # narrow contiguous parent window.  Selectors shrink from
+    # sum(n_d * n_{d+1}) (92 MB int8 at 6,250 words) to ~a_pad * W
+    # bytes (5-7 MB).  sel_blocks = (sel_row0, n_rows, win_start) per
+    # block, rows into ONE [A_nr, W] int8 array (A_nr = a_pad - roots).
+    sel_banded: bool = False
+    sel_w: int = 0
+    sel_blocks: Tuple[Tuple[int, int, int], ...] = ()
+    # Factored emission expansion: instead of one [S_soa, 3*U8] bf16
+    # one-hot over BANK rows (40 MB at dict scale), an [a_pad, U8p]
+    # int8 one-hot over UNIT ids applied per within-unit offset j to a
+    # [su, U8p, B] re-arranged emission block (2 MB).
+    expand_factored: bool = False
+    n_units_pad: int = 0  # U8p when factored
 
 
 class LexPlan(NamedTuple):
@@ -96,10 +112,22 @@ def _ceil8(x: int) -> int:
     return (x + 7) // 8 * 8
 
 
-def lex_pallas_plan(lexg) -> LexPlan:
+def _ceil(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def lex_pallas_plan(lexg, sel_mode: str = None,
+                    expand_mode: str = None) -> LexPlan:
     """Build the SoA/level plan for a LexGraph, or raise ValueError if
     the graph is outside the kernel's structure (non-uniform units or
-    too many root arcs) — callers fall back to the XLA kernel."""
+    too many root arcs) — callers fall back to the XLA kernel.
+
+    ``sel_mode``: None auto-selects by VMEM budget; 'tripled' (bf16 x3,
+    one MXU pass/level), 'int8' (dense int8, 3 passes), 'banded'
+    (block-banded staircase int8 — the reference-dictionary-scale
+    format, see LexTopo.sel_banded).  ``expand_mode``: None auto,
+    'full' ([S_soa, 3*U8] bf16 one-hot over bank rows) or 'factored'
+    ([a_pad, U8p] int8 over unit ids, applied per offset j)."""
     g = lexg.banded
     band = np.asarray(g.band)
     arc_of_state = np.asarray(lexg.arc_of_state)
@@ -165,19 +193,19 @@ def lex_pallas_plan(lexg) -> LexPlan:
     u8 = _ceil8(n_bank)
 
     band_soa = np.full((s_soa, MAX_BAND + 1), POS_INF, np.float32)
-    expand = np.zeros((s_soa, u8), np.float32)
     init_soa = np.full((s_soa, 1), POS_INF, np.float32)
     state_of_soa = np.full(s_soa, -1, np.int64)
     cross_src_soa = np.zeros(s_soa, np.int32)
     init_orig = np.asarray(g.init_cost)
+    arc_unit_pos = np.full(a_pad, -1, np.int64)  # unit id per padded slot
     for a in range(n_arcs):
         p = pos[a]
         rows = np.arange(su) * a_pad + p
         sts = a * su + np.arange(su)
         band_soa[rows] = band[:, sts].T
-        expand[rows, bank_state[sts]] = 1.0
         init_soa[rows, 0] = init_orig[sts]
         state_of_soa[rows] = sts
+        arc_unit_pos[p] = bank_state[sts[0]] // su
         if parent[a] >= 0:
             cross_src_soa[p] = (su - 1) * a_pad + pos[parent[a]]
 
@@ -186,32 +214,112 @@ def lex_pallas_plan(lexg) -> LexPlan:
         if parent[a] >= 0:
             cc[pos[a], 0] = ccost[a]
 
-    # per-level one-hot parent selectors (child-local row, parent-local
-    # col), bf16 (0/1 exact), tripled along the contraction dim so the
-    # three bf16 value planes gather in ONE MXU pass per level
-    sel_entries = sum(a * b_ for a, b_ in zip(lv_sizes[:-1], lv_sizes[1:]))
-    if 6 * sel_entries <= 16 * 2**20:
-        sel_tripled = True  # bf16 x3: one MXU pass per level
-    elif sel_entries <= 16 * 2**20:
-        sel_tripled = False  # int8 singles: 1/6 the VMEM, 3 passes
+    # --- emission expansion format ---------------------------------
+    if n_bank % su != 0:
+        raise ValueError("bank rows are not unit-major multiples of su")
+    n_units = n_bank // su
+    u8p = _ceil8(n_units)
+    if expand_mode is None:
+        # full one-hot is the fastest (one MXU pass); switch to the
+        # factored form when its bf16 bytes get big
+        expand_mode = "full" if s_soa * 3 * u8 * 2 <= 4 * 2**20 \
+            else "factored"
+    if expand_mode == "factored":
+        expand_np = np.zeros((a_pad, u8p), np.float32)
+        for p in range(a_pad):
+            if arc_unit_pos[p] >= 0:
+                expand_np[p, arc_unit_pos[p]] = 1.0
+        expand = jnp.asarray(expand_np, jnp.int8)
+        expand_factored = True
     else:
-        raise ValueError(
-            f"lex Pallas kernel: level selectors need {sel_entries >> 20} MB"
-            " VMEM even as int8 (measured scoped-budget ceiling ~16 MB); "
-            "use the XLA kernel or the state-sharded decoder")
-    sels = []
-    src_off = 0
-    for li in range(1, len(levels)):
-        n_p = lv_sizes[li - 1]
-        sel = np.zeros((lv_sizes[li], n_p), np.float32)
-        for i, a in enumerate(levels[li]):
-            sel[i, pos[parent[a]] - src_off] = 1.0
-        if sel_tripled:
-            sels.append(jnp.asarray(np.concatenate([sel] * 3, axis=1),
-                                    jnp.bfloat16))
+        expand_np = np.zeros((s_soa, u8), np.float32)
+        for a in range(n_arcs):
+            p = pos[a]
+            rows = np.arange(su) * a_pad + p
+            sts = a * su + np.arange(su)
+            expand_np[rows, bank_state[sts]] = 1.0
+        expand = jnp.asarray(
+            np.concatenate([expand_np] * 3, axis=1), jnp.bfloat16)
+        expand_factored = False
+
+    # --- cross-edge selector format ---------------------------------
+    # dense per-level one-hots (child-local row, parent-local col):
+    # 'tripled' bf16x3 (one MXU pass/level) or 'int8' (3 passes); at
+    # reference-dictionary scale both blow VMEM and 'banded' kicks in.
+    sel_entries = sum(a * b_ for a, b_ in zip(lv_sizes[:-1], lv_sizes[1:]))
+    if sel_mode is None:
+        if 6 * sel_entries <= 16 * 2**20:
+            sel_mode = "tripled"
+        elif sel_entries <= 16 * 2**20:
+            sel_mode = "int8"
         else:
-            sels.append(jnp.asarray(sel, jnp.int8))
-        src_off += n_p
+            sel_mode = "banded"
+    sel_tripled = sel_mode == "tripled"
+    sel_banded = sel_mode == "banded"
+    sel_blocks: list = []
+    sel_w = 0
+    if sel_banded and len(levels) > 1:
+        # Children are parent-major within each level, so parent
+        # positions are monotone: a <=128-row child block references a
+        # contiguous parent window.  One [A_nr, W] int8 array, W = the
+        # widest (8-aligned, 128-rounded) window over all blocks.
+        cb = 128
+        gpar = np.full(a_pad, -1, np.int64)
+        for a in range(n_arcs):
+            if parent[a] >= 0:
+                gpar[pos[a]] = pos[parent[a]]
+        raw = []  # (rows slice in level space, lo8, hi)
+        off = lv_sizes[0]
+        for li in range(1, len(levels)):
+            n8 = lv_sizes[li]
+            for c0 in range(0, n8, cb):
+                nr = min(cb, n8 - c0)
+                ps = gpar[off + c0 : off + c0 + nr]
+                valid = ps >= 0
+                if valid.any():
+                    lo = int(ps[valid].min())
+                    hi = int(ps[valid].max())
+                else:
+                    lo = hi = 0
+                lo8 = lo - lo % 8
+                raw.append((off + c0, nr, lo8, hi))
+            off += n8
+        span = max(hi - lo8 + 1 for (_, _, lo8, hi) in raw)
+        sel_w = min(_ceil(span, 128), a_pad - a_pad % 8)
+        if sel_w < span:
+            raise ValueError("lex Pallas kernel: banded selector window "
+                             f"needs {span} parent rows > a_pad; use XLA")
+        a_nr = a_pad - lv_sizes[0]
+        sel_np = np.zeros((a_nr, sel_w), np.float32)
+        row0 = 0
+        for (c_abs, nr, lo8, hi) in raw:
+            w0 = min(lo8, a_pad - sel_w)
+            if hi - w0 >= sel_w:
+                raise ValueError("banded selector window overflow")
+            ps = gpar[c_abs : c_abs + nr]
+            for i in range(nr):
+                if ps[i] >= 0:
+                    sel_np[row0 + i, ps[i] - w0] = 1.0
+            sel_blocks.append((row0, nr, int(w0)))
+            row0 += nr
+        sels = [jnp.asarray(sel_np, jnp.int8)]
+    else:
+        if sel_banded:  # single-level (flat) graph: nothing to gather
+            sel_banded = False
+            sel_tripled = True
+        sels = []
+        src_off = 0
+        for li in range(1, len(levels)):
+            n_p = lv_sizes[li - 1]
+            sel = np.zeros((lv_sizes[li], n_p), np.float32)
+            for i, a in enumerate(levels[li]):
+                sel[i, pos[parent[a]] - src_off] = 1.0
+            if sel_tripled:
+                sels.append(jnp.asarray(np.concatenate([sel] * 3, axis=1),
+                                        jnp.bfloat16))
+            else:
+                sels.append(jnp.asarray(sel, jnp.int8))
+            src_off += n_p
 
     # eps exit: eps_block[r, leaf_slot(a)] laid out per arc column
     eps_block = np.asarray(g.eps_block)
@@ -241,7 +349,10 @@ def lex_pallas_plan(lexg) -> LexPlan:
 
     topo = LexTopo(su=su, a_pad=a_pad, n_roots=r, n_leaves=l,
                    level_sizes=lv_sizes, n_bank=n_bank,
-                   eps_rowconst=eps_rowconst, sel_tripled=sel_tripled)
+                   eps_rowconst=eps_rowconst, sel_tripled=sel_tripled,
+                   sel_banded=sel_banded, sel_w=sel_w,
+                   sel_blocks=tuple(sel_blocks),
+                   expand_factored=expand_factored, n_units_pad=u8p)
     return LexPlan(
         topo=topo,
         band_soa=jnp.asarray(band_soa),
@@ -249,8 +360,7 @@ def lex_pallas_plan(lexg) -> LexPlan:
         eps_exit=jnp.asarray(eps_exit),
         eps_rows=jnp.asarray(eps_rows),
         leaf_id=jnp.asarray(leaf_id),
-        expand=jnp.asarray(
-            np.concatenate([expand] * 3, axis=1), jnp.bfloat16),
+        expand=expand,
         init_soa=jnp.asarray(init_soa),
         sels=tuple(sels),
         state_of_soa=state_of_soa,
@@ -259,25 +369,62 @@ def lex_pallas_plan(lexg) -> LexPlan:
     )
 
 
-def lex_pallas_fits(plan: "LexPlan", batch: int) -> bool:
-    """Measured VMEM envelope for the kernel (128 MB physical on v5e).
-    Mosaic's scoped-vmem accounting for this kernel is dominated by the
-    (buffered) level selectors, nearly batch-independent: a 1k-word trie
-    (10 MB of selectors) compiles and runs at B <= 256, a 2k-word trie
-    (35 MB) hits 139 MB scoped at ANY batch.  Accept what is measured
-    to work: selectors <= 16 MB and one [S_soa, B] f32 plane <= 10 MB."""
+def lex_pallas_vmem_bytes(plan: "LexPlan", batch: int,
+                          frames_per_step: int = 2) -> int:
+    """Scoped-VMEM estimate for one kernel invocation at ``batch``:
+    resident constants (selectors, expansion, band/init/eps columns)
+    plus the batch-scaled planes (prev scratch, final out, ~3.5 live
+    f32 transients, double-buffered int8 bp blocks)."""
+    topo = plan.topo
+    s_soa = topo.su * topo.a_pad
     sel_bytes = sum(int(np.prod(s.shape)) * s.dtype.itemsize
                     for s in plan.sels)
-    s_soa = plan.topo.su * plan.topo.a_pad
-    return (sel_bytes <= 16 * 2**20
-            and s_soa * batch * 4 <= 10 * 2**20)
+    exp_bytes = int(np.prod(plan.expand.shape)) * plan.expand.dtype.itemsize
+    const_bytes = (sel_bytes + exp_bytes + s_soa * (MAX_BAND + 1) * 4
+                   + topo.a_pad * (plan.eps_exit.shape[1] + 2) * 4
+                   + s_soa * 4)
+    plane = s_soa * batch * 4
+    per_b = int(5.5 * plane) + 2 * frames_per_step * s_soa * batch
+    return const_bytes + per_b
+
+
+def lex_pallas_fits(plan: "LexPlan", batch: int,
+                    frames_per_step: int = 2) -> bool:
+    """VMEM envelope for the kernel (128 MB physical on v5e; Mosaic
+    scoped budget raised to 127 MB).  Round-2's measured failures —
+    a 2k-word trie with 35 MB dense tripled selectors at ANY batch —
+    are reproduced by the byte model in
+    :func:`lex_pallas_vmem_bytes`; batches beyond the envelope are
+    CHUNKED by the decode layer (``lex_pallas_batch_chunk``), not
+    rejected."""
+    return lex_pallas_vmem_bytes(plan, batch, frames_per_step) <= 100 * 2**20
+
+
+def lex_pallas_batch_chunk(plan: "LexPlan", batch: int,
+                           frames_per_step: int = 2) -> int:
+    """Largest batch tile (a power of two, or ``batch`` itself when it
+    is smaller) inside the VMEM envelope; 0 if nothing fits."""
+    bc = min(1 << max(0, int(batch - 1).bit_length()), 512)
+    while bc >= 1:
+        eff = min(bc, batch)
+        if lex_pallas_fits(plan, eff, frames_per_step):
+            return eff
+        if eff <= 1:
+            break
+        bc //= 2
+    return 0
 
 
 def _lex_kernel(nll_ref, expand_ref, band_ref, cc_ref, eps_ref, rows_ref,
                 lid_ref, init_ref, nf_ref, *rest, topo: LexTopo,
-                n_levels: int, frames_per_step: int):
+                n_levels: int, frames_per_step: int,
+                emit_eps_prev: bool = False):
     sel_refs = rest[:n_levels]
-    final_ref, bp_ref, epsu_ref, cost_ref = rest[n_levels:]
+    if emit_eps_prev:
+        final_ref, bp_ref, epsu_ref, epsp_ref, cost_ref = rest[n_levels:]
+    else:
+        final_ref, bp_ref, epsu_ref, cost_ref = rest[n_levels:]
+        epsp_ref = None
     ti = pl.program_id(0)
     s8, b = cost_ref.shape
     su, a_pad, r = topo.su, topo.a_pad, topo.n_roots
@@ -304,11 +451,31 @@ def _lex_kernel(nll_ref, expand_ref, band_ref, cc_ref, eps_ref, rows_ref,
     fin = final_ref[...]
     nf_b = nf_ref[...]  # [1, B]; where() broadcasts over sublanes
     inf_sb = jnp.full((s8, b), POS_INF, jnp.float32)
+    if topo.expand_factored:
+        expand_bf = expand_ref[...].astype(jnp.bfloat16)  # [a_pad, U8p]
+    if emit_eps_prev:
+        # SoA row index along the end slice, for the eps_prev plane
+        iota_a = jax.lax.broadcasted_iota(
+            jnp.int32, (a_pad, 1), 0).astype(jnp.float32)
 
     for k in range(frames_per_step):
         t_abs = ti * frames_per_step + k
-        # [S_soa, B] exact one-hot bank expansion, one MXU pass
-        emis = dotd(expand_ref[...], split3(nll_ref[k]))
+        if topo.expand_factored:
+            # per-offset-j int8 unit one-hot on the [su, U8p, B]
+            # re-arranged block: rows j*a_pad+p get nll[j, unit(p)]
+            nll_k = nll_ref[k]  # [su, U8p, B]
+            u8p = nll_k.shape[1]
+            pieces_e = []
+            for j in range(su):
+                s3 = split3(nll_k[j])  # [3*U8p, B]
+                pieces_e.append(dotd(expand_bf, s3[:u8p])
+                                + dotd(expand_bf, s3[u8p : 2 * u8p])
+                                + dotd(expand_bf, s3[2 * u8p :]))
+            emis = (jnp.concatenate(pieces_e, axis=0)
+                    if su > 1 else pieces_e[0])
+        else:
+            # [S_soa, B] exact one-hot bank expansion, one MXU pass
+            emis = dotd(expand_ref[...], split3(nll_ref[k]))
 
         # band relaxation: SoA j-1 -> j is a roll by a_pad rows.  No
         # wrap penalty: band columns are POS_INF at rows < d*a_pad, and
@@ -335,20 +502,32 @@ def _lex_kernel(nll_ref, expand_ref, band_ref, cc_ref, eps_ref, rows_ref,
         # accumulator re-sums the non-overlapping parts exactly).
         ends_prev = prev[end_lo:, :]  # [A, B]
         pieces = [jnp.full((topo.level_sizes[0], b), POS_INF, jnp.float32)]
-        src_off = 0
-        for li in range(n_levels):
-            n_src = topo.level_sizes[li]
-            sl = slice(src_off, src_off + n_src)
-            if topo.sel_tripled:
-                pieces.append(dotd(sel_refs[li][...],
-                                   split3(ends_prev[sl, :])))
-            else:
-                selb = sel_refs[li][...].astype(jnp.bfloat16)
-                s3 = split3(ends_prev[sl, :])
-                g = (dotd(selb, s3[:n_src]) + dotd(selb, s3[n_src:2 * n_src])
-                     + dotd(selb, s3[2 * n_src:]))
-                pieces.append(g)
-            src_off += n_src
+        if topo.sel_banded:
+            # block-banded staircase: each <=128-row child block
+            # one-hot-gathers from a narrow static parent window
+            w = topo.sel_w
+            sel_all = sel_refs[0]
+            for (row0, nr, w0) in topo.sel_blocks:
+                selb = sel_all[row0 : row0 + nr, :].astype(jnp.bfloat16)
+                s3 = split3(ends_prev[w0 : w0 + w, :])  # [3W, B]
+                pieces.append(dotd(selb, s3[:w]) + dotd(selb, s3[w : 2 * w])
+                              + dotd(selb, s3[2 * w :]))
+        else:
+            src_off = 0
+            for li in range(n_levels):
+                n_src = topo.level_sizes[li]
+                sl = slice(src_off, src_off + n_src)
+                if topo.sel_tripled:
+                    pieces.append(dotd(sel_refs[li][...],
+                                       split3(ends_prev[sl, :])))
+                else:
+                    selb = sel_refs[li][...].astype(jnp.bfloat16)
+                    s3 = split3(ends_prev[sl, :])
+                    g = (dotd(selb, s3[:n_src])
+                         + dotd(selb, s3[n_src:2 * n_src])
+                         + dotd(selb, s3[2 * n_src:]))
+                    pieces.append(g)
+                src_off += n_src
         gath = jnp.concatenate(pieces, axis=0) if len(pieces) > 1 else pieces[0]
         cand_start = jnp.minimum(gath + cc_ref[...], POS_INF)  # [A, B]
         if su > 1:
@@ -377,6 +556,14 @@ def _lex_kernel(nll_ref, expand_ref, band_ref, cc_ref, eps_ref, rows_ref,
         # update of the root rows [0, R8)
         end_vals = cost[end_lo:, :]  # [A, B]
         big = jnp.float32(topo.n_leaves + 1)
+        if emit_eps_prev:
+            # post-unwind predecessor per end row: end rows carry band
+            # codes only (cross edges enter starts, eps enters roots —
+            # su >= 2 guards both), so prev(row) = row - d * a_pad.
+            # Packed as one combo plane; the winner's value is selected
+            # by its unique leaf id.
+            combo = (jnp.float32(end_lo) + iota_a
+                     - dsel[end_lo:, :] * jnp.float32(a_pad))  # [A, B]
         if topo.eps_rowconst:
             # constant eps rows (wic + smear): ONE masked min over the
             # end slice serves every root; eps_rows broadcasts on top
@@ -387,8 +574,12 @@ def _lex_kernel(nll_ref, expand_ref, band_ref, cc_ref, eps_ref, rows_ref,
             u = jnp.min(ids, axis=0, keepdims=True)
             eps_min = jnp.minimum(rows_ref[...] + m, POS_INF)  # [R8, B]
             eps_arg = u + jnp.zeros((r8, b), jnp.float32)
+            if emit_eps_prev:
+                pv = jnp.sum(combo * (lid_ref[...] == u).astype(jnp.float32),
+                             axis=0, keepdims=True)  # [1, B]
+                eps_prev = pv + jnp.zeros((r8, b), jnp.float32)
         else:
-            mins, args = [], []
+            mins, args, prevs = [], [], []
             for ri in range(r):
                 sc = jnp.minimum(eps_ref[:, ri : ri + 1] + end_vals, POS_INF)
                 m = jnp.min(sc, axis=0, keepdims=True)  # [1, B]
@@ -396,12 +587,20 @@ def _lex_kernel(nll_ref, expand_ref, band_ref, cc_ref, eps_ref, rows_ref,
                 arg = jnp.min(ids, axis=0, keepdims=True)
                 mins.append(m)
                 args.append(arg)
+                if emit_eps_prev:
+                    prevs.append(jnp.sum(
+                        combo * (lid_ref[...] == arg).astype(jnp.float32),
+                        axis=0, keepdims=True))
             pad_rows = r8 - r
             if pad_rows:
                 mins.append(jnp.full((pad_rows, b), POS_INF, jnp.float32))
                 args.append(jnp.zeros((pad_rows, b), jnp.float32))
+                if emit_eps_prev:
+                    prevs.append(jnp.zeros((pad_rows, b), jnp.float32))
             eps_min = jnp.concatenate(mins, axis=0)  # [R8, B]
             eps_arg = jnp.concatenate(args, axis=0)
+            if emit_eps_prev:
+                eps_prev = jnp.concatenate(prevs, axis=0)
         cand_re = jnp.minimum(eps_min + emis[:r8, :], POS_INF)
         head_cost = cost[:r8, :]
         better = cand_re < head_cost
@@ -410,6 +609,9 @@ def _lex_kernel(nll_ref, expand_ref, band_ref, cc_ref, eps_ref, rows_ref,
         cost = jnp.concatenate([new_head_cost, cost[r8:, :]], axis=0)
         bp = jnp.concatenate([new_head_bp, bp[r8:, :]], axis=0)
         side = jnp.where(better, eps_arg, jnp.float32(0))
+        if emit_eps_prev:
+            epsp_ref[k] = jnp.where(better, eps_prev,
+                                    jnp.float32(0)).astype(jnp.int32)
 
         cost = jnp.where(t_abs < nf_b, cost, prev)
         bp_ref[k] = bp.astype(jnp.int8)
@@ -422,45 +624,76 @@ def _lex_kernel(nll_ref, expand_ref, band_ref, cc_ref, eps_ref, rows_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("topo", "interpret",
-                                             "frames_per_step"))
+                                             "frames_per_step",
+                                             "emit_eps_prev"))
 def viterbi_lex_pallas(nll_tub, plan: LexPlan, n_frames, topo: LexTopo,
-                       interpret: bool = False, frames_per_step: int = 2):
+                       interpret: bool = False, frames_per_step: int = 2,
+                       emit_eps_prev: bool = False):
     """Lexical-tree banded Viterbi over compact bank emissions.
 
     ``nll_tub [T, U, B]`` (bank rows), ``n_frames [B]`` ->
     ``(final [S_soa, B], bp8 [T, S_soa, B] int8, eps_u [T, R8, B]
     int32)`` in the plan's SoA numbering — decode with
     :func:`lex_backtrace_soa` and remap via ``plan.state_of_soa``.
-    """
+    ``emit_eps_prev`` adds a 4th output ``eps_prev [T, R8, B] int32``
+    (each re-entry winner's post-unwind predecessor SoA row) enabling
+    the single-lookup value backtrace."""
     t_len, u_in, b = nll_tub.shape
     su, a_pad = topo.su, topo.a_pad
     s_soa = su * a_pad
-    u8 = plan.expand.shape[1] // 3
+    if not topo.expand_factored:
+        u8 = plan.expand.shape[1] // 3
     r8 = plan.eps_exit.shape[1]
     n_levels = len(plan.sels)
     k = frames_per_step
     t8 = (t_len + k - 1) // k * k
-    if u_in > u8:
-        # Bank emissions cover n_models * su rows; a lexicon that never
-        # references the trailing bank units makes u8 < u_in.  The
-        # dropped rows are unreferenced by the expand one-hot.
-        nll_tub = nll_tub[:, :u8]
-        u_in = u8
-    if u8 != u_in or t8 != t_len:
-        nll_tub = jnp.pad(nll_tub, ((0, t8 - t_len), (0, u8 - u_in), (0, 0)))
+    if topo.expand_factored:
+        n_units = topo.n_units_pad  # U8p (8-padded unit count)
+        # slice to whole units, reshape unit-major, pad/trim to U8p
+        n_u_in = u_in // su
+        nll_u = nll_tub[:, : n_u_in * su].reshape(t_len, n_u_in, su, b)
+        nll_u = jnp.transpose(nll_u, (0, 2, 1, 3))  # [T, su, U_in, B]
+        if n_u_in > n_units:
+            nll_u = nll_u[:, :, :n_units]
+        elif n_u_in < n_units:
+            nll_u = jnp.pad(nll_u, ((0, 0), (0, 0), (0, n_units - n_u_in),
+                                    (0, 0)))
+        if t8 != t_len:
+            nll_u = jnp.pad(nll_u, ((0, t8 - t_len), (0, 0), (0, 0), (0, 0)))
+        nll_in = nll_u
+        nll_spec = pl.BlockSpec((k, su, n_units, b), lambda t: (t, 0, 0, 0),
+                                memory_space=pltpu.VMEM)
+    else:
+        if u_in > u8:
+            # Bank emissions cover n_models * su rows; a lexicon that
+            # never references the trailing bank units makes u8 < u_in.
+            # The dropped rows are unreferenced by the expand one-hot.
+            nll_tub = nll_tub[:, :u8]
+            u_in = u8
+        if u8 != u_in or t8 != t_len:
+            nll_tub = jnp.pad(nll_tub,
+                              ((0, t8 - t_len), (0, u8 - u_in), (0, 0)))
+        nll_in = nll_tub
+        nll_spec = pl.BlockSpec((k, u8, b), lambda t: (t, 0, 0),
+                                memory_space=pltpu.VMEM)
     nf_row = n_frames.astype(jnp.int32)[None, :]
 
     kernel = functools.partial(_lex_kernel, topo=topo, n_levels=n_levels,
-                               frames_per_step=k)
+                               frames_per_step=k,
+                               emit_eps_prev=emit_eps_prev)
     const = lambda *_: (0, 0)
     sel_specs = [pl.BlockSpec(s.shape, const, memory_space=pltpu.VMEM)
                  for s in plan.sels]
-    final, bp8, eps_u = pl.pallas_call(
+    extra_specs = ([pl.BlockSpec((k, r8, b), lambda t: (t, 0, 0),
+                                 memory_space=pltpu.VMEM)]
+                   if emit_eps_prev else [])
+    extra_shapes = ([jax.ShapeDtypeStruct((t8, r8, b), jnp.int32)]
+                    if emit_eps_prev else [])
+    outs = pl.pallas_call(
         kernel,
         grid=(t8 // k,),
         in_specs=[
-            pl.BlockSpec((k, u8, b), lambda t: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
+            nll_spec,
             pl.BlockSpec(plan.expand.shape, const, memory_space=pltpu.VMEM),
             pl.BlockSpec((s_soa, MAX_BAND + 1), const,
                          memory_space=pltpu.VMEM),
@@ -477,19 +710,23 @@ def viterbi_lex_pallas(nll_tub, plan: LexPlan, n_frames, topo: LexTopo,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((k, r8, b), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-        ],
+        ] + extra_specs,
         out_shape=[
             jax.ShapeDtypeStruct((s_soa, b), jnp.float32),
             jax.ShapeDtypeStruct((t8, s_soa, b), jnp.int8),
             jax.ShapeDtypeStruct((t8, r8, b), jnp.int32),
-        ],
+        ] + extra_shapes,
         scratch_shapes=[pltpu.VMEM((s_soa, b), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=127 * 2**20),
         interpret=interpret,
-    )(nll_tub, plan.expand, plan.band_soa, plan.cross_cost, plan.eps_exit,
+    )(nll_in, plan.expand, plan.band_soa, plan.cross_cost, plan.eps_exit,
       plan.eps_rows, plan.leaf_id, plan.init_soa, nf_row, *plan.sels)
+    if emit_eps_prev:
+        final, bp8, eps_u, eps_prev = outs
+        return final, bp8[:t_len], eps_u[:t_len], eps_prev[:t_len]
+    final, bp8, eps_u = outs
     return final, bp8[:t_len], eps_u[:t_len]
 
 
@@ -546,15 +783,104 @@ def _lex_bt_kernel(bp_ref, epsu_ref, endv_ref, cross_ref, ends_ref, nf_ref,
     st_ref[...] = st
 
 
+def _lex_bt_val_kernel(bp_ref, epsp_ref, cross_ref, endv_ref, nf_ref,
+                       out_ref, st_ref, *, t_len: int, a_pad: int,
+                       frames_per_step: int):
+    """Single-lookup reverse walk: band/cross codes and the cross source
+    are packed into ONE combo plane (code + src * 8, exact in f32 up to
+    2^24 rows), and the eps unwind reads the post-unwind predecessor
+    from the forward kernel's eps_prev side plane — one full-plane
+    lookup per frame total (vs two in :func:`_lex_bt_kernel`)."""
+    i = pl.program_id(0)
+    n_blk = pl.num_programs(0)
+    s8, b = bp_ref.shape[1], endv_ref.shape[1]
+    r8 = epsp_ref.shape[1]
+
+    iota_s = jax.lax.broadcasted_iota(jnp.int32, (s8, 1), 0).astype(jnp.float32)
+    iota_r = jax.lax.broadcasted_iota(jnp.int32, (r8, 1), 0).astype(jnp.float32)
+    nf = nf_ref[...].astype(jnp.float32)  # [1, B]
+    st = st_ref[...]  # [1, B]
+
+    for kk in range(frames_per_step - 1, -1, -1):
+        t = (n_blk - 1 - i) * frames_per_step + kk
+        st = jnp.where(t == t_len - 1, endv_ref[...], st)
+        rec = st
+        comb = (bp_ref[kk].astype(jnp.float32)
+                + cross_ref[...] * jnp.float32(8))  # [S8, B]
+        v = jnp.sum(comb * (iota_s == st).astype(jnp.float32),
+                    axis=0, keepdims=True)  # [1, B]
+        src = jnp.floor(v * jnp.float32(0.125))
+        code = v - src * jnp.float32(8)
+        m = (code == jnp.float32(_EPS)).astype(jnp.float32)
+        # eps-recorded states are root rows [0, R): slot == row value
+        pprev = jnp.sum(epsp_ref[kk].astype(jnp.float32)
+                        * (iota_r == st).astype(jnp.float32),
+                        axis=0, keepdims=True)
+        band_prev = st - jnp.minimum(code, jnp.float32(MAX_BAND)) * a_pad
+        rest = jnp.where(code == jnp.float32(_CROSS), src, band_prev)
+        prev = pprev * m + rest * (1.0 - m)
+        act = (jnp.where(t > 0, 1.0, 0.0) * (t < nf).astype(jnp.float32)
+               * jnp.where(t <= t_len - 1, 1.0, 0.0))
+        st = prev * act + rec * (1.0 - act)
+        out_ref[kk] = jnp.concatenate(
+            [rec, m * (t < nf).astype(jnp.float32),
+             jnp.zeros((6, b), jnp.float32)], axis=0)
+
+    st_ref[...] = st
+
+
 @functools.partial(jax.jit, static_argnames=("topo", "interpret"))
 def lex_backtrace_soa_pallas(bp8, eps_u, plan: LexPlan, end_state_soa,
                              n_frames, topo: LexTopo,
-                             interpret: bool = False):
+                             interpret: bool = False, eps_prev=None):
     """Pallas twin of :func:`lex_backtrace_soa`: blocked reverse grid,
-    value-carried states, bit-identical output (asserted in tests)."""
+    value-carried states, bit-identical output (asserted in tests).
+    With ``eps_prev`` (from ``viterbi_lex_pallas(emit_eps_prev=True)``)
+    the walk needs ONE full-plane lookup per frame instead of two."""
     t_len, s_soa, b = bp8.shape
     r8 = eps_u.shape[1]
     l8 = _ceil8(topo.n_leaves)
+    if eps_prev is not None:
+        cross_col = plan.cross_src_soa.astype(jnp.float32)[:, None]
+        cross_full = jnp.concatenate(
+            [cross_col, jnp.zeros((s_soa - topo.a_pad, 1), jnp.float32)],
+            axis=0)
+        endv = end_state_soa.astype(jnp.float32)[None, :]
+        nf_row = n_frames.astype(jnp.int32)[None, :]
+        # block size bounded by the double-buffered bp window
+        k = max(1, min(8, (24 * 2**20) // max(s_soa * b, 1)))
+        t8 = _ceil(t_len, k)
+        if t8 != t_len:
+            bp8 = jnp.pad(bp8, ((0, t8 - t_len), (0, 0), (0, 0)))
+            eps_prev = jnp.pad(eps_prev, ((0, t8 - t_len), (0, 0), (0, 0)))
+        elif eps_prev.shape[0] != t8:
+            eps_prev = jnp.pad(eps_prev,
+                               ((0, t8 - eps_prev.shape[0]), (0, 0), (0, 0)))
+        n_blk = t8 // k
+        kernel = functools.partial(_lex_bt_val_kernel, t_len=t_len,
+                                   a_pad=topo.a_pad, frames_per_step=k)
+        const = lambda *_: (0, 0)
+        rev = lambda i: (n_blk - 1 - i, 0, 0)
+        outs = pl.pallas_call(
+            kernel,
+            grid=(n_blk,),
+            in_specs=[
+                pl.BlockSpec((k, s_soa, b), rev, memory_space=pltpu.VMEM),
+                pl.BlockSpec((k, r8, b), rev, memory_space=pltpu.VMEM),
+                pl.BlockSpec((s_soa, 1), const, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, b), const, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, b), const, memory_space=pltpu.VMEM),
+            ],
+            out_specs=[pl.BlockSpec((k, 8, b), rev, memory_space=pltpu.VMEM)],
+            out_shape=[jax.ShapeDtypeStruct((t8, 8, b), jnp.float32)],
+            scratch_shapes=[pltpu.VMEM((1, b), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+                vmem_limit_bytes=100 * 2**20),
+            interpret=interpret,
+        )(bp8, eps_prev, cross_full, endv, nf_row)
+        out = outs[0][:t_len]
+        return out[:, 0, :].astype(jnp.int32), out[:, 1, :] > 0.5
     ends_col = jnp.zeros((l8, 1), jnp.float32).at[: topo.n_leaves, 0].set(
         plan.ends_soa.astype(jnp.float32))
     cross_col = plan.cross_src_soa.astype(jnp.float32)[:, None]  # [A, 1]

@@ -253,3 +253,109 @@ def test_lex_pallas_unused_trailing_bank_units(rng):
     e = rng.uniform(0, 5, (T, len(units4) * su, B)).astype(np.float32)
     nf = np.array([T, 9, T, 4, 15, T, 1, 12], np.int32)
     run_both(lexg, e, nf)
+
+
+def _mk_vocab(rng, n_words=220, units="abcde"):
+    units = list(units)
+    unit_ids = {ch: i for i, ch in enumerate(units)}
+    unit_trans = [ltr(3, rng, skip=False) for _ in units]
+    nprng = np.random.default_rng(7)
+    vocab = set()
+    while len(vocab) < n_words:
+        n = int(nprng.integers(2, 8))
+        vocab.add("".join(nprng.choice(units, n)))
+    lexg = build_lex_graph(sorted(vocab), unit_trans, unit_ids,
+                           word_insertion_cost=0.4)
+    return lexg, units
+
+
+def test_lex_pallas_banded_and_factored_modes(rng):
+    """Reference-dictionary-scale kernel formats — block-banded
+    staircase selectors and the factored int8 unit expansion — are
+    bit-identical to the default dense formats (and hence to the XLA
+    kernel, via run_both's asserts on the default plan)."""
+    import jax.numpy as jnp
+
+    from speech_recognition_tpu.ops.viterbi_lex_pallas import (
+        lex_pallas_batch_chunk,
+        lex_pallas_fits,
+    )
+
+    lexg, units = _mk_vocab(rng)
+    T, B = 23, 8
+    e = rng.uniform(0, 5, (T, len(units) * 3, B)).astype(np.float32)
+    nf = np.array([T, 9, T, 4, 15, T, 1, 12], np.int32)
+    run_both(lexg, e, nf)  # default plan vs XLA (sanity)
+
+    ref_plan = lex_pallas_plan(lexg)
+    fin_r, bp_r, eu_r = viterbi_lex_pallas(
+        jnp.asarray(e), ref_plan, jnp.asarray(nf), ref_plan.topo,
+        interpret=True)
+    for kwargs in ({"sel_mode": "banded"},
+                   {"expand_mode": "factored"},
+                   {"sel_mode": "banded", "expand_mode": "factored"},
+                   {"sel_mode": "int8", "expand_mode": "factored"}):
+        plan = lex_pallas_plan(lexg, **kwargs)
+        if "banded" in kwargs.values():
+            assert plan.topo.sel_banded and len(plan.sels) == 1
+        fin, bp, eu = viterbi_lex_pallas(
+            jnp.asarray(e), plan, jnp.asarray(nf), plan.topo,
+            interpret=True)
+        np.testing.assert_array_equal(np.asarray(fin_r), np.asarray(fin),
+                                      err_msg=str(kwargs))
+        np.testing.assert_array_equal(np.asarray(bp_r), np.asarray(bp),
+                                      err_msg=str(kwargs))
+        np.testing.assert_array_equal(np.asarray(eu_r), np.asarray(eu),
+                                      err_msg=str(kwargs))
+        assert lex_pallas_fits(plan, B)
+        assert lex_pallas_batch_chunk(plan, 512) >= 8
+
+
+def test_lex_pallas_eps_prev_value_backtrace(rng):
+    """emit_eps_prev + the single-lookup value backtrace are
+    bit-identical to the two-lookup walk, on both rowconst (wic) and
+    per-root (flat bigram) eps formats."""
+    import jax.numpy as jnp
+
+    cases = []
+    lexg, units = _mk_vocab(rng, n_words=60)
+    cases.append((lexg, len(units) * 3))
+    from speech_recognition_tpu.langmodel.bigram import fit_bigram
+
+    words = list("12345")
+    unit_ids = {ch: i for i, ch in enumerate(words)}
+    unit_trans = [ltr(4, rng, skip=False) for _ in words]
+    lm = fit_bigram([[0, 1, 2], [4, 3], [2, 2, 0]], len(words))
+    lexf = build_lex_graph(words, unit_trans, unit_ids, lm=lm,
+                           word_insertion_cost=0.2)
+    cases.append((lexf, len(words) * 4))
+
+    for lexg_, nbank in cases:
+        plan = lex_pallas_plan(lexg_)
+        T, B = 21, 8
+        e = rng.uniform(0, 5, (T, nbank, B)).astype(np.float32)
+        nf = np.array([T, 9, T, 4, 15, T, 1, 12], np.int32)
+        fin, bp, eu = viterbi_lex_pallas(
+            jnp.asarray(e), plan, jnp.asarray(nf), plan.topo, interpret=True)
+        fin2, bp2, eu2, ep2 = viterbi_lex_pallas(
+            jnp.asarray(e), plan, jnp.asarray(nf), plan.topo, interpret=True,
+            emit_eps_prev=True)
+        np.testing.assert_array_equal(np.asarray(fin), np.asarray(fin2))
+        np.testing.assert_array_equal(np.asarray(bp), np.asarray(bp2))
+        np.testing.assert_array_equal(np.asarray(eu), np.asarray(eu2))
+        ends = np.asarray(plan.ends_soa)
+        costs = np.asarray(fin)[ends, :]
+        best = np.argmin(costs, axis=0)
+        endv = jnp.asarray(ends[best])
+        s_a, f_a = lex_backtrace_soa_pallas(bp, eu, plan, endv,
+                                            jnp.asarray(nf), plan.topo,
+                                            interpret=True)
+        s_b, f_b = lex_backtrace_soa_pallas(bp2, eu2, plan, endv,
+                                            jnp.asarray(nf), plan.topo,
+                                            interpret=True, eps_prev=ep2)
+        for i in range(B):
+            n = int(nf[i])
+            np.testing.assert_array_equal(np.asarray(s_a)[:n, i],
+                                          np.asarray(s_b)[:n, i])
+            np.testing.assert_array_equal(np.asarray(f_a)[:n, i],
+                                          np.asarray(f_b)[:n, i])
