@@ -1,0 +1,285 @@
+"""Word-lattice generation + exact bigram rescoring over the lattice.
+
+The production answer to "bigram LM x large vocabulary at production
+speed" (SURVEY.md §1 L4 north star; the reference's LM file is empty,
+``/root/reference/sr/langmodel/langmodel.py:1``): exact bigram
+composition onto the decoding graph only works on flat vocabularies
+(``models/lexgraph.py`` docstring), and predecessor-carried token
+passing (``ops/beam.py``) is both approximate and slow.  Classical
+production decoders instead generate a WORD LATTICE from the
+unigram-pass tree decode and rescore it with the LM — that is what
+this module does, TPU-style: the lattice is three dense per-frame
+planes (no ragged arc lists), and the rescoring is one masked DP scan.
+
+Pass 1 (:func:`viterbi_lattice_tb`): the banded lex Viterbi with an
+extra ENTRY-TIME value plane ``tau [S, B]`` carried through every
+band/cross/eps decision.  Per frame it emits the leaf-arc end costs
+``S0 [T, L, B]`` and their entry times ``tau [T, L, B]`` — for each
+(frame t, word w) the lattice arc "w spans (tau, t] with pass-1 score
+S0".  Identity used by the rescorer (exact algebra on pass-1
+quantities, no approximation): with re-entry cost Q[tau] =
+wic + min_l' S0[tau, l'], the acoustic-only score of the arc is
+``S0[t, l] - Q[tau]`` (what pass 1 charged the word's span, minus what
+it charged at entry).
+
+Pass 2 (:func:`lattice_rescore`): exact bigram Viterbi over the
+lattice arcs::
+
+    D[t, l]   = S0[t, l] - Q[tau] + H[tau, w(l)]      (tau > 0)
+                S0[t, l] + start_cost[w(l)]           (tau == 0)
+    H[t, w]   = min_w' (D[t, leaf(w')] + bigram(w', w))
+    answer    = min_l (D[nf-1, l] + end_cost[w(l)])
+
+The lattice (hence the rescoring) is exact up to the classical
+word-pair approximation: each (t, leaf) keeps pass 1's single best
+entry time.  Tests assert exactness against a brute-force bigram
+oracle on separable cases and the sandwich bound (oracle <= rescored)
+always.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from speech_recognition_tpu.ops.viterbi_banded import (
+    _eps_base_tb,
+    _select_band,
+    BandedGraph,
+)
+from speech_recognition_tpu.utils.numerics import POS_INF
+
+__all__ = ["viterbi_lattice_tb", "lattice_rescore", "lattice_words",
+           "decode_lextree_bigram"]
+
+
+@functools.partial(jax.jit, static_argnames=("eps_ranges", "unroll"))
+def viterbi_lattice_tb(nll_tb, g: BandedGraph, n_frames, eps_ranges=None,
+                       unroll: int = 1):
+    """Banded lex Viterbi (``viterbi_banded_tb`` semantics, eps_depth 1)
+    that also carries per-token entry times and emits the lattice
+    planes.  ``nll_tb [T, S, B]`` -> ``(final [S, B],
+    ends_cost [T, L, B], ends_tau [T, L, B] int32)`` where L indexes
+    ``g.word_ends`` (leaf arcs, slot order).  The graph must be a
+    no-LM lex build (row-constant eps = word-insertion cost only) so
+    the rescorer's Q-identity holds."""
+    t_len, s, b = nll_tb.shape
+    r = g.word_starts.shape[0]
+    nll_tb = jnp.minimum(nll_tb, POS_INF)
+
+    def shift_s(x, d, fill):
+        if d == 0:
+            return x
+        pad = jnp.full((d, x.shape[-1]), fill, x.dtype)
+        return jnp.concatenate([pad, x[:-d, :]], axis=0)
+
+    def band_relax(prev):
+        return _select_band(
+            [g.band[d][:, None] + shift_s(prev, d, POS_INF)
+             for d in range(3)])
+
+    def tau_select(tau, d_sel):
+        out = tau
+        for d in (1, 2):
+            out = jnp.where(d_sel == jnp.int8(d), shift_s(tau, d, 0), out)
+        return out
+
+    def step(carry, inputs):
+        prev, tau, final, fin_tau = carry
+        t, emis = inputs
+        base, d_sel = band_relax(prev)
+        tau_new = tau_select(tau, d_sel)
+        if g.cross_src is not None:
+            cand = jnp.minimum(prev[g.cross_src, :] + g.cross_cost[:, None],
+                               POS_INF)
+            take = cand <= base
+            base = jnp.where(take, cand, base)
+            tau_new = jnp.where(take, tau[g.cross_src, :], tau_new)
+        cost = jnp.minimum(base + emis, POS_INF)
+        # eps re-entry (depth 1)
+        end_vals = cost[g.word_ends, :]  # [L, B]
+        eb, origin_u = _eps_base_tb(end_vals, g, eps_ranges)
+        cand_re = jnp.minimum(eb + emis[g.word_starts, :], POS_INF)
+        cand_dense = cand_re[g.start_pos, :]
+        better = g.is_start[:, None] & (cand_dense < cost)
+        cost = jnp.where(better, cand_dense, cost)
+        tau_new = jnp.where(better, t.astype(jnp.int32), tau_new)
+
+        active = t < n_frames  # [B]
+        cost = jnp.where(active[None, :], cost, prev)
+        tau_new = jnp.where(active[None, :], tau_new, tau)
+        final = jnp.where((t == n_frames - 1)[None, :], cost, final)
+        return ((cost, tau_new, final, fin_tau),
+                (cost[g.word_ends, :], tau_new[g.word_ends, :]))
+
+    init = jnp.broadcast_to(g.init_cost[:, None], (s, b))
+    cost0 = jnp.minimum(init + nll_tb[0], POS_INF)
+    # frame-0 eps (a word cannot complete at frame 0 on >=2-state
+    # units, but keep the column semantics identical to the kernel)
+    end_vals0 = cost0[g.word_ends, :]
+    eb0, _ = _eps_base_tb(end_vals0, g, eps_ranges)
+    cand0 = jnp.minimum(eb0 + nll_tb[0][g.word_starts, :], POS_INF)
+    cand0_dense = cand0[g.start_pos, :]
+    better0 = g.is_start[:, None] & (cand0_dense < cost0)
+    cost0 = jnp.where(better0, cand0_dense, cost0)
+    tau0 = jnp.where(better0, 0, jnp.zeros((s, b), jnp.int32))
+
+    ts = jnp.arange(1, t_len)
+    init_final = jnp.where((n_frames == 1)[None, :], cost0, POS_INF)
+    (last, tau_last, final, _), (ends, taus) = jax.lax.scan(
+        step, (cost0, tau0, init_final, tau0), (ts, nll_tb[1:]),
+        unroll=unroll)
+    ends = jnp.concatenate([cost0[g.word_ends, :][None], ends], axis=0)
+    taus = jnp.concatenate([tau0[g.word_ends, :][None], taus], axis=0)
+    return final, ends, taus
+
+
+class RescoreResult(NamedTuple):
+    cost: jnp.ndarray  # [B] best rescored sentence cost
+    best_leaf: jnp.ndarray  # [B] final leaf slot
+    pred_w: jnp.ndarray  # [T, L, B] int32 argmin predecessor word (-1 = <s>)
+    ends_tau: jnp.ndarray  # [T, L, B] int32 (pass-1 entry times, echoed)
+
+
+@functools.partial(jax.jit, static_argnames=("block",))
+def lattice_rescore(ends_cost, ends_tau, leaf_word, bigram_cost, start_cost,
+                    end_cost, n_frames, block: int = 128):
+    """Exact bigram Viterbi over the lattice planes (one lax.scan).
+
+    ``ends_cost/ends_tau [T, L, B]`` from :func:`viterbi_lattice_tb`;
+    ``leaf_word [L]`` maps leaf slots to word ids (a permutation for
+    dedicated-leaf tries); ``bigram_cost [V, V]``, ``start/end [V]``.
+    The pass-1 word-insertion cost cancels exactly: pass 1 charged
+    ``Q[tau] = wic + min_l' S0[tau, l']`` at entry and the rescorer
+    re-charges the same wic (it is an acoustic-side penalty, kept
+    identical across passes), so only ``min_l' S0`` is subtracted.
+    Returns costs, final leaves, and the predecessor-word planes for
+    :func:`lattice_words`."""
+    t_len, l, b = ends_cost.shape
+    # reorder word-indexed LM arrays into leaf-slot order
+    big_ll = bigram_cost[leaf_word][:, leaf_word]  # [L, L] (w' slot, w slot)
+    start_l = start_cost[leaf_word]
+    end_l = end_cost[leaf_word]
+
+    q = jnp.min(ends_cost, axis=1)  # [T, B]
+
+    # Per (t, w) the scan records H[t, w]'s argmin predecessor slot;
+    # the word backtrace reads it back at each word's entry time.
+    # H history lives [L, B, T] so the per-step tau gather needs no
+    # transpose of the carried buffer.
+    def step(h_hist, t):
+        s0 = ends_cost[t]
+        tau = jnp.clip(ends_tau[t], 0, t_len - 1)  # [L, B]
+        hg = jnp.take_along_axis(h_hist, tau[:, :, None], axis=2)[..., 0]
+        qg = jnp.take_along_axis(
+            jnp.broadcast_to(q[None], (l, t_len, b)), tau[:, None, :],
+            axis=1)[:, 0, :]
+        d = jnp.where(ends_tau[t] <= 0, s0 + start_l[:, None],
+                      s0 - qg + hg)  # [L, B]
+        h_new = jnp.full((l, b), POS_INF)
+        p_new = jnp.zeros((l, b), jnp.int32)
+        for j0 in range(0, l, block):  # bound the [L, lb, B] transient
+            blk = big_ll[:, j0 : j0 + block]
+            sc = d[:, None, :] + blk[:, :, None]
+            h_new = h_new.at[j0 : j0 + block].set(
+                jnp.minimum(jnp.min(sc, axis=0), POS_INF))
+            p_new = p_new.at[j0 : j0 + block].set(
+                jnp.argmin(sc, axis=0).astype(jnp.int32))
+        h_hist = jax.lax.dynamic_update_slice(
+            h_hist, h_new[:, :, None], (0, 0, t))
+        return h_hist, (d, p_new)
+
+    h0 = jnp.full((l, b, t_len), POS_INF)
+    h_hist, (d_all, p_all) = jax.lax.scan(step, h0, jnp.arange(t_len))
+
+    # best final leaf at each stream's last frame
+    d_at_end = jnp.take_along_axis(
+        d_all, jnp.clip(n_frames - 1, 0, t_len - 1)[None, None, :],
+        axis=0)[0]  # [L, B]
+    final_costs = d_at_end + end_l[:, None]
+    best_leaf = jnp.argmin(final_costs, axis=0)
+    cost = jnp.take_along_axis(final_costs, best_leaf[None, :], axis=0)[0]
+    return RescoreResult(cost=cost, best_leaf=best_leaf.astype(jnp.int32),
+                         pred_w=p_all, ends_tau=ends_tau)
+
+
+def lattice_words(res: RescoreResult, leaf_word, n_frames) -> List[List[int]]:
+    """Host word backtrace through the rescore DP: follow
+    (entry time, predecessor leaf) chains from the best final leaf.
+    O(#words) python per utterance."""
+    pred = np.asarray(res.pred_w)  # [T, L, B]
+    taus = np.asarray(res.ends_tau)
+    leaf_word = np.asarray(leaf_word)
+    best = np.asarray(res.best_leaf)
+    nfs = np.asarray(n_frames)
+    out: List[List[int]] = []
+    t_len = pred.shape[0]
+    for i in range(pred.shape[2]):
+        words: List[int] = []
+        t = min(int(nfs[i]) - 1, t_len - 1)
+        leaf = int(best[i])
+        for _ in range(t_len + 1):  # bounded walk
+            words.append(int(leaf_word[leaf]))
+            tau = int(taus[t, leaf, i])
+            if tau <= 0:
+                break
+            # predecessor word of THIS word = argmin recorded for
+            # H[tau, leaf]: stored at frame tau, column leaf
+            leaf = int(pred[tau, leaf, i])
+            t = tau
+        out.append(words[::-1])
+    return out
+
+
+def decode_lextree_bigram(bank, lexg, lm, feats, n_frames,
+                          backend: str = None) -> Tuple[List[List[int]],
+                                                        np.ndarray]:
+    """Production bigram decode over a deep lexical tree: no-LM pass-1
+    lattice (Pallas lex kernel on TPU, XLA scan elsewhere) + exact
+    bigram rescoring over the lattice.  ``lexg`` must be built with
+    NO lm/unigram (word_insertion_cost allowed, passed as ``wic``).
+
+    Returns ``(word sequences, rescored costs)``."""
+    import jax as _jax
+
+    from speech_recognition_tpu.models.hmm import bank_nll
+
+    g = lexg.banded
+    b, t, d = feats.shape
+    feats = jnp.asarray(feats)
+    n_frames = jnp.asarray(n_frames)
+
+    def emis(x, nf):
+        return bank_nll(bank, x, jnp.arange(t) < nf)
+
+    nll_bank = jax.vmap(emis)(feats, n_frames)  # [B, T, U]
+    if backend is None:
+        backend = "pallas" if _jax.default_backend() == "tpu" else "xla"
+    if backend.startswith("pallas"):
+        from speech_recognition_tpu.decode.lextree import _lex_plan_cached
+        from speech_recognition_tpu.ops.viterbi_lex_pallas import (
+            viterbi_lex_pallas_lattice,
+        )
+
+        plan = _lex_plan_cached(lexg)
+        if plan is None:
+            raise ValueError("graph outside the Pallas kernel's structure")
+        nll_tub = jnp.transpose(nll_bank, (1, 2, 0))
+        ends_cost, ends_tau = viterbi_lex_pallas_lattice(
+            nll_tub, plan, n_frames, plan.topo,
+            interpret=backend.endswith("interpret"))
+    else:
+        nll_tb = jnp.transpose(nll_bank, (1, 2, 0))[:, g.bank_state, :]
+        _, ends_cost, ends_tau = viterbi_lattice_tb(nll_tb, g, n_frames)
+    res = lattice_rescore(
+        ends_cost, ends_tau, jnp.asarray(lexg.leaf_word),
+        jnp.asarray(np.asarray(lm.cost, np.float32)),
+        jnp.asarray(np.asarray(lm.start_cost, np.float32)),
+        jnp.asarray(np.asarray(lm.end_cost, np.float32)),
+        n_frames)
+    seqs = lattice_words(res, lexg.leaf_word, n_frames)
+    return seqs, np.asarray(res.cost)

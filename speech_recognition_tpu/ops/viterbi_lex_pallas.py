@@ -46,7 +46,8 @@ from speech_recognition_tpu.ops.viterbi_banded import _CROSS, _EPS, MAX_BAND
 from speech_recognition_tpu.utils.numerics import POS_INF
 
 __all__ = ["LexTopo", "LexPlan", "lex_pallas_plan", "viterbi_lex_pallas",
-           "lex_backtrace_soa"]
+           "viterbi_lex_pallas_lattice", "lex_backtrace_soa",
+           "lex_pallas_fits", "lex_pallas_batch_chunk"]
 
 _SELECT_PRECISION = jax.lax.Precision.HIGHEST
 
@@ -418,13 +419,18 @@ def lex_pallas_batch_chunk(plan: "LexPlan", batch: int,
 def _lex_kernel(nll_ref, expand_ref, band_ref, cc_ref, eps_ref, rows_ref,
                 lid_ref, init_ref, nf_ref, *rest, topo: LexTopo,
                 n_levels: int, frames_per_step: int,
-                emit_eps_prev: bool = False):
+                emit_eps_prev: bool = False, emit_lattice: bool = False):
     sel_refs = rest[:n_levels]
-    if emit_eps_prev:
+    epsp_ref = bp_ref = epsu_ref = endc_ref = endt_ref = tau_ref = None
+    if emit_lattice:
+        # lattice mode: no backpointer planes at all — pass 2 rescoring
+        # replaces the backtrace; instead the end-slice costs and the
+        # carried entry times stream out per frame
+        final_ref, endc_ref, endt_ref, cost_ref, tau_ref = rest[n_levels:]
+    elif emit_eps_prev:
         final_ref, bp_ref, epsu_ref, epsp_ref, cost_ref = rest[n_levels:]
     else:
         final_ref, bp_ref, epsu_ref, cost_ref = rest[n_levels:]
-        epsp_ref = None
     ti = pl.program_id(0)
     s8, b = cost_ref.shape
     su, a_pad, r = topo.su, topo.a_pad, topo.n_roots
@@ -449,8 +455,39 @@ def _lex_kernel(nll_ref, expand_ref, band_ref, cc_ref, eps_ref, rows_ref,
 
     prev = cost_ref[...]
     fin = final_ref[...]
+    tau = tau_ref[...] if emit_lattice else None
     nf_b = nf_ref[...]  # [1, B]; where() broadcasts over sublanes
     inf_sb = jnp.full((s8, b), POS_INF, jnp.float32)
+
+    def gather_ends(src, fill0):
+        """Level-blocked one-hot gather of an [A, B] end-slice plane to
+        child-start rows (the cross-edge parent map), shared by the
+        cost relaxation and the lattice entry-time carry."""
+        pieces = [jnp.full((topo.level_sizes[0], b), fill0, jnp.float32)]
+        if topo.sel_banded:
+            w = topo.sel_w
+            sel_all = sel_refs[0]
+            for (row0, nr, w0) in topo.sel_blocks:
+                selb = sel_all[row0 : row0 + nr, :].astype(jnp.bfloat16)
+                s3 = split3(src[w0 : w0 + w, :])
+                pieces.append(dotd(selb, s3[:w]) + dotd(selb, s3[w : 2 * w])
+                              + dotd(selb, s3[2 * w :]))
+        else:
+            src_off = 0
+            for li in range(n_levels):
+                n_src = topo.level_sizes[li]
+                sl = slice(src_off, src_off + n_src)
+                if topo.sel_tripled:
+                    pieces.append(dotd(sel_refs[li][...], split3(src[sl, :])))
+                else:
+                    selb = sel_refs[li][...].astype(jnp.bfloat16)
+                    s3 = split3(src[sl, :])
+                    pieces.append(dotd(selb, s3[:n_src])
+                                  + dotd(selb, s3[n_src:2 * n_src])
+                                  + dotd(selb, s3[2 * n_src:]))
+                src_off += n_src
+        return (jnp.concatenate(pieces, axis=0)
+                if len(pieces) > 1 else pieces[0])
     if topo.expand_factored:
         expand_bf = expand_ref[...].astype(jnp.bfloat16)  # [a_pad, U8p]
     if emit_eps_prev:
@@ -500,35 +537,17 @@ def _lex_kernel(nll_ref, expand_ref, band_ref, cc_ref, eps_ref, rows_ref,
         # bf16 matmuls instead of HIGHEST's six passes — the select
         # stays bit-exact (one-hot rows pick one value; the f32
         # accumulator re-sums the non-overlapping parts exactly).
+        if emit_lattice:
+            # entry-time carry follows the band decision (wrapped rows
+            # only matter where the cost is POS_INF — harmless garbage)
+            tau_prev_f = tau
+            tau_b = jnp.where(dsel == jnp.float32(1),
+                              pltpu.roll(tau, a_pad, 0), tau)
+            tau_b = jnp.where(dsel == jnp.float32(2),
+                              pltpu.roll(tau, 2 * a_pad, 0), tau_b)
+
         ends_prev = prev[end_lo:, :]  # [A, B]
-        pieces = [jnp.full((topo.level_sizes[0], b), POS_INF, jnp.float32)]
-        if topo.sel_banded:
-            # block-banded staircase: each <=128-row child block
-            # one-hot-gathers from a narrow static parent window
-            w = topo.sel_w
-            sel_all = sel_refs[0]
-            for (row0, nr, w0) in topo.sel_blocks:
-                selb = sel_all[row0 : row0 + nr, :].astype(jnp.bfloat16)
-                s3 = split3(ends_prev[w0 : w0 + w, :])  # [3W, B]
-                pieces.append(dotd(selb, s3[:w]) + dotd(selb, s3[w : 2 * w])
-                              + dotd(selb, s3[2 * w :]))
-        else:
-            src_off = 0
-            for li in range(n_levels):
-                n_src = topo.level_sizes[li]
-                sl = slice(src_off, src_off + n_src)
-                if topo.sel_tripled:
-                    pieces.append(dotd(sel_refs[li][...],
-                                       split3(ends_prev[sl, :])))
-                else:
-                    selb = sel_refs[li][...].astype(jnp.bfloat16)
-                    s3 = split3(ends_prev[sl, :])
-                    g = (dotd(selb, s3[:n_src])
-                         + dotd(selb, s3[n_src:2 * n_src])
-                         + dotd(selb, s3[2 * n_src:]))
-                    pieces.append(g)
-                src_off += n_src
-        gath = jnp.concatenate(pieces, axis=0) if len(pieces) > 1 else pieces[0]
+        gath = gather_ends(ends_prev, POS_INF)
         cand_start = jnp.minimum(gath + cc_ref[...], POS_INF)  # [A, B]
         if su > 1:
             cand_cross = jnp.concatenate(
@@ -539,6 +558,12 @@ def _lex_kernel(nll_ref, expand_ref, band_ref, cc_ref, eps_ref, rows_ref,
         take = cand_cross <= base
         base = jnp.where(take, cand_cross, base)
         dsel = jnp.where(take, jnp.float32(_CROSS), dsel)
+        if emit_lattice:
+            tau_g = gather_ends(tau[end_lo:, :], 0.0)  # [A, B]
+            if su > 1:
+                tau_g = jnp.concatenate(
+                    [tau_g, jnp.zeros((end_lo, b), jnp.float32)], axis=0)
+            tau_b = jnp.where(take, tau_g, tau_b)
 
         if k == 0:  # first frame of step 0 seeds from init
             is0 = ti == 0
@@ -547,6 +572,9 @@ def _lex_kernel(nll_ref, expand_ref, band_ref, cc_ref, eps_ref, rows_ref,
             dsel = jnp.where(is0, jnp.float32(0), dsel)
             prev = jnp.where(is0, inf_sb, prev)
             fin = jnp.where(is0, inf_sb, fin)
+            if emit_lattice:
+                tau_b = jnp.where(is0, jnp.float32(0), tau_b)
+                tau_prev_f = jnp.where(is0, jnp.float32(0), tau_prev_f)
 
         cost = jnp.minimum(base + emis, POS_INF)
         bp = dsel
@@ -612,15 +640,27 @@ def _lex_kernel(nll_ref, expand_ref, band_ref, cc_ref, eps_ref, rows_ref,
         if emit_eps_prev:
             epsp_ref[k] = jnp.where(better, eps_prev,
                                     jnp.float32(0)).astype(jnp.int32)
+        if emit_lattice:
+            t_abs_f = (t_abs * jnp.ones((), jnp.int32)).astype(jnp.float32)
+            tau_new = jnp.concatenate(
+                [jnp.where(better, t_abs_f, tau_b[:r8, :]),
+                 tau_b[r8:, :]], axis=0)
 
         cost = jnp.where(t_abs < nf_b, cost, prev)
-        bp_ref[k] = bp.astype(jnp.int8)
-        epsu_ref[k] = side.astype(jnp.int32)
+        if emit_lattice:
+            tau = jnp.where(t_abs < nf_b, tau_new, tau_prev_f)
+            endc_ref[k] = cost[end_lo:, :]
+            endt_ref[k] = tau[end_lo:, :].astype(jnp.int32)
+        else:
+            bp_ref[k] = bp.astype(jnp.int8)
+            epsu_ref[k] = side.astype(jnp.int32)
         fin = jnp.where(t_abs == nf_b - 1, cost, fin)
         prev = cost
 
     cost_ref[...] = prev
     final_ref[...] = fin
+    if emit_lattice:
+        tau_ref[...] = tau
 
 
 @functools.partial(jax.jit, static_argnames=("topo", "interpret",
@@ -781,6 +821,100 @@ def _lex_bt_kernel(bp_ref, epsu_ref, endv_ref, cross_ref, ends_ref, nf_ref,
              jnp.zeros((6, b), jnp.float32)], axis=0)
 
     st_ref[...] = st
+
+
+@functools.partial(jax.jit, static_argnames=("topo", "interpret",
+                                             "frames_per_step"))
+def viterbi_lex_pallas_lattice(nll_tub, plan: LexPlan, n_frames,
+                               topo: LexTopo, interpret: bool = False,
+                               frames_per_step: int = 2):
+    """Lattice-generation variant of :func:`viterbi_lex_pallas`: no
+    backpointer planes (pass-2 rescoring replaces the backtrace);
+    instead an entry-time value plane rides the DP and the kernel
+    streams out per-frame end-slice costs + entry times.  Returns
+    ``(ends_cost [T, L, B], ends_tau [T, L, B] int32)`` in LEAF-SLOT
+    order, matching :func:`ops.lattice.viterbi_lattice_tb`."""
+    t_len, u_in, b = nll_tub.shape
+    su, a_pad = topo.su, topo.a_pad
+    s_soa = su * a_pad
+    if not topo.expand_factored:
+        u8 = plan.expand.shape[1] // 3
+    r8 = plan.eps_exit.shape[1]
+    n_levels = len(plan.sels)
+    k = frames_per_step
+    t8 = (t_len + k - 1) // k * k
+    if topo.expand_factored:
+        n_units = topo.n_units_pad
+        n_u_in = u_in // su
+        nll_u = nll_tub[:, : n_u_in * su].reshape(t_len, n_u_in, su, b)
+        nll_u = jnp.transpose(nll_u, (0, 2, 1, 3))
+        if n_u_in > n_units:
+            nll_u = nll_u[:, :, :n_units]
+        elif n_u_in < n_units:
+            nll_u = jnp.pad(nll_u, ((0, 0), (0, 0), (0, n_units - n_u_in),
+                                    (0, 0)))
+        if t8 != t_len:
+            nll_u = jnp.pad(nll_u, ((0, t8 - t_len), (0, 0), (0, 0), (0, 0)))
+        nll_in = nll_u
+        nll_spec = pl.BlockSpec((k, su, n_units, b), lambda t: (t, 0, 0, 0),
+                                memory_space=pltpu.VMEM)
+    else:
+        if u_in > u8:
+            nll_tub = nll_tub[:, :u8]
+            u_in = u8
+        if u8 != u_in or t8 != t_len:
+            nll_tub = jnp.pad(nll_tub,
+                              ((0, t8 - t_len), (0, u8 - u_in), (0, 0)))
+        nll_in = nll_tub
+        nll_spec = pl.BlockSpec((k, u8, b), lambda t: (t, 0, 0),
+                                memory_space=pltpu.VMEM)
+    nf_row = n_frames.astype(jnp.int32)[None, :]
+
+    kernel = functools.partial(_lex_kernel, topo=topo, n_levels=n_levels,
+                               frames_per_step=k, emit_lattice=True)
+    const = lambda *_: (0, 0)
+    sel_specs = [pl.BlockSpec(s.shape, const, memory_space=pltpu.VMEM)
+                 for s in plan.sels]
+    final, endc, endt = pl.pallas_call(
+        kernel,
+        grid=(t8 // k,),
+        in_specs=[
+            nll_spec,
+            pl.BlockSpec(plan.expand.shape, const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((s_soa, MAX_BAND + 1), const,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((a_pad, 1), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((a_pad, r8), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((r8, 1), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((a_pad, 1), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((s_soa, 1), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b), const, memory_space=pltpu.VMEM),
+        ] + sel_specs,
+        out_specs=[
+            pl.BlockSpec((s_soa, b), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, a_pad, b), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, a_pad, b), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((s_soa, b), jnp.float32),
+            jax.ShapeDtypeStruct((t8, a_pad, b), jnp.float32),
+            jax.ShapeDtypeStruct((t8, a_pad, b), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.VMEM((s_soa, b), jnp.float32),
+                        pltpu.VMEM((s_soa, b), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=127 * 2**20),
+        interpret=interpret,
+    )(nll_in, plan.expand, plan.band_soa, plan.cross_cost, plan.eps_exit,
+      plan.eps_rows, plan.leaf_id, plan.init_soa, nf_row, *plan.sels)
+    # end-slice arc order -> leaf-slot order
+    leaf_cols = plan.ends_soa - (su - 1) * a_pad  # [L] arc positions
+    ends_cost = endc[:t_len, leaf_cols, :]
+    ends_tau = endt[:t_len, leaf_cols, :]
+    return ends_cost, ends_tau
 
 
 def _lex_bt_val_kernel(bp_ref, epsp_ref, cross_ref, endv_ref, nf_ref,
