@@ -487,6 +487,30 @@ def bench_lextree(batch=64, frames=500, n_words=1000, frame_step_s=0.01,
                 return cost + jnp.sum(words_rev[:2].astype(jnp.float32))
 
             return jnp.sum(jax.vmap(one)(e, nf2))
+    elif pallas and dict1:
+        from speech_recognition_tpu.ops.viterbi_lex_pallas import (
+            lex_backtrace_wide,
+            lex_pallas_plan,
+            viterbi_lex_pallas_wide,
+        )
+
+        plan = lex_pallas_plan(lexg, layout="wide")
+        log(f"lextree pallas WIDE plan: a_pad={plan.topo.a_pad} "
+            f"W={plan.topo.sel_w} blocks={len(plan.topo.sel_blocks)}")
+
+        def body(dep):
+            nf2 = jnp.where(jnp.isnan(dep), nf + 1, nf)
+            nll_tub = jnp.transpose(e, (1, 2, 0))
+            final, bp8, eps_u, eps_prev = viterbi_lex_pallas_wide(
+                nll_tub, plan, nf2, plan.topo,
+                frames_per_step=frames_per_step)
+            end_costs = final[:, plan.ends_soa] + bg.end_bonus[None, :]
+            best = jnp.argmin(end_costs, axis=1)
+            states, _ = lex_backtrace_wide(
+                bp8, eps_u, eps_prev, plan, plan.ends_soa[best], nf2,
+                plan.topo)
+            return (jnp.sum(jnp.take_along_axis(end_costs, best[:, None], 1))
+                    + jnp.sum(states[0].astype(jnp.float32)))
     elif pallas:
         from speech_recognition_tpu.ops.viterbi_lex_pallas import (
             lex_backtrace_soa_pallas as lex_backtrace_soa,
@@ -539,6 +563,78 @@ def bench_lextree(batch=64, frames=500, n_words=1000, frame_step_s=0.01,
         log(report({"lex-viterbi": bound}, dt))
     log(f"lextree {tag}: {batch}x{frames} in {dt*1e3:.2f} ms device-time "
         f"({LAST_REGIME}) -> {audio_s/dt:.0f} audio-s/s")
+    return audio_s / dt
+
+
+def bench_lextree_bigram(batch=128, frames=500, n_words=1000,
+                         frame_step_s=0.01):
+    """Exact-bigram-over-lattice decode on a 1,000-word deep trie:
+    Pallas lattice pass (tau carry, end-slice streaming) + bigram
+    rescoring scan, one jit — the VERDICT round-2 item-2 target shape
+    (>= 10k audio-s/s with a real LM on a deep tree)."""
+    import jax
+    import jax.numpy as jnp
+
+    from speech_recognition_tpu.langmodel.bigram import fit_bigram
+    from speech_recognition_tpu.models.lexgraph import build_lex_graph
+    from speech_recognition_tpu.ops.lattice import lattice_rescore
+    from speech_recognition_tpu.ops.viterbi_lex_pallas import (
+        lex_pallas_plan,
+        viterbi_lex_pallas_lattice,
+    )
+
+    units = list("abcdefgh")
+    unit_ids = {ch: i for i, ch in enumerate(units)}
+    su = 3
+    rng = np.random.default_rng(7)
+    trans = []
+    for _ in units:
+        t = np.full((su, su), np.inf)
+        for i in range(su):
+            t[i, i] = rng.uniform(0.1, 1)
+            if i + 1 < su:
+                t[i + 1, i] = rng.uniform(0.1, 1)
+        trans.append(t)
+    vocab = set()
+    while len(vocab) < n_words:
+        n = int(rng.integers(3, 9))
+        vocab.add("".join(rng.choice(units, n)))
+    words = sorted(vocab)
+    lexg = build_lex_graph(words, trans, unit_ids, word_insertion_cost=0.5)
+    plan = lex_pallas_plan(lexg)
+    lm = fit_bigram([[int(x) for x in rng.integers(0, n_words, 12)]
+                     for _ in range(200)], n_words)
+    big = jnp.asarray(lm.cost)
+    start_c = jnp.asarray(lm.start_cost)
+    end_c = jnp.asarray(lm.end_cost)
+    leaf_word = jnp.asarray(lexg.leaf_word)
+
+    e = jnp.asarray(rng.uniform(0, 5, (frames, len(units) * su, batch)),
+                    jnp.float32)
+    nf = jnp.full((batch,), frames, jnp.int32)
+
+    use_pallas = jax.default_backend() == "tpu"
+
+    def body(dep):
+        nf2 = jnp.where(jnp.isnan(dep), nf + 1, nf)
+        if use_pallas:
+            ends_cost, ends_tau = viterbi_lex_pallas_lattice(
+                e, plan, nf2, plan.topo)
+        else:
+            from speech_recognition_tpu.ops.lattice import viterbi_lattice_tb
+
+            nll_tb = e[:, np.asarray(lexg.banded.bank_state), :]
+            _, ends_cost, ends_tau = viterbi_lattice_tb(
+                nll_tb, lexg.banded, nf2)
+        res = lattice_rescore(ends_cost, ends_tau, leaf_word, big, start_c,
+                              end_c, nf2)
+        return jnp.sum(res.cost) + jnp.sum(res.best_leaf.astype(jnp.float32))
+
+    dt = _timeit_device(body)
+    audio_s = batch * frames * frame_step_s
+    log(f"lextree bigram ({n_words} words): {batch}x{frames} in "
+        f"{dt*1e3:.2f} ms device-time ({LAST_REGIME}) "
+        f"-> {audio_s/dt:.0f} audio-s/s")
     return audio_s / dt
 
 
@@ -625,7 +721,8 @@ def main():
     ap.add_argument("--what", default="headline",
                     choices=["headline", "frontend", "train", "soft_em",
                              "decode", "pipeline", "lextree", "lex_pipeline",
-                             "lextree_dict1", "streaming"])
+                             "lextree_dict1", "lextree_bigram",
+                             "streaming"])
     ap.add_argument("--batch", type=int, default=0,
                     help="0 = per-benchmark default (headline pins 512 — "
                          "the shape RESULTS.md is measured at; the repo's "
@@ -676,6 +773,13 @@ def main():
                           pallas=(_jax.default_backend() == "tpu"
                                   and not args.beam_k))
         print(json.dumps({"metric": "lextree-1k-word-decode",
+                          "value": round(v, 1),
+                          "unit": "audio-seconds/s/chip", "vs_baseline": 0,
+                          "regime": LAST_REGIME}))
+        return
+    if args.what == "lextree_bigram":
+        v = bench_lextree_bigram(args.batch or 128, args.frames)
+        print(json.dumps({"metric": "lextree-bigram-rescored-decode",
                           "value": round(v, 1),
                           "unit": "audio-seconds/s/chip", "vs_baseline": 0,
                           "regime": LAST_REGIME}))

@@ -33,8 +33,8 @@ def main():
     from speech_recognition_tpu.ops.viterbi_banded import (
         banded_backtrace_tb, viterbi_banded_tb)
     from speech_recognition_tpu.ops.viterbi_lex_pallas import (
-        lex_backtrace_soa_pallas, lex_pallas_batch_chunk, lex_pallas_plan,
-        viterbi_lex_pallas)
+        lex_backtrace_wide, lex_pallas_plan, lex_pallas_wide_batch_chunk,
+        viterbi_lex_pallas_wide)
 
     words = load_dict1()
     units = sorted(set("".join(words)))
@@ -49,12 +49,11 @@ def main():
         return t
     lexg = build_lex_graph(words, [ltr(su) for _ in units], unit_ids,
                            word_insertion_cost=0.5)
-    plan = lex_pallas_plan(lexg)
+    plan = lex_pallas_plan(lexg, layout="wide")
     log(f"dict1: {lexg.n_words} words, {lexg.n_arcs} arcs, "
-        f"{lexg.n_states} states; banded={plan.topo.sel_banded} "
-        f"W={plan.topo.sel_w} blocks={len(plan.topo.sel_blocks)} "
-        f"factored={plan.topo.expand_factored}")
-    log(f"batch chunk at 64: {lex_pallas_batch_chunk(plan, 64)}")
+        f"{lexg.n_states} states; wide lane-major layout, "
+        f"W={plan.topo.sel_w} blocks={len(plan.topo.sel_blocks)}")
+    log(f"wide batch chunk at 64: {lex_pallas_wide_batch_chunk(plan, 64)}")
 
     # ---- on-chip bit-parity vs the XLA scan (short shapes) ----
     T0, B0 = 16, 8
@@ -68,23 +67,22 @@ def main():
     fin_x = jax.block_until_ready(fin_x)
     log(f"XLA scan parity run: {time.time()-t0:.1f}s wall (compile incl.)")
     t0 = time.time()
-    fin_p, bp_p, eu_p, ep_p = viterbi_lex_pallas(
-        jnp.asarray(e), plan, jnp.asarray(nf), plan.topo,
-        emit_eps_prev=True)
+    fin_p, bp_p, eu_p, ep_p = viterbi_lex_pallas_wide(
+        jnp.asarray(e), plan, jnp.asarray(nf), plan.topo)
     fin_p = jax.block_until_ready(fin_p)
-    log(f"Pallas parity run: {time.time()-t0:.1f}s wall (compile incl.)")
+    log(f"Pallas wide parity run: {time.time()-t0:.1f}s wall (compile incl.)")
     live = plan.state_of_soa >= 0
     fin_p_orig = np.full((lexg.n_states, B0), np.nan, np.float32)
-    fin_p_orig[plan.state_of_soa[live]] = np.asarray(fin_p)[live]
+    fin_p_orig[plan.state_of_soa[live]] = np.asarray(fin_p).T[live]
     np.testing.assert_array_equal(fin_p_orig, np.asarray(fin_x))
     ends = np.asarray(lexg.banded.end_states)
     costs = np.asarray(fin_x)[ends] + np.asarray(lexg.banded.end_bonus)[:, None]
     best = np.argmin(costs, axis=0)
     s_x, f_x = banded_backtrace_tb(bp_x, eu_x, lexg.banded,
                                    jnp.asarray(ends[best]), jnp.asarray(nf))
-    s_p, f_p = lex_backtrace_soa_pallas(
-        bp_p, eu_p, plan, jnp.asarray(np.asarray(plan.ends_soa)[best]),
-        jnp.asarray(nf), plan.topo, eps_prev=ep_p)
+    s_p, f_p = lex_backtrace_wide(
+        bp_p, eu_p, ep_p, plan, jnp.asarray(np.asarray(plan.ends_soa)[best]),
+        jnp.asarray(nf), plan.topo)
     s_p_orig = plan.state_of_soa[np.asarray(s_p)]
     for i in range(B0):
         n = int(nf[i])
@@ -95,30 +93,28 @@ def main():
 
     # ---- throughput: Pallas at serving shapes ----
     frames = 500
-    for B in (32, 64):
-        if lex_pallas_batch_chunk(plan, B) < B:
-            log(f"B={B}: outside VMEM envelope per model; trying anyway"
-                if B == 64 else f"B={B} skipped")
+    for B in (16, 24, 32):
+        if lex_pallas_wide_batch_chunk(plan, B) < B:
+            log(f"B={B}: outside the wide VMEM model; trying anyway")
         eb = jnp.asarray(rng.uniform(0, 5, (frames, len(units) * su, B)),
                          jnp.float32)
         nfb = jnp.full((B,), frames, jnp.int32)
         def body(dep, eb=eb, nfb=nfb):
             nf2 = jnp.where(jnp.isnan(dep), nfb + 1, nfb)
-            fin, bp8, eu, ep = viterbi_lex_pallas(
-                eb, plan, nf2, plan.topo, emit_eps_prev=True)
-            end_costs = fin[plan.ends_soa, :]
-            bestb = jnp.argmin(end_costs, axis=0)
-            states, _ = lex_backtrace_soa_pallas(
-                bp8, eu, plan, plan.ends_soa[bestb], nf2, plan.topo,
-                eps_prev=ep)
-            return (jnp.sum(jnp.take_along_axis(end_costs, bestb[None], 0))
+            fin, bp8, eu, ep = viterbi_lex_pallas_wide(
+                eb, plan, nf2, plan.topo)
+            end_costs = fin[:, plan.ends_soa]  # [B, L]
+            bestb = jnp.argmin(end_costs, axis=1)
+            states, _ = lex_backtrace_wide(
+                bp8, eu, ep, plan, plan.ends_soa[bestb], nf2, plan.topo)
+            return (jnp.sum(jnp.take_along_axis(end_costs, bestb[:, None], 1))
                     + jnp.sum(states[0].astype(jnp.float32)))
         try:
             dt = _timeit_device(body)
-            log(f"Pallas dict1 B={B}: {dt*1e3:.2f} ms "
+            log(f"Pallas wide dict1 B={B}: {dt*1e3:.2f} ms "
                 f"-> {B*frames*0.01/dt:.0f} audio-s/s")
         except Exception as ex:
-            log(f"Pallas dict1 B={B}: FAILED {type(ex).__name__}: "
+            log(f"Pallas wide dict1 B={B}: FAILED {type(ex).__name__}: "
                 f"{str(ex)[:300]}")
 
     # ---- XLA scan at one shape for the speedup row ----

@@ -124,19 +124,67 @@ def _decode_lex_batch(bank: HMMBank, feats, n_frames, g: BandedGraph,
     return states.T, eps_flags.T, costs
 
 
-def _lex_plan_cached(lexg: LexGraph):
-    """Build (and memoize on the LexGraph) the Pallas SoA plan, or None
-    if the graph is outside the kernel's structure."""
-    if not hasattr(lexg, "_pallas_plan"):
+def _lex_plan_cached(lexg: LexGraph, layout: str = "soa"):
+    """Build (and memoize on the LexGraph) a Pallas plan, or None if
+    the graph is outside the kernel's structure."""
+    attr = "_pallas_plan" if layout == "soa" else "_pallas_plan_wide"
+    if not hasattr(lexg, attr):
         from speech_recognition_tpu.ops.viterbi_lex_pallas import (
             lex_pallas_plan,
         )
 
         try:
-            object.__setattr__(lexg, "_pallas_plan", lex_pallas_plan(lexg))
+            object.__setattr__(lexg, attr,
+                               lex_pallas_plan(lexg, layout=layout))
         except ValueError:
-            object.__setattr__(lexg, "_pallas_plan", None)
-    return lexg._pallas_plan
+            object.__setattr__(lexg, attr, None)
+    return getattr(lexg, attr)
+
+
+@functools.partial(jax.jit, static_argnames=("topo", "interpret",
+                                             "batch_chunk"))
+def _decode_lex_batch_pallas_wide(bank: HMMBank, feats, n_frames, plan, topo,
+                                  end_bonus, interpret: bool = False,
+                                  batch_chunk: int = 0):
+    """Lane-major production path for dictionary-scale graphs: the
+    [B, S] kernel + wide value backtrace, batch-tiled."""
+    from speech_recognition_tpu.ops.viterbi_lex_pallas import (
+        lex_backtrace_wide,
+        viterbi_lex_pallas_wide,
+    )
+
+    b, t, d = feats.shape
+
+    def emis(x, nf):
+        return bank_nll(bank, x, jnp.arange(t) < nf)
+
+    nll_tub = jnp.transpose(jax.vmap(emis)(feats, n_frames), (1, 2, 0))
+
+    def run(nll_c, nf_c):
+        final, bp8, eps_u, eps_prev = viterbi_lex_pallas_wide(
+            nll_c, plan, nf_c, topo, interpret=interpret)
+        end_costs = final[:, plan.ends_soa] + end_bonus[None, :]  # [Bc, L]
+        best = jnp.argmin(end_costs, axis=1)
+        states, eps_flags = lex_backtrace_wide(
+            bp8, eps_u, eps_prev, plan, plan.ends_soa[best], nf_c, topo,
+            interpret=interpret)
+        costs = jnp.take_along_axis(end_costs, best[:, None], axis=1)[:, 0]
+        return states, eps_flags, costs
+
+    bc = batch_chunk or b
+    if bc >= b:
+        states, eps_flags, costs = run(nll_tub, n_frames)
+        return states.T, eps_flags.T, costs
+    b_pad = (b + bc - 1) // bc * bc
+    if b_pad != b:
+        nll_tub = jnp.pad(nll_tub, ((0, 0), (0, 0), (0, b_pad - b)))
+        n_frames = jnp.pad(n_frames, (0, b_pad - b), constant_values=1)
+    outs = [run(nll_tub[:, :, i : i + bc], n_frames[i : i + bc])
+            for i in range(0, b_pad, bc)]
+    states = jnp.concatenate([o[0] for o in outs], axis=1)[:, :b]
+    eps_flags = jnp.concatenate([o[1] for o in outs], axis=1)[:, :b]
+    costs = jnp.concatenate([o[2] for o in outs], axis=0)[:b]
+    return states.T, eps_flags.T, costs
 
 
 def decode_lextree(
@@ -149,42 +197,56 @@ def decode_lextree(
     the same order as its ``unit_trans``).  Returns ``(word_sequences,
     costs)`` with word ids indexing ``lexg.words``.
 
-    ``backend``: None auto-selects (the Pallas SoA kernel on TPU when
-    the graph fits its structure — uniform units, few root arcs — else
-    the XLA scan); "xla" / "pallas" / "pallas-interpret" force a path."""
+    ``backend``: None auto-selects — on TPU the state-major Pallas SoA
+    kernel when its VMEM envelope admits the graph, the lane-major
+    "wide" kernel for reference-dictionary-scale graphs (~>25k
+    states), else the XLA scan; "xla" / "pallas" / "pallas-wide"
+    (each with an optional "-interpret" suffix) force a path."""
     import jax as _jax
 
-    if backend is None:
-        from speech_recognition_tpu.ops.viterbi_lex_pallas import (
-            lex_pallas_batch_chunk,
-        )
+    from speech_recognition_tpu.ops.viterbi_lex_pallas import (
+        lex_pallas_batch_chunk,
+        lex_pallas_wide_batch_chunk,
+    )
 
-        plan = _lex_plan_cached(lexg)
-        backend = "pallas" if (
-            _jax.default_backend() == "tpu" and not beam_width
-            and plan is not None
-            and lex_pallas_batch_chunk(
-                plan, int(np.asarray(feats).shape[0])) > 0
-        ) else "xla"
+    b = int(np.asarray(feats).shape[0])
+    if backend is None:
+        backend = "xla"
+        if _jax.default_backend() == "tpu" and not beam_width:
+            plan = _lex_plan_cached(lexg)
+            if plan is not None and lex_pallas_batch_chunk(plan, b) > 0:
+                backend = "pallas"
+            else:
+                wplan = _lex_plan_cached(lexg, layout="wide")
+                if (wplan is not None
+                        and lex_pallas_wide_batch_chunk(wplan, b) > 0):
+                    backend = "pallas-wide"
     if backend.startswith("pallas"):
         if beam_width:
             raise ValueError("beam_width runs on the XLA backend")
-        plan = _lex_plan_cached(lexg)
+        wide = backend.startswith("pallas-wide")
+        plan = _lex_plan_cached(lexg, layout="wide" if wide else "soa")
         if plan is None:
             raise ValueError("graph outside the Pallas kernel's structure")
-        from speech_recognition_tpu.ops.viterbi_lex_pallas import (
-            lex_pallas_batch_chunk,
-        )
-
-        b = int(np.asarray(feats).shape[0])
-        bc = lex_pallas_batch_chunk(plan, b)
-        if bc == 0:
-            raise ValueError("graph exceeds the Pallas VMEM envelope at "
-                             "any batch; use the XLA kernel")
-        states_soa, eps_flags, costs = _decode_lex_batch_pallas(
-            bank, jnp.asarray(feats), jnp.asarray(n_frames), plan, plan.topo,
-            lexg.banded.end_bonus, interpret=backend.endswith("interpret"),
-            batch_chunk=0 if bc >= b else bc)
+        interp = backend.endswith("interpret")
+        if wide:
+            bc = lex_pallas_wide_batch_chunk(plan, b)
+            if bc == 0:
+                raise ValueError("graph exceeds the wide-kernel VMEM "
+                                 "envelope at any batch; use the XLA kernel")
+            states_soa, eps_flags, costs = _decode_lex_batch_pallas_wide(
+                bank, jnp.asarray(feats), jnp.asarray(n_frames), plan,
+                plan.topo, lexg.banded.end_bonus, interpret=interp,
+                batch_chunk=0 if bc >= b else bc)
+        else:
+            bc = lex_pallas_batch_chunk(plan, b)
+            if bc == 0:
+                raise ValueError("graph exceeds the Pallas VMEM envelope at "
+                                 "any batch; use the XLA kernel")
+            states_soa, eps_flags, costs = _decode_lex_batch_pallas(
+                bank, jnp.asarray(feats), jnp.asarray(n_frames), plan,
+                plan.topo, lexg.banded.end_bonus, interpret=interp,
+                batch_chunk=0 if bc >= b else bc)
         states = plan.state_of_soa[np.asarray(states_soa)]
         eps_flags = np.asarray(eps_flags)
     else:

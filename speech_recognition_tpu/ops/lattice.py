@@ -145,9 +145,10 @@ class RescoreResult(NamedTuple):
     ends_tau: jnp.ndarray  # [T, L, B] int32 (pass-1 entry times, echoed)
 
 
-@functools.partial(jax.jit, static_argnames=("block",))
+@functools.partial(jax.jit, static_argnames=("block", "max_dur"))
 def lattice_rescore(ends_cost, ends_tau, leaf_word, bigram_cost, start_cost,
-                    end_cost, n_frames, block: int = 128):
+                    end_cost, n_frames, block: int = 128,
+                    max_dur: int = 128):
     """Exact bigram Viterbi over the lattice planes (one lax.scan).
 
     ``ends_cost/ends_tau [T, L, B]`` from :func:`viterbi_lattice_tb`;
@@ -166,20 +167,37 @@ def lattice_rescore(ends_cost, ends_tau, leaf_word, bigram_cost, start_cost,
     end_l = end_cost[leaf_word]
 
     q = jnp.min(ends_cost, axis=1)  # [T, B]
+    # tau-dependent terms with NO sequential dependence are gathered
+    # ONCE outside the scan (a per-step broadcast of q cost 260 MB of
+    # HBM traffic per frame and dominated the whole rescore):
+    # base[t, l, b] = S0 - Q[tau] (or S0 + start for tau == 0)
+    tau_all = jnp.clip(ends_tau, 0, t_len - 1)  # [T, L, B]
+    qg = jnp.take_along_axis(
+        jnp.transpose(q)[:, None, :],  # [B, 1, T]
+        jnp.transpose(tau_all, (2, 1, 0)), axis=2)  # [B, L, T]
+    qg = jnp.transpose(qg, (2, 1, 0))  # [T, L, B]
+    base_all = jnp.where(ends_tau <= 0, ends_cost + start_l[None, :, None],
+                         ends_cost - qg)
 
     # Per (t, w) the scan records H[t, w]'s argmin predecessor slot;
     # the word backtrace reads it back at each word's entry time.
-    # H history lives [L, B, T] so the per-step tau gather needs no
-    # transpose of the carried buffer.
-    def step(h_hist, t):
-        s0 = ends_cost[t]
-        tau = jnp.clip(ends_tau[t], 0, t_len - 1)  # [L, B]
-        hg = jnp.take_along_axis(h_hist, tau[:, :, None], axis=2)[..., 0]
-        qg = jnp.take_along_axis(
-            jnp.broadcast_to(q[None], (l, t_len, b)), tau[:, None, :],
-            axis=1)[:, 0, :]
-        d = jnp.where(ends_tau[t] <= 0, s0 + start_l[:, None],
-                      s0 - qg + hg)  # [L, B]
+    # H lives in a RING over the last max_dur frames ([L, B, Dmax]):
+    # a dynamic take_along_axis over the full [L, B, T] history
+    # serialized on TPU (~4 ms/frame); the ring gather is an
+    # iota-compare + masked reduce over Dmax slots.  Lattice arcs
+    # longer than max_dur frames are dropped (the classical per-word
+    # duration cap; raise ``max_dur`` for slow speech).
+    dmax = min(max_dur, t_len)
+    iota_ring = jnp.arange(dmax)[None, None, :]  # [1, 1, Dmax]
+
+    def step(h_ring, t):
+        tau = tau_all[t]  # [L, B]
+        slot = (tau % dmax)[:, :, None]
+        sel = (iota_ring == slot).astype(h_ring.dtype)
+        hg = jnp.sum(h_ring * sel, axis=2)  # [L, B]
+        in_window = (t - tau_all[t]) <= dmax
+        hg = jnp.where(in_window, hg, POS_INF)
+        d = base_all[t] + jnp.where(ends_tau[t] <= 0, 0.0, hg)  # [L, B]
         h_new = jnp.full((l, b), POS_INF)
         p_new = jnp.zeros((l, b), jnp.int32)
         for j0 in range(0, l, block):  # bound the [L, lb, B] transient
@@ -189,12 +207,12 @@ def lattice_rescore(ends_cost, ends_tau, leaf_word, bigram_cost, start_cost,
                 jnp.minimum(jnp.min(sc, axis=0), POS_INF))
             p_new = p_new.at[j0 : j0 + block].set(
                 jnp.argmin(sc, axis=0).astype(jnp.int32))
-        h_hist = jax.lax.dynamic_update_slice(
-            h_hist, h_new[:, :, None], (0, 0, t))
-        return h_hist, (d, p_new)
+        h_ring = jax.lax.dynamic_update_slice(
+            h_ring, h_new[:, :, None], (0, 0, t % dmax))
+        return h_ring, (d, p_new)
 
-    h0 = jnp.full((l, b, t_len), POS_INF)
-    h_hist, (d_all, p_all) = jax.lax.scan(step, h0, jnp.arange(t_len))
+    h0 = jnp.full((l, b, dmax), POS_INF)
+    _, (d_all, p_all) = jax.lax.scan(step, h0, jnp.arange(t_len))
 
     # best final leaf at each stream's last frame
     d_at_end = jnp.take_along_axis(

@@ -73,6 +73,9 @@ class LexTopo(NamedTuple):
     # cast in-kernel, three passes per level (1 byte/entry — doubles
     # the vocabulary that fits VMEM).
     sel_tripled: bool = True
+    # Lane-major ([B, S_soa]) kernel layout for reference-dictionary
+    # scale graphs — see lex_pallas_plan(layout="wide").
+    lane_major: bool = False
     # Block-banded selector mode (reference-dictionary scale): the
     # parent-major child order makes each level's one-hot selector a
     # monotone staircase, so every <=128-row child block references a
@@ -118,7 +121,7 @@ def _ceil(x: int, m: int) -> int:
 
 
 def lex_pallas_plan(lexg, sel_mode: str = None,
-                    expand_mode: str = None) -> LexPlan:
+                    expand_mode: str = None, layout: str = "soa") -> LexPlan:
     """Build the SoA/level plan for a LexGraph, or raise ValueError if
     the graph is outside the kernel's structure (non-uniform units or
     too many root arcs) — callers fall back to the XLA kernel.
@@ -128,7 +131,22 @@ def lex_pallas_plan(lexg, sel_mode: str = None,
     (block-banded staircase int8 — the reference-dictionary-scale
     format, see LexTopo.sel_banded).  ``expand_mode``: None auto,
     'full' ([S_soa, 3*U8] bf16 one-hot over bank rows) or 'factored'
-    ([a_pad, U8p] int8 over unit ids, applied per offset j)."""
+    ([a_pad, U8p] int8 over unit ids, applied per offset j).
+
+    ``layout``: 'soa' = the state-major [S_soa, B] kernel (batch on
+    lanes; Mosaic pads lanes to 128, so every live frontier plane costs
+    S_soa * 128 * 4 bytes — caps out near ~25k states); 'wide' = the
+    lane-major [B, S_soa] kernel for reference-dictionary-scale graphs
+    (states on lanes, batch on sublanes: plane bytes scale with the
+    true batch, levels padded to 128 so every lane slice/concat is
+    tile-aligned; forces banded selectors + factored expansion)."""
+    wide = layout == "wide"
+    if wide:
+        if sel_mode not in (None, "banded") or expand_mode not in (
+                None, "factored"):
+            raise ValueError("wide layout uses banded selectors and the "
+                             "factored expansion")
+        sel_mode, expand_mode = "banded", "factored"
     g = lexg.banded
     band = np.asarray(g.band)
     arc_of_state = np.asarray(lexg.arc_of_state)
@@ -178,8 +196,9 @@ def lex_pallas_plan(lexg, sel_mode: str = None,
         order += nxt
     order = np.asarray(order, np.int64)
 
-    # padded level layout
-    lv_sizes = tuple(_ceil8(len(lv)) for lv in levels)
+    # padded level layout (wide: 128 so lane slices/concats are aligned)
+    lvpad = 128 if wide else 8
+    lv_sizes = tuple(_ceil(len(lv), lvpad) for lv in levels)
     a_pad = sum(lv_sizes)
     pos = np.full(n_arcs, -1, np.int64)  # preorder arc -> padded BFS pos
     off = 0
@@ -219,7 +238,7 @@ def lex_pallas_plan(lexg, sel_mode: str = None,
     if n_bank % su != 0:
         raise ValueError("bank rows are not unit-major multiples of su")
     n_units = n_bank // su
-    u8p = _ceil8(n_units)
+    u8p = _ceil(n_units, 128) if wide else _ceil8(n_units)
     if expand_mode is None:
         # full one-hot is the fastest (one MXU pass); switch to the
         # factored form when its bf16 bytes get big
@@ -282,7 +301,7 @@ def lex_pallas_plan(lexg, sel_mode: str = None,
                     hi = int(ps[valid].max())
                 else:
                     lo = hi = 0
-                lo8 = lo - lo % 8
+                lo8 = lo - lo % lvpad
                 raw.append((off + c0, nr, lo8, hi))
             off += n8
         span = max(hi - lo8 + 1 for (_, _, lo8, hi) in raw)
@@ -307,7 +326,7 @@ def lex_pallas_plan(lexg, sel_mode: str = None,
     else:
         if sel_banded:  # single-level (flat) graph: nothing to gather
             sel_banded = False
-            sel_tripled = True
+            sel_tripled = not wide
         sels = []
         src_off = 0
         for li in range(1, len(levels)):
@@ -351,9 +370,33 @@ def lex_pallas_plan(lexg, sel_mode: str = None,
     topo = LexTopo(su=su, a_pad=a_pad, n_roots=r, n_leaves=l,
                    level_sizes=lv_sizes, n_bank=n_bank,
                    eps_rowconst=eps_rowconst, sel_tripled=sel_tripled,
+                   lane_major=wide,
                    sel_banded=sel_banded, sel_w=sel_w,
                    sel_blocks=tuple(sel_blocks),
                    expand_factored=expand_factored, n_units_pad=u8p)
+    if wide:
+        # lane-major array orientations: per-state constants become
+        # broadcastable ROWS ([1, S] / [1, A]), the band a [8, S] panel,
+        # the eps exit block [R8, A]; a row's true lanes are the array
+        # dim, so no 128-lane padding waste on narrow columns.
+        band_w = np.full((8, s_soa), POS_INF, np.float32)
+        band_w[: MAX_BAND + 1] = band_soa.T
+        eps_rows_w = np.full((8, lv_sizes[0]), POS_INF, np.float32)
+        eps_rows_w[0, :r] = eps_rows[:r, 0]
+        return LexPlan(
+            topo=topo,
+            band_soa=jnp.asarray(band_w),
+            cross_cost=jnp.asarray(cc.T),
+            eps_exit=jnp.asarray(eps_exit.T.copy()),
+            eps_rows=jnp.asarray(eps_rows_w),
+            leaf_id=jnp.asarray(leaf_id.T.copy()),
+            expand=expand,
+            init_soa=jnp.asarray(init_soa.T.copy()),
+            sels=tuple(sels),
+            state_of_soa=state_of_soa,
+            cross_src_soa=jnp.asarray(cross_src_soa),
+            ends_soa=jnp.asarray(ends_soa),
+        )
     return LexPlan(
         topo=topo,
         band_soa=jnp.asarray(band_soa),
@@ -399,6 +442,36 @@ def lex_pallas_fits(plan: "LexPlan", batch: int,
     CHUNKED by the decode layer (``lex_pallas_batch_chunk``), not
     rejected."""
     return lex_pallas_vmem_bytes(plan, batch, frames_per_step) <= 100 * 2**20
+
+
+def lex_pallas_wide_vmem_bytes(plan: "LexPlan", batch: int,
+                               frames_per_step: int = 2) -> int:
+    """Scoped-VMEM estimate for the lane-major kernel: constants plus
+    ~7.5 live [B, S] f32 planes and double-buffered int8 bp blocks."""
+    topo = plan.topo
+    s_w = topo.su * topo.a_pad
+    sel_bytes = sum(int(np.prod(s.shape)) * s.dtype.itemsize
+                    for s in plan.sels)
+    exp_bytes = int(np.prod(plan.expand.shape)) * plan.expand.dtype.itemsize
+    const_bytes = (sel_bytes + exp_bytes + 8 * s_w * 4
+                   + plan.eps_exit.shape[0] * topo.a_pad * 4
+                   + 4 * 8 * s_w)
+    plane = s_w * batch * 4
+    per_b = int(7.5 * plane) + 2 * frames_per_step * s_w * batch
+    return const_bytes + per_b
+
+
+def lex_pallas_wide_batch_chunk(plan: "LexPlan", batch: int,
+                                frames_per_step: int = 2) -> int:
+    """Largest 8-multiple batch tile for the wide kernel inside the
+    VMEM envelope (0 if nothing fits)."""
+    bc = min(_ceil8(batch), 64)
+    while bc >= 8:
+        if lex_pallas_wide_vmem_bytes(plan, min(bc, batch),
+                                      frames_per_step) <= 100 * 2**20:
+            return min(bc, batch)
+        bc -= 8
+    return 0
 
 
 def lex_pallas_batch_chunk(plan: "LexPlan", batch: int,
@@ -915,6 +988,336 @@ def viterbi_lex_pallas_lattice(nll_tub, plan: LexPlan, n_frames,
     ends_cost = endc[:t_len, leaf_cols, :]
     ends_tau = endt[:t_len, leaf_cols, :]
     return ends_cost, ends_tau
+
+
+def _lex_kernel_wide(nll_ref, expand_ref, band_ref, cc_ref, eps_ref,
+                     rows_ref, lid_ref, init_ref, nf_ref, *rest,
+                     topo: LexTopo, frames_per_step: int):
+    """Lane-major ([B, S_soa]) twin of :func:`_lex_kernel` for
+    reference-dictionary-scale graphs: states ride the LANE axis so a
+    live frontier plane costs B * S_soa * 4 bytes instead of the
+    state-major form's S_soa * 128 * 4 (Mosaic pads lane dims to 128 —
+    at 83k states that is 42 MB per plane and the kernel needs ~10
+    live planes).  Levels are 128-padded so every lane slice, shift
+    and concat lands on a vreg boundary.  Always banded selectors +
+    factored expansion + eps_prev side plane (the value backtrace is
+    the only walk at this scale)."""
+    sel_ref = rest[0] if topo.sel_blocks else None
+    n_sel = 1 if topo.sel_blocks else 0
+    final_ref, bp_ref, epsu_ref, epsp_ref, cost_ref = rest[n_sel:]
+    ti = pl.program_id(0)
+    b, s_w = cost_ref.shape
+    su, a_pad, r = topo.su, topo.a_pad, topo.n_roots
+    lv0 = topo.level_sizes[0]
+    end_lo = (su - 1) * a_pad
+    u128 = topo.n_units_pad
+
+    def dot_nt(x, sel):
+        """[B, K] x [N, K] -> [B, N], bf16 single pass, f32 accumulate."""
+        return jax.lax.dot_general(
+            x, sel, (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.DEFAULT,
+            preferred_element_type=jnp.float32)
+
+    def split3_l(v):
+        """f32 [B, K] -> three exact bf16 planes (summed by 3 passes)."""
+        v0 = v.astype(jnp.bfloat16)
+        r1 = v - v0.astype(jnp.float32)
+        v1 = r1.astype(jnp.bfloat16)
+        v2 = (r1 - v1.astype(jnp.float32)).astype(jnp.bfloat16)
+        return v0, v1, v2
+
+    def gather3(x, sel):
+        """Exact one-hot gather of f32 lanes: 3 bf16 passes."""
+        p0, p1, p2 = split3_l(x)
+        return dot_nt(p0, sel) + dot_nt(p1, sel) + dot_nt(p2, sel)
+
+    def shift_lanes(x, d):
+        """x[:, j - d] with POS_INF fill (lane concat, 128-aligned d)."""
+        return jnp.concatenate(
+            [jnp.full((b, d), POS_INF, jnp.float32), x[:, :-d]], axis=1)
+
+    prev = cost_ref[...]  # [B, S]
+    fin = final_ref[...]
+    nf_c = nf_ref[...]  # [B, 1]
+    inf_bs = jnp.full((b, s_w), POS_INF, jnp.float32)
+    expand_bf = expand_ref[...].astype(jnp.bfloat16)  # [a_pad, U128]
+    iota_a = jax.lax.broadcasted_iota(
+        jnp.int32, (1, a_pad), 1).astype(jnp.float32)
+
+    for k in range(frames_per_step):
+        t_abs = ti * frames_per_step + k
+        # factored emission: [B, U128] per offset j -> [B, a_pad]
+        nll_k = nll_ref[k]  # [su, B, U128]
+        pieces_e = [gather3(nll_k[j], expand_bf) for j in range(su)]
+        emis = (jnp.concatenate(pieces_e, axis=1)
+                if su > 1 else pieces_e[0])
+
+        # band relaxation: lane shifts by whole 128-multiples
+        c0 = band_ref[0:1, :] + prev
+        c1 = band_ref[1:2, :] + shift_lanes(prev, a_pad)
+        c2 = band_ref[2:3, :] + shift_lanes(prev, 2 * a_pad)
+        best = jnp.minimum(jnp.minimum(c0, c1), c2)
+        dsel = jnp.where(best == c2, jnp.float32(2),
+                         jnp.where(best == c1, jnp.float32(1),
+                                   jnp.float32(0)))
+        base = jnp.minimum(best, POS_INF)
+
+        # cross edges: block-banded staircase gathers of the end slice
+        ends_prev = prev[:, end_lo:]  # [B, A]
+        if topo.sel_blocks:
+            w = topo.sel_w
+            pieces = [jnp.full((b, lv0), POS_INF, jnp.float32)]
+            for (row0, nr, w0) in topo.sel_blocks:
+                selb = sel_ref[row0 : row0 + nr, :].astype(jnp.bfloat16)
+                pieces.append(gather3(ends_prev[:, w0 : w0 + w], selb))
+            gath = jnp.concatenate(pieces, axis=1)  # [B, A]
+            cand_start = jnp.minimum(gath + cc_ref[...], POS_INF)
+        else:  # flat vocabulary: no cross edges at all
+            cand_start = jnp.full((b, a_pad), POS_INF, jnp.float32)
+        if su > 1:
+            cand_cross = jnp.concatenate(
+                [cand_start, jnp.full((b, end_lo), POS_INF, jnp.float32)],
+                axis=1)
+        else:
+            cand_cross = cand_start
+        take = cand_cross <= base
+        base = jnp.where(take, cand_cross, base)
+        dsel = jnp.where(take, jnp.float32(_CROSS), dsel)
+
+        if k == 0:
+            is0 = ti == 0
+            init_b = init_ref[0:1, :] + jnp.zeros((b, s_w), jnp.float32)
+            base = jnp.where(is0, init_b, base)
+            dsel = jnp.where(is0, jnp.float32(0), dsel)
+            prev = jnp.where(is0, inf_bs, prev)
+            fin = jnp.where(is0, inf_bs, fin)
+
+        cost = jnp.minimum(base + emis, POS_INF)
+        bp = dsel
+
+        # eps re-entry + eps_prev side plane
+        end_vals = cost[:, end_lo:]  # [B, A]
+        big = jnp.float32(topo.n_leaves + 1)
+        lid = lid_ref[0:1, :]  # [1, A]
+        combo = (jnp.float32(end_lo) + iota_a
+                 - dsel[:, end_lo:] * jnp.float32(a_pad))  # [B, A]
+        if topo.eps_rowconst:
+            masked = jnp.where(lid < jnp.float32(topo.n_leaves),
+                               end_vals, POS_INF)
+            m = jnp.min(masked, axis=1, keepdims=True)  # [B, 1]
+            ids = jnp.where(masked == m, lid, big)
+            u = jnp.min(ids, axis=1, keepdims=True)  # [B, 1]
+            eps_min = jnp.minimum(rows_ref[0:1, :] + m, POS_INF)  # [B, lv0]
+            eps_arg = u + jnp.zeros((b, lv0), jnp.float32)
+            pv = jnp.sum(combo * (lid == u).astype(jnp.float32),
+                         axis=1, keepdims=True)  # [B, 1]
+            eps_prev = pv + jnp.zeros((b, lv0), jnp.float32)
+        else:
+            mins, args, prevs = [], [], []
+            for ri in range(r):
+                sc = jnp.minimum(eps_ref[ri : ri + 1, :] + end_vals, POS_INF)
+                m = jnp.min(sc, axis=1, keepdims=True)  # [B, 1]
+                ids = jnp.where(sc == m, lid, big)
+                arg = jnp.min(ids, axis=1, keepdims=True)
+                mins.append(m)
+                args.append(arg)
+                prevs.append(jnp.sum(
+                    combo * (lid == arg).astype(jnp.float32),
+                    axis=1, keepdims=True))
+            pad_c = lv0 - r
+            if pad_c:
+                mins.append(jnp.full((b, pad_c), POS_INF, jnp.float32))
+                args.append(jnp.zeros((b, pad_c), jnp.float32))
+                prevs.append(jnp.zeros((b, pad_c), jnp.float32))
+            eps_min = jnp.concatenate(mins, axis=1)  # [B, lv0]
+            eps_arg = jnp.concatenate(args, axis=1)
+            eps_prev = jnp.concatenate(prevs, axis=1)
+        cand_re = jnp.minimum(eps_min + emis[:, :lv0], POS_INF)
+        head = cost[:, :lv0]
+        better = cand_re < head
+        cost = jnp.concatenate(
+            [jnp.where(better, cand_re, head), cost[:, lv0:]], axis=1)
+        bp = jnp.concatenate(
+            [jnp.where(better, jnp.float32(_EPS), bp[:, :lv0]),
+             bp[:, lv0:]], axis=1)
+        side = jnp.where(better, eps_arg, jnp.float32(0))
+        side_prev = jnp.where(better, eps_prev, jnp.float32(0))
+
+        cost = jnp.where(t_abs < nf_c, cost, prev)
+        bp_ref[k] = bp.astype(jnp.int8)
+        epsu_ref[k] = side.astype(jnp.int32)
+        epsp_ref[k] = side_prev.astype(jnp.int32)
+        fin = jnp.where(t_abs == nf_c - 1, cost, fin)
+        prev = cost
+
+    cost_ref[...] = prev
+    final_ref[...] = fin
+
+
+@functools.partial(jax.jit, static_argnames=("topo", "interpret",
+                                             "frames_per_step"))
+def viterbi_lex_pallas_wide(nll_tub, plan: LexPlan, n_frames, topo: LexTopo,
+                            interpret: bool = False,
+                            frames_per_step: int = 2):
+    """Lane-major lex Viterbi for huge graphs (``layout='wide'`` plans).
+
+    ``nll_tub [T, U, B]`` -> ``(final [B, S_soa], bp8 [T, B, S_soa],
+    eps_u [T, B, lv0], eps_prev [T, B, lv0])``; decode with
+    :func:`lex_backtrace_wide`."""
+    if not topo.lane_major:
+        raise ValueError("plan was not built with layout='wide'")
+    t_len, u_in, b = nll_tub.shape
+    su, a_pad = topo.su, topo.a_pad
+    s_w = su * a_pad
+    lv0 = topo.level_sizes[0]
+    u128 = topo.n_units_pad
+    k = frames_per_step
+    t8 = (t_len + k - 1) // k * k
+    # [T, U, B] -> [T, su, B, U128] (unit-major lanes, batch sublanes)
+    n_u_in = u_in // su
+    nll_u = nll_tub[:, : n_u_in * su].reshape(t_len, n_u_in, su, b)
+    nll_u = jnp.transpose(nll_u, (0, 2, 3, 1))  # [T, su, B, U_in]
+    if n_u_in > u128:
+        nll_u = nll_u[..., :u128]
+    elif n_u_in < u128:
+        nll_u = jnp.pad(nll_u, ((0, 0), (0, 0), (0, 0), (0, u128 - n_u_in)))
+    if t8 != t_len:
+        nll_u = jnp.pad(nll_u, ((0, t8 - t_len), (0, 0), (0, 0), (0, 0)))
+    nf_col = n_frames.astype(jnp.int32)[:, None]
+
+    kernel = functools.partial(_lex_kernel_wide, topo=topo,
+                               frames_per_step=k)
+    const = lambda *_: (0, 0)
+    sel_specs = [pl.BlockSpec(s.shape, const, memory_space=pltpu.VMEM)
+                 for s in plan.sels]
+    outs = pl.pallas_call(
+        kernel,
+        grid=(t8 // k,),
+        in_specs=[
+            pl.BlockSpec((k, su, b, u128), lambda t: (t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(plan.expand.shape, const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, s_w), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, a_pad), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec(plan.eps_exit.shape, const,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, lv0), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, a_pad), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_w), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, 1), const, memory_space=pltpu.VMEM),
+        ] + sel_specs,
+        out_specs=[
+            pl.BlockSpec((b, s_w), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, b, s_w), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, b, lv0), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, b, lv0), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, s_w), jnp.float32),
+            jax.ShapeDtypeStruct((t8, b, s_w), jnp.int8),
+            jax.ShapeDtypeStruct((t8, b, lv0), jnp.int32),
+            jax.ShapeDtypeStruct((t8, b, lv0), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.VMEM((b, s_w), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=127 * 2**20),
+        interpret=interpret,
+    )(nll_u, plan.expand, plan.band_soa, plan.cross_cost, plan.eps_exit,
+      plan.eps_rows, plan.leaf_id, plan.init_soa, nf_col, *plan.sels)
+    final, bp8, eps_u, eps_prev = outs
+    return final, bp8[:t_len], eps_u[:t_len], eps_prev[:t_len]
+
+
+def _lex_bt_wide_kernel(bp_ref, epsp_ref, cross_ref, endv_ref, nf_ref,
+                        out_ref, st_ref, *, t_len: int, a_pad: int,
+                        frames_per_step: int):
+    """Wide-layout value backtrace: the state rides as a [B, 1] column,
+    lookups are lane-iota compares + lane reductions."""
+    i = pl.program_id(0)
+    n_blk = pl.num_programs(0)
+    b, s_w = bp_ref.shape[1], bp_ref.shape[2]
+    lv0 = epsp_ref.shape[2]
+
+    iota_s = jax.lax.broadcasted_iota(
+        jnp.int32, (1, s_w), 1).astype(jnp.float32)
+    iota_r = jax.lax.broadcasted_iota(
+        jnp.int32, (1, lv0), 1).astype(jnp.float32)
+    nf = nf_ref[...].astype(jnp.float32)  # [B, 1]
+    st = st_ref[...]  # [B, 1]
+
+    for kk in range(frames_per_step - 1, -1, -1):
+        t = (n_blk - 1 - i) * frames_per_step + kk
+        st = jnp.where(t == t_len - 1, endv_ref[...], st)
+        rec = st
+        comb = (bp_ref[kk].astype(jnp.float32)
+                + cross_ref[0:1, :] * jnp.float32(8))  # [B, S]
+        v = jnp.sum(comb * (iota_s == st).astype(jnp.float32),
+                    axis=1, keepdims=True)  # [B, 1]
+        src = jnp.floor(v * jnp.float32(0.125))
+        code = v - src * jnp.float32(8)
+        m = (code == jnp.float32(_EPS)).astype(jnp.float32)
+        pprev = jnp.sum(epsp_ref[kk].astype(jnp.float32)
+                        * (iota_r == st).astype(jnp.float32),
+                        axis=1, keepdims=True)
+        band_prev = st - jnp.minimum(code, jnp.float32(MAX_BAND)) * a_pad
+        rest_p = jnp.where(code == jnp.float32(_CROSS), src, band_prev)
+        prev = pprev * m + rest_p * (1.0 - m)
+        act = (jnp.where(t > 0, 1.0, 0.0) * (t < nf).astype(jnp.float32)
+               * jnp.where(t <= t_len - 1, 1.0, 0.0))
+        st = prev * act + rec * (1.0 - act)
+        out_ref[kk] = jnp.concatenate(
+            [rec, m * (t < nf).astype(jnp.float32),
+             jnp.zeros((b, 126), jnp.float32)], axis=1)
+
+    st_ref[...] = st
+
+
+@functools.partial(jax.jit, static_argnames=("topo", "interpret"))
+def lex_backtrace_wide(bp8, eps_u, eps_prev, plan: LexPlan, end_state_soa,
+                       n_frames, topo: LexTopo, interpret: bool = False):
+    """Value backtrace for the wide kernel: ``bp8 [T, B, S]``,
+    ``eps_prev [T, B, lv0]``, ``end_state_soa [B]`` ->
+    ``(states_soa [T, B] int32, eps_entered [T, B] bool)``."""
+    t_len, b, s_w = bp8.shape
+    cross_row = plan.cross_src_soa.astype(jnp.float32)[None, :]  # [1, S]
+    endv = end_state_soa.astype(jnp.float32)[:, None]  # [B, 1]
+    nf_col = n_frames.astype(jnp.int32)[:, None]
+    k = max(1, min(8, (24 * 2**20) // max(s_w * b, 1)))
+    t8 = _ceil(t_len, k)
+    if t8 != t_len:
+        bp8 = jnp.pad(bp8, ((0, t8 - t_len), (0, 0), (0, 0)))
+        eps_prev = jnp.pad(eps_prev, ((0, t8 - t_len), (0, 0), (0, 0)))
+    n_blk = t8 // k
+    kernel = functools.partial(_lex_bt_wide_kernel, t_len=t_len,
+                               a_pad=topo.a_pad, frames_per_step=k)
+    const = lambda *_: (0, 0)
+    rev = lambda i: (n_blk - 1 - i, 0, 0)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_blk,),
+        in_specs=[
+            pl.BlockSpec((k, b, s_w), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, b, topo.level_sizes[0]), rev,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_w), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, 1), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, 1), const, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[pl.BlockSpec((k, b, 128), rev, memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((t8, b, 128), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((b, 1), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 2**20),
+        interpret=interpret,
+    )(bp8, eps_prev, cross_row, endv, nf_col)
+    out = outs[0][:t_len]
+    return out[:, :, 0].astype(jnp.int32), out[:, :, 1] > 0.5
 
 
 def _lex_bt_val_kernel(bp_ref, epsp_ref, cross_ref, endv_ref, nf_ref,

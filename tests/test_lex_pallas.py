@@ -359,3 +359,86 @@ def test_lex_pallas_eps_prev_value_backtrace(rng):
                                           np.asarray(s_b)[:n, i])
             np.testing.assert_array_equal(np.asarray(f_a)[:n, i],
                                           np.asarray(f_b)[:n, i])
+
+
+def test_lex_pallas_wide_layout_parity(rng):
+    """Lane-major ([B, S]) kernel for dictionary-scale graphs: finals,
+    backtrace states and eps flags bit-match the XLA kernel."""
+    import jax.numpy as jnp
+
+    from speech_recognition_tpu.ops.viterbi_lex_pallas import (
+        lex_backtrace_wide,
+        viterbi_lex_pallas_wide,
+    )
+
+    lexg, units = _mk_vocab(rng, n_words=220)
+    plan = lex_pallas_plan(lexg, layout="wide")
+    assert plan.topo.lane_major and plan.topo.expand_factored
+    assert all(s % 128 == 0 for s in plan.topo.level_sizes)
+
+    T, B = 21, 8
+    e = rng.uniform(0, 5, (T, len(units) * 3, B)).astype(np.float32)
+    nf = np.array([T, 9, T, 4, 15, T, 1, 12], np.int32)
+    bank_state = np.asarray(lexg.banded.bank_state)
+    nll_tsb = jnp.asarray(e)[:, bank_state, :]
+    fin_x, bp_x, eu_x = viterbi_banded_tb(nll_tsb, lexg.banded,
+                                          jnp.asarray(nf))
+    fin_w, bp_w, eu_w, ep_w = viterbi_lex_pallas_wide(
+        jnp.asarray(e), plan, jnp.asarray(nf), plan.topo, interpret=True)
+    live = plan.state_of_soa >= 0
+    fin_w_orig = np.full((lexg.n_states, B), np.nan, np.float32)
+    fin_w_orig[plan.state_of_soa[live]] = np.asarray(fin_w).T[live]
+    np.testing.assert_array_equal(fin_w_orig, np.asarray(fin_x))
+
+    ends = np.asarray(lexg.banded.end_states)
+    bonus = np.asarray(lexg.banded.end_bonus)
+    costs = np.asarray(fin_x)[ends] + bonus[:, None]
+    best = np.argmin(costs, axis=0)
+    s_x, f_x = banded_backtrace_tb(bp_x, eu_x, lexg.banded,
+                                   jnp.asarray(ends[best]), jnp.asarray(nf))
+    end_soa = jnp.asarray(np.asarray(plan.ends_soa)[best])
+    s_w, f_w = lex_backtrace_wide(bp_w, eu_w, ep_w, plan, end_soa,
+                                  jnp.asarray(nf), plan.topo, interpret=True)
+    s_w_orig = plan.state_of_soa[np.asarray(s_w)]
+    for i in range(B):
+        n = int(nf[i])
+        np.testing.assert_array_equal(s_w_orig[:n, i],
+                                      np.asarray(s_x)[:n, i])
+        np.testing.assert_array_equal(np.asarray(f_w)[:n, i],
+                                      np.asarray(f_x)[:n, i])
+
+
+def test_decode_api_wide_backend(rng):
+    """decode_lextree with backend='pallas-wide-interpret' equals the
+    XLA path on GMM-bank features (the dictionary-scale glue)."""
+    from speech_recognition_tpu.data.synthetic import random_gmm_hmm
+    from speech_recognition_tpu.decode.lextree import decode_lextree
+    from speech_recognition_tpu.models.hmm import GMMHMM, HMMBank
+    from speech_recognition_tpu.utils.numerics import to_cost_matrix
+    import jax.numpy as jnp
+
+    units = list("abcd")
+    unit_ids = {ch: i for i, ch in enumerate(units)}
+    D = 6
+    nprng = np.random.default_rng(5)
+    models, unit_trans = [], []
+    for _ in units:
+        p = random_gmm_hmm(nprng, n_states=3, n_mix=1, dim=D, sep=6.0)
+        models.append(GMMHMM(
+            means=jnp.asarray(p["means"], jnp.float32),
+            log_vars=jnp.log(jnp.asarray(p["variances"], jnp.float32)),
+            log_weights=jnp.log(jnp.asarray(p["weights"], jnp.float32)),
+            trans_cost=jnp.asarray(to_cost_matrix(p["trans"])),
+        ))
+        unit_trans.append(p["trans"])
+    bank = HMMBank.stack(models)
+    words = ["ab", "abc", "ba", "d", "ca"]
+    lexg = build_lex_graph(words, unit_trans, unit_ids,
+                           word_insertion_cost=0.5)
+    feats = nprng.standard_normal((4, 22, D)).astype(np.float32)
+    nfs = np.array([22, 13, 7, 18], np.int32)
+    seqs_x, costs_x = decode_lextree(bank, lexg, feats, nfs, backend="xla")
+    seqs_w, costs_w = decode_lextree(bank, lexg, feats, nfs,
+                                     backend="pallas-wide-interpret")
+    assert seqs_w == seqs_x
+    np.testing.assert_array_equal(costs_w, costs_x)
