@@ -638,13 +638,15 @@ def bench_lextree_bigram(batch=128, frames=500, n_words=1000,
     return audio_s / dt
 
 
-def bench_soft_em(batch=32, frames=300):
-    """Baum-Welch (sum-product) embedded step, device time — round-1
-    only had CPU correctness for this path."""
+def bench_soft_em(batch=32, frames=300, banded=True):
+    """Baum-Welch (sum-product) embedded step, device time — the
+    banded O(3S)/frame forward-backward is the production form
+    (``banded=False`` times the dense [S, S] pass for comparison)."""
     import jax
     import jax.numpy as jnp
 
-    from speech_recognition_tpu.models.graph import build_word_graph, pad_graphs
+    from speech_recognition_tpu.models.graph import (
+        build_word_graph, pad_graphs, pad_graphs_banded)
     from speech_recognition_tpu.train.embedded_step import embedded_step_soft
 
     bank = _bank()
@@ -652,9 +654,13 @@ def bench_soft_em(batch=32, frames=300):
     rng = np.random.default_rng(3)
     labels = [[int(rng.integers(0, 11)) for _ in range(5)] for _ in range(batch)]
     graphs = [build_word_graph(trans_np, [[l] for l in ls]) for ls in labels]
-    gb, eps_depth = pad_graphs(graphs)
-    g = {k: jnp.asarray(gb[k]) for k in ("trans", "eps_trans", "init_cost",
-                                         "end_scores", "bank_state")}
+    if banded:
+        gb, eps_depth = pad_graphs_banded(graphs)
+        g = {k: jnp.asarray(v) for k, v in gb.items()}
+    else:
+        gb, eps_depth = pad_graphs(graphs)
+        g = {k: jnp.asarray(gb[k]) for k in ("trans", "eps_trans", "init_cost",
+                                             "end_scores", "bank_state")}
     feats = jnp.asarray(rng.standard_normal((batch, frames, 39)), jnp.float32)
     nf = jnp.full((batch,), frames, jnp.int32)
 
@@ -701,19 +707,81 @@ def bench_streaming(batch=64, chunk=256, n_chunks=20, frame_step_s=0.01):
     log(f"streaming chunk step: {batch}x{chunk} frames in {dt*1e3:.2f} ms "
         f"device-time ({LAST_REGIME}) -> {audio_s/dt:.0f} audio-s/s")
 
-    # real end-to-end long-audio decode (incl. tunnel host transfers)
-    t0 = time.perf_counter()
+    # real end-to-end long-audio decode through the push API.
+    # (a) device-resident chunks (the serving shape: the on-chip MFCC
+    # frontend feeds the decoder, so features never cross the host) —
+    # bp planes stay on device, finish() fetches only the [B, T] paths
+    chunks_dev = [
+        jax.block_until_ready(jnp.asarray(
+            rng.standard_normal((batch, chunk, 39)), jnp.float32))
+        for _ in range(n_chunks)]
+    total_audio = batch * chunk * n_chunks * frame_step_s
+    for trial in range(2):  # second run reuses compiled programs
+        dec.reset()
+        t0 = time.perf_counter()
+        for x_dev in chunks_dev:
+            dec.push(x_dev)
+        words = dec.finish()
+        wall = time.perf_counter() - t0
+    log(f"streaming e2e (device chunks): {n_chunks} chunks x {batch} "
+        f"streams ({total_audio:.0f} audio-s) in {wall:.2f} s wall -> "
+        f"{total_audio/wall:.0f} audio-s/s through the push API")
+    e2e = total_audio / wall
+
+    # (b) host numpy chunks: adds the feature upload over the tunnel
     dec.reset()
-    for i in range(n_chunks):
-        dec.push(np.asarray(rng.standard_normal((batch, chunk, 39)),
-                            np.float32))
+    chunks_np = [np.asarray(c) for c in chunks_dev]
+    t0 = time.perf_counter()
+    for x_np in chunks_np:
+        dec.push(x_np)
     words = dec.finish()
     wall = time.perf_counter() - t0
-    total_audio = batch * chunk * n_chunks * frame_step_s
-    log(f"streaming e2e: {n_chunks} chunks x {batch} streams "
-        f"({total_audio:.0f} audio-s) in {wall:.2f} s wall incl. tunnel "
-        f"transfers -> {total_audio/wall:.0f} audio-s/s")
-    return audio_s / dt
+    log(f"streaming e2e (host chunks): {total_audio:.0f} audio-s in "
+        f"{wall:.2f} s wall incl. feature upload -> "
+        f"{total_audio/wall:.0f} audio-s/s")
+    return e2e
+
+
+def bench_spellcheck():
+    """Reference workload: text Viterbi of the misspelled tale against
+    the 6,250-word dict1 trie (27.5k nodes) — device chars/s of the
+    column scan (``/root/reference/tests/lextree_tests.py:7-51`` runs
+    this exact workload with a per-cell Python loop and no asserts)."""
+    import re
+
+    import jax
+    import jax.numpy as jnp
+
+    from speech_recognition_tpu.langmodel.lextree import lextree_from_words
+    from speech_recognition_tpu.langmodel.spellcheck import _text_viterbi_device
+
+    words = [ln.strip() for ln in
+             open("/root/reference/tests/test_data/dict1.txt")][1:]
+    words = list(dict.fromkeys(w for w in words if w))
+    tree = lextree_from_words(words)
+    src = open("/root/reference/tests/lextree_tests.py").read()
+    tale = re.search(r"typos = '''(.*?)'''", src, re.S).group(1).strip()
+    tale = " ".join(tale.split())
+
+    codes = jnp.asarray([ord("*")] + [ord(c) for c in tale], jnp.int32)
+    val = jnp.asarray(tree.val.astype(np.int32))
+    parent = jnp.asarray(tree.parent)
+    is_root_child = jnp.asarray(tree.parent == 0)
+    is_word_end = jnp.asarray(tree.prop == 2)
+    md = tree.max_depth
+
+    def body(dep):
+        c2 = codes.at[0].set(jnp.where(jnp.isnan(dep), 43, 42))
+        costs, _, _ = _text_viterbi_device(
+            c2, val, parent, is_root_child, is_word_end, max_depth=md)
+        return jnp.sum(jnp.where(costs[-1] < 1e29, costs[-1], 0.0))
+
+    dt = _timeit_device(body)
+    n_chars = len(tale)
+    log(f"spellcheck tale x dict1: {n_chars} chars over {tree.n_nodes} "
+        f"trie nodes in {dt*1e3:.1f} ms device-time ({LAST_REGIME}) -> "
+        f"{n_chars/dt:.0f} chars/s")
+    return n_chars / dt
 
 
 def main():
@@ -722,7 +790,7 @@ def main():
                     choices=["headline", "frontend", "train", "soft_em",
                              "decode", "pipeline", "lextree", "lex_pipeline",
                              "lextree_dict1", "lextree_bigram",
-                             "streaming"])
+                             "streaming", "spellcheck"])
     ap.add_argument("--batch", type=int, default=0,
                     help="0 = per-benchmark default (headline pins 512 — "
                          "the shape RESULTS.md is measured at; the repo's "
@@ -760,6 +828,12 @@ def main():
         "lex_pipeline": (bench_lex_pipeline, "lex-wav-to-words-pipeline",
                          "audio-seconds/s/chip", 128),
     }
+    if args.what == "spellcheck":
+        v = bench_spellcheck()
+        print(json.dumps({"metric": "spellcheck-tale-dict1",
+                          "value": round(v, 1), "unit": "chars/s/chip",
+                          "vs_baseline": 0, "regime": LAST_REGIME}))
+        return
     if args.what in simple:
         fn, metric, unit, default_b = simple[args.what]
         v = fn(args.batch or default_b)

@@ -10,11 +10,20 @@ classical-ASR analog of ring attention is passing the DP frontier):
   frontier (its first column applies the frame-edge band relaxation
   against the previous chunk's last column — exactly what the
   monolithic scan would do);
-* per-chunk int8 backpointers stream to the host (1 byte per
-  (frame, state)), so device memory stays O(chunk) regardless of audio
-  length;
-* the final backtrace is ONE batched device call over the concatenated
-  backpointer planes (``banded_backtrace_tb``) for all streams.
+* per-chunk int8 backpointer planes STAY ON DEVICE (1 byte per
+  (frame, state)); ``push`` fetches nothing, so N pushes dispatch
+  back-to-back and the wall-clock cost is the device compute plus the
+  feature upload — not a per-chunk plane download (the round-2 shipped
+  form pulled every plane through the axon tunnel and delivered ~150
+  audio-s/s of the device's 114k);
+* the final backtrace is ONE batched device call over the
+  device-concatenated planes (``banded_backtrace_tb``) for all
+  streams; only the ``[B, T]`` state/eps paths are fetched.
+
+Ragged mid-stream pushes (a stream pushing a partial chunk before its
+final one) leave holes the device concatenation cannot express; that
+rare shape falls back to host compaction (bit-parity kept either way,
+asserted in tests).
 
 Chunked output is bit-identical to the monolithic decode (asserted in
 tests).  Across devices the same frontier hand-off becomes a
@@ -141,21 +150,26 @@ class StreamingDecoder:
     def reset(self):
         s = self.bg.init_cost.shape[0]
         self._frontier = jnp.broadcast_to(self.bg.init_cost, (self.batch, s))
-        self._bp_chunks: List[np.ndarray] = []
-        self._eps_chunks: List[np.ndarray] = []
+        self._bp_chunks: List[jnp.ndarray] = []  # device-resident [B, C, S]
+        self._eps_chunks: List[jnp.ndarray] = []  # device-resident [B, C, R]
         self._nv_history: List[np.ndarray] = []
         self._n_frames = np.zeros((self.batch,), dtype=np.int64)
         self._first = True
 
     def _as_batch(self, a, extra_dims):
-        a = np.asarray(a)
+        if not isinstance(a, jnp.ndarray):
+            a = np.asarray(a)
         if a.ndim == extra_dims:  # unbatched convenience for batch == 1
             a = a[None]
         return a
 
-    def push(self, feats_chunk: np.ndarray, n_valid=None):
+    def push(self, feats_chunk, n_valid=None):
         """Feed ``[C, D]`` (batch=1 convenience) or ``[B, C, D]`` feature
-        frames; ``n_valid`` is a scalar or ``[B]`` for partial chunks."""
+        frames; ``n_valid`` is a scalar or ``[B]`` for partial chunks.
+
+        ``feats_chunk`` may be a device (jax) array — e.g. the output
+        of the on-chip MFCC frontend — in which case the push is
+        entirely device-side: no host copy in, nothing fetched out."""
         x = self._as_batch(feats_chunk, 2)
         c = x.shape[1]
         if n_valid is None:
@@ -167,8 +181,8 @@ class StreamingDecoder:
             self._frontier, jnp.asarray(x, jnp.float32), jnp.asarray(nv)
         )
         self._first = False
-        self._bp_chunks.append(np.asarray(bp8))  # [B, C, S]
-        self._eps_chunks.append(np.asarray(eps_u))  # [B, C, R]
+        self._bp_chunks.append(bp8)  # stays on device
+        self._eps_chunks.append(eps_u)
         self._nv_history.append(nv)
         self._n_frames += nv
 
@@ -193,31 +207,43 @@ class StreamingDecoder:
         ends = np.asarray(self.bg.end_states)
         bonus = np.asarray(self.bg.end_bonus)
 
-        t_max = int(self._n_frames.max()) if len(self._bp_chunks) else 0
         s = f.shape[1]
         r = int(self.bg.word_starts.shape[0])
         best = np.argmin(f[:, ends] + bonus[None], axis=1)
         costs = (f[:, ends] + bonus[None])[np.arange(self.batch), best]
         end_states = ends[best].astype(np.int32)
 
-        # compact per-stream valid rows (streams may push different
-        # n_valid per chunk), pad to the longest stream, stack to the
-        # state-major [T, S, B] layout the batched backtrace wants
-        bp = np.zeros((self.batch, t_max, s), np.int8)
-        epsp = np.zeros((self.batch, t_max, r),
-                        self._eps_chunks[0].dtype if self._eps_chunks else np.int8)
-        for b in range(self.batch):
-            rows = [c[b][: int(nv[b])]
-                    for c, nv in zip(self._bp_chunks, self._nv_history)]
-            erows = [c[b][: int(nv[b])]
-                     for c, nv in zip(self._eps_chunks, self._nv_history)]
-            t_total = int(self._n_frames[b])
-            if rows:
-                bp[b, :t_total] = np.concatenate(rows, axis=0)
-                epsp[b, :t_total] = np.concatenate(erows, axis=0)
+        # the common serving shape — every pre-final push full-width for
+        # every stream — concatenates on DEVICE: valid frames are
+        # contiguous and trailing garbage is masked by n_frames, so no
+        # plane ever crosses the tunnel (only the [B, T] paths do)
+        contiguous = all(
+            int(nv.min()) == c.shape[1]
+            for c, nv in zip(self._bp_chunks[:-1], self._nv_history[:-1]))
+        if contiguous and self._bp_chunks:
+            bp_tsb = jnp.concatenate(self._bp_chunks, axis=1).transpose(1, 2, 0)
+            eps_tsb = jnp.concatenate(self._eps_chunks, axis=1).transpose(1, 2, 0)
+        else:
+            # ragged mid-stream pushes: host compaction (rare shape)
+            t_max = int(self._n_frames.max()) if len(self._bp_chunks) else 0
+            bp = np.zeros((self.batch, t_max, s), np.int8)
+            epsp = np.zeros(
+                (self.batch, t_max, r),
+                np.asarray(self._eps_chunks[0]).dtype
+                if self._eps_chunks else np.int8)
+            for b in range(self.batch):
+                rows = [np.asarray(c[b])[: int(nv[b])]
+                        for c, nv in zip(self._bp_chunks, self._nv_history)]
+                erows = [np.asarray(c[b])[: int(nv[b])]
+                         for c, nv in zip(self._eps_chunks, self._nv_history)]
+                t_total = int(self._n_frames[b])
+                if rows:
+                    bp[b, :t_total] = np.concatenate(rows, axis=0)
+                    epsp[b, :t_total] = np.concatenate(erows, axis=0)
+            bp_tsb = jnp.asarray(bp.transpose(1, 2, 0))
+            eps_tsb = jnp.asarray(epsp.transpose(1, 2, 0))
         states_tb, eps_tb = banded_backtrace_tb(
-            jnp.asarray(bp.transpose(1, 2, 0)),
-            jnp.asarray(epsp.transpose(1, 2, 0)),
+            bp_tsb, eps_tsb,
             self.bg, jnp.asarray(end_states),
             jnp.asarray(self._n_frames.astype(np.int32)),
             eps_depth=self.graph.eps_depth,

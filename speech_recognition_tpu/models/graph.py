@@ -30,7 +30,7 @@ import numpy as np
 
 from speech_recognition_tpu.utils.numerics import POS_INF
 
-__all__ = ["WordGraph", "build_word_graph", "build_loop_graph", "transcript_graph", "pad_graphs"]
+__all__ = ["WordGraph", "build_word_graph", "build_loop_graph", "transcript_graph", "pad_graphs", "pad_graphs_banded"]
 
 
 @dataclasses.dataclass
@@ -395,5 +395,62 @@ def pad_graphs(graphs: List[WordGraph]):
         ),
         "slot": np.stack([pad_vec(g.slot, -1, smax, np.int32) for g in graphs]),
         "n_states": np.array([g.n_states for g in graphs], dtype=np.int32),
+    }
+    return batch, depth
+
+
+def pad_graphs_banded(graphs: List[WordGraph]):
+    """Banded twin of :func:`pad_graphs`: convert each graph to its
+    :class:`ops.viterbi_banded.BandedGraph` form and pad to a common
+    (S, R, L) so the batch vmaps — O(3S) arrays per utterance instead
+    of the dense [S, S] pair, which is what lets sum-product training
+    scale past toy graphs (pod-scale soft EM).
+
+    Padding rows of ``eps_block`` are POS_INF (can never win / carry
+    probability); padded ``word_starts``/``word_ends`` entries point at
+    state 0 with ``is_start`` false, so re-entry gathers are harmless.
+    Returns ``(dict of stacked arrays, eps_depth)`` with the same key
+    names as BandedGraph fields plus ``end_scores``/``bank_state``.
+    """
+    from speech_recognition_tpu.ops.viterbi_banded import banded_arrays
+
+    bgs = [banded_arrays(g) for g in graphs]
+    smax = max(bg.band.shape[1] for bg in bgs)
+    rmax = max(bg.word_starts.shape[0] for bg in bgs)
+    lmax = max(bg.word_ends.shape[0] for bg in bgs)
+    depth = max(g.eps_depth for g in graphs)
+
+    def pad_vec(v, fill, n, dtype=np.float32):
+        out = np.full((n,), fill, dtype=dtype)
+        out[: len(v)] = v
+        return out
+
+    band, init, blk, starts, ends, spos, istart, escore, bstate = (
+        [] for _ in range(9))
+    for g, bg in zip(graphs, bgs):
+        b = np.asarray(bg.band)
+        band.append(np.pad(b, ((0, 0), (0, smax - b.shape[1])),
+                           constant_values=POS_INF))
+        init.append(pad_vec(np.asarray(bg.init_cost), POS_INF, smax))
+        eb = np.asarray(bg.eps_block)
+        blk.append(np.pad(eb, ((0, rmax - eb.shape[0]),
+                               (0, lmax - eb.shape[1])),
+                          constant_values=POS_INF))
+        starts.append(pad_vec(np.asarray(bg.word_starts), 0, rmax, np.int32))
+        ends.append(pad_vec(np.asarray(bg.word_ends), 0, lmax, np.int32))
+        spos.append(pad_vec(np.asarray(bg.start_pos), 0, smax, np.int32))
+        istart.append(pad_vec(np.asarray(bg.is_start), False, smax, bool))
+        escore.append(_end_scores(g, smax))
+        bstate.append(pad_vec(np.asarray(bg.bank_state), 0, smax, np.int32))
+    batch = {
+        "band": np.stack(band),
+        "init_cost": np.stack(init),
+        "eps_block": np.stack(blk),
+        "word_starts": np.stack(starts),
+        "word_ends": np.stack(ends),
+        "start_pos": np.stack(spos),
+        "is_start": np.stack(istart),
+        "end_scores": np.stack(escore),
+        "bank_state": np.stack(bstate),
     }
     return batch, depth

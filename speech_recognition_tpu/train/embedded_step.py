@@ -247,8 +247,18 @@ def embedded_step_soft(
 
     ``stats.total_cost`` is ``-sum log Z`` (total NLL), comparable to the
     Viterbi alignment cost up to the usual sum-vs-max gap.
+
+    ``graph_batch`` may be either the dense dict from
+    :func:`models.graph.pad_graphs` or the banded dict from
+    :func:`models.graph.pad_graphs_banded` (detected by the ``band``
+    key) — the banded form runs the O(3S)/frame
+    :func:`ops.forward_backward.forward_backward_banded` pass, which is
+    the production path at pod scale.
     """
-    from speech_recognition_tpu.ops.forward_backward import forward_backward
+    from speech_recognition_tpu.ops.forward_backward import (
+        forward_backward,
+        forward_backward_banded,
+    )
     from speech_recognition_tpu.ops.gmm import gmm_neg_log_lik
 
     b, t, d = feats.shape
@@ -258,15 +268,9 @@ def embedded_step_soft(
 
     w, lw = gmm_emission_weights(*bank.flat_states())
     a = w.shape[-1]
+    banded_mode = "band" in graph_batch
 
-    def one(x, nf, tr, eps, init, ends_scores, bstate):
-        frame_mask = jnp.arange(t) < nf
-        nll_bank = gmm_neg_log_lik(x, w, lw, frame_mask)
-        nll = nll_bank[:, bstate]
-        res = forward_backward(
-            nll, tr, init, nf, eps_trans=eps, eps_depth=eps_depth,
-            end_scores=ends_scores, xi_mode="band",
-        )
+    def finish(res, x, bstate):
         # map graph-state gamma onto bank states: [T, Sg] @ [Sg, NS]
         onehot_bank = (bstate[:, None] == jnp.arange(ns)[None, :]).astype(x.dtype)
         gamma_bank = jnp.dot(res.gamma, onehot_bank, precision=MATMUL_PRECISION)
@@ -276,11 +280,44 @@ def embedded_step_soft(
         exit_counts = res.xi_sum[1] @ onehot_bank
         return gamma_bank, self_counts, exit_counts, -res.log_z
 
+    def one(x, nf, tr, eps, init, ends_scores, bstate):
+        frame_mask = jnp.arange(t) < nf
+        nll_bank = gmm_neg_log_lik(x, w, lw, frame_mask)
+        nll = nll_bank[:, bstate]
+        res = forward_backward(
+            nll, tr, init, nf, eps_trans=eps, eps_depth=eps_depth,
+            end_scores=ends_scores, xi_mode="band",
+        )
+        return finish(res, x, bstate)
+
+    def one_banded(x, nf, band, init, blk, starts, ends, spos, istart,
+                   ends_scores, bstate):
+        from speech_recognition_tpu.ops.viterbi_banded import BandedGraph
+
+        frame_mask = jnp.arange(t) < nf
+        nll_bank = gmm_neg_log_lik(x, w, lw, frame_mask)
+        nll = nll_bank[:, bstate]
+        bg = BandedGraph(
+            band=band, init_cost=init, word_starts=starts, word_ends=ends,
+            eps_block=blk, start_pos=spos, is_start=istart,
+            end_states=starts[:1], end_bonus=jnp.zeros((1,)),
+            bank_state=bstate)
+        res = forward_backward_banded(
+            nll, bg, nf, eps_depth=eps_depth, end_scores=ends_scores)
+        return finish(res, x, bstate)
+
     g = graph_batch
-    gamma_b, self_c, exit_c, nlls = jax.vmap(one)(
-        feats, n_frames, g["trans"], g["eps_trans"], g["init_cost"],
-        g["end_scores"], g["bank_state"],
-    )
+    if banded_mode:
+        gamma_b, self_c, exit_c, nlls = jax.vmap(one_banded)(
+            feats, n_frames, g["band"], g["init_cost"], g["eps_block"],
+            g["word_starts"], g["word_ends"], g["start_pos"], g["is_start"],
+            g["end_scores"], g["bank_state"],
+        )
+    else:
+        gamma_b, self_c, exit_c, nlls = jax.vmap(one)(
+            feats, n_frames, g["trans"], g["eps_trans"], g["init_cost"],
+            g["end_scores"], g["bank_state"],
+        )
     self_counts = jnp.sum(self_c, axis=0)
     exit_counts = jnp.sum(exit_c, axis=0)
     frame_counts = jnp.sum(gamma_b.reshape(b * t, ns), axis=0)  # soft occupancy

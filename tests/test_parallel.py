@@ -173,3 +173,38 @@ def test_frame_chunked_stats_match_single_chunk(embedded_fixture):
                                  gdev2, eps_depth=depth, frame_chunk=100)
     np.testing.assert_allclose(np.asarray(big_s.means), np.asarray(sm_s.means),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_soft_step_banded_matches_dense(embedded_fixture):
+    """embedded_step_soft with the banded graph batch
+    (pad_graphs_banded -> O(3S)/frame FB) == the dense [S, S] batch:
+    same bank update and same total NLL."""
+    from speech_recognition_tpu.models.graph import (
+        build_word_graph,
+        pad_graphs,
+        pad_graphs_banded,
+    )
+    from speech_recognition_tpu.train.embedded_step import embedded_step_soft
+
+    bank, feats, n_frames, _, _, _, labels = embedded_fixture
+    trans_np = [np.asarray(bank.trans_cost[i]) for i in range(bank.n_models)]
+    graphs = [build_word_graph(trans_np, [[l] for l in ls]) for ls in labels]
+    dense_b, depth = pad_graphs(graphs)
+    band_b, depth_b = pad_graphs_banded(graphs)
+    assert depth_b == depth
+    gd = {k: jnp.asarray(dense_b[k]) for k in
+          ("trans", "eps_trans", "init_cost", "end_scores", "bank_state")}
+    gb = {k: jnp.asarray(v) for k, v in band_b.items()}
+
+    b1, s1 = embedded_step_soft(bank, jnp.asarray(feats),
+                                jnp.asarray(n_frames), gd, eps_depth=depth)
+    b2, s2 = embedded_step_soft(bank, jnp.asarray(feats),
+                                jnp.asarray(n_frames), gb, eps_depth=depth)
+    np.testing.assert_allclose(float(s1.total_cost), float(s2.total_cost),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(b1.means), np.asarray(b2.means),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(b1.log_vars),
+                               np.asarray(b2.log_vars), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(b1.trans_cost),
+                               np.asarray(b2.trans_cost), rtol=1e-4, atol=1e-4)
