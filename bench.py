@@ -763,25 +763,66 @@ def bench_spellcheck():
     tale = re.search(r"typos = '''(.*?)'''", src, re.S).group(1).strip()
     tale = " ".join(tale.split())
 
-    codes = jnp.asarray([ord("*")] + [ord(c) for c in tale], jnp.int32)
+    # a 512-char slice keeps one dispatch ~2 s — at that scale the
+    # tunnel's 10-50 ms round trip is noise, so plain repeated wall
+    # timing is honest here (the fori-slope harness would chain
+    # multi-minute iterations and trip the tunnel's watchdog)
+    n_chars = min(len(tale), 512)
+    codes = jnp.asarray([ord("*")] + [ord(c) for c in tale[: n_chars]],
+                        jnp.int32)
     val = jnp.asarray(tree.val.astype(np.int32))
     parent = jnp.asarray(tree.parent)
     is_root_child = jnp.asarray(tree.parent == 0)
     is_word_end = jnp.asarray(tree.prop == 2)
     md = tree.max_depth
 
-    def body(dep):
-        c2 = codes.at[0].set(jnp.where(jnp.isnan(dep), 43, 42))
+    def run():
         costs, _, _ = _text_viterbi_device(
-            c2, val, parent, is_root_child, is_word_end, max_depth=md)
-        return jnp.sum(jnp.where(costs[-1] < 1e29, costs[-1], 0.0))
+            codes, val, parent, is_root_child, is_word_end, max_depth=md)
+        return float(jnp.sum(jnp.where(costs[-1] < 1e29, costs[-1], 0.0)))
 
-    dt = _timeit_device(body)
-    n_chars = len(tale)
-    log(f"spellcheck tale x dict1: {n_chars} chars over {tree.n_nodes} "
-        f"trie nodes in {dt*1e3:.1f} ms device-time ({LAST_REGIME}) -> "
-        f"{n_chars/dt:.0f} chars/s")
-    return n_chars / dt
+    run()  # compile + warm
+    t0 = time.perf_counter()
+    reps = 2
+    for _ in range(reps):
+        run()
+    dt = (time.perf_counter() - t0) / reps
+    global LAST_REGIME
+    LAST_REGIME = "single-dispatch"
+    log(f"spellcheck (per-string reference-DP kernel): {n_chars} chars "
+        f"over {tree.n_nodes} trie nodes in {dt*1e3:.0f} ms -> "
+        f"{n_chars/dt:.0f} chars/s (gather-bound)")
+
+    # production kernel: depth-level sweep, batch on lanes ([N, B])
+    from speech_recognition_tpu.langmodel.spellcheck import (
+        _LevelPlan, _text_viterbi_levels)
+
+    plan = _LevelPlan(tree)
+    b = 128
+    c = 257
+    chunks = [(tale + tale)[7 * i : 7 * i + c - 1] for i in range(b)]
+    codes_b = np.full((c, b), ord("*"), np.int32)
+    for i, txt in enumerate(chunks):
+        codes_b[1 : 1 + len(txt), i] = np.frombuffer(
+            txt.encode("latin-1"), np.uint8)
+    codes_b = jnp.asarray(codes_b)
+    dev_args = plan.device_args()
+
+    def run_b():
+        ends_min = _text_viterbi_levels(codes_b, *dev_args, off=plan.off,
+                                        need_bp=False)
+        return float(jnp.sum(jnp.where(ends_min[-1] < 1e29,
+                                       ends_min[-1], 0.0)))
+
+    run_b()
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        run_b()
+    dt_b = (time.perf_counter() - t0) / reps
+    total = b * (c - 1)
+    log(f"spellcheck (level-sweep kernel, batch {b}): {total} chars in "
+        f"{dt_b*1e3:.0f} ms -> {total/dt_b:.0f} chars/s")
+    return total / dt_b
 
 
 def main():

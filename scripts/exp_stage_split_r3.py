@@ -53,13 +53,36 @@ def main():
             bank_input=True, return_padded_bp=True, input_ubt=True,
             emit_eps_prev=True))
     ends = bg.end_states[jnp.argmin(final[bg.end_states, :], axis=0)]
-    def body_c(dep):
-        nf2 = jnp.where(jnp.isnan(dep), nf + 1, nf)
-        states, flags = banded_backtrace_tb_pallas(
-            bp8, eps_u, bg, ends, nf2, topo, eps_depth=graph.eps_depth,
-            eps_prev=eps_prev)
-        return jnp.sum(states[0].astype(jnp.float32))
-    log(f"C value backtrace: {_timeit_device(body_c)*1e3:.2f} ms")
+
+    # the bp planes must ride as ARGUMENTS, not closure constants — a
+    # captured [T, S8, B] plane is embedded in the HLO and the remote
+    # AOT service rejects the ~200 MB upload (HTTP 413)
+    import functools, time
+
+    @functools.partial(jax.jit, static_argnames=())
+    def run_c(n, bp8_, eps_u_, eps_prev_, ends_, nf_):
+        def step(_, acc):
+            nf2 = nf_ + (acc * 1e-30).astype(jnp.int32)
+            states, flags = banded_backtrace_tb_pallas(
+                bp8_, eps_u_, bg, ends_, nf2, topo,
+                eps_depth=graph.eps_depth, eps_prev=eps_prev_)
+            return acc + jnp.sum(states[0].astype(jnp.float32)) * 1e-30
+        return jax.lax.fori_loop(0, n, step, jnp.float32(0.0))
+
+    args_c = (bp8, eps_u, eps_prev, ends, nf)
+    np.asarray(run_c(jnp.int32(1), *args_c))
+    def t(n, reps=3):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            np.asarray(run_c(jnp.int32(n), *args_c))
+        return (time.perf_counter() - t0) / reps
+    n_lo, n_hi = 2, 12
+    while True:
+        tlo, thi = t(n_lo), t(n_hi)
+        if thi - tlo >= 0.05 or n_hi >= 2048:
+            break
+        n_hi *= 4
+    log(f"C value backtrace: {(thi - tlo) / (n_hi - n_lo) * 1e3:.2f} ms")
 
 if __name__ == "__main__":
     main()

