@@ -577,7 +577,10 @@ def bench_lextree_bigram(batch=128, frames=500, n_words=1000,
 
     from speech_recognition_tpu.langmodel.bigram import fit_bigram
     from speech_recognition_tpu.models.lexgraph import build_lex_graph
-    from speech_recognition_tpu.ops.lattice import lattice_rescore
+    from speech_recognition_tpu.ops.lattice import (
+        lattice_rescore,
+        rescore_backoff,
+    )
     from speech_recognition_tpu.ops.viterbi_lex_pallas import (
         lex_pallas_plan,
         viterbi_lex_pallas_lattice,
@@ -608,6 +611,7 @@ def bench_lextree_bigram(batch=128, frames=500, n_words=1000,
     start_c = jnp.asarray(lm.start_cost)
     end_c = jnp.asarray(lm.end_cost)
     leaf_word = jnp.asarray(lexg.leaf_word)
+    bo = rescore_backoff(lm, lexg.leaf_word)  # add-k LM: always present
 
     e = jnp.asarray(rng.uniform(0, 5, (frames, len(units) * su, batch)),
                     jnp.float32)
@@ -627,7 +631,7 @@ def bench_lextree_bigram(batch=128, frames=500, n_words=1000,
             _, ends_cost, ends_tau = viterbi_lattice_tb(
                 nll_tb, lexg.banded, nf2)
         res = lattice_rescore(ends_cost, ends_tau, leaf_word, big, start_c,
-                              end_c, nf2)
+                              end_c, nf2, backoff=bo)
         return jnp.sum(res.cost) + jnp.sum(res.best_leaf.astype(jnp.float32))
 
     dt = _timeit_device(body)

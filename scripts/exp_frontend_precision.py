@@ -80,6 +80,36 @@ def main():
         log(f"precision={prec:8s} mfcc39 batch {batch} x 5 s: "
             f"{dt*1e3:.2f} ms -> {audio_s/dt:.0f} audio-s/s")
 
+    # --- per-stage combos: which GEMM actually burns the error budget?
+    # (hypothesis: the mel sum over a ~10-decade power spectrum + log
+    # floor amplification, not the DFT itself)
+    combos = [
+        ("high", "highest", "highest"),
+        ("highest", "high", "high"),
+        ("high", "highest", "high"),
+        ("default", "highest", "highest"),
+    ]
+    for dft_p, mel_p, dct_p in combos:
+        cfg = dataclasses.replace(base, dft_precision=dft_p,
+                                  mel_precision=mel_p, dct_precision=dct_p)
+        errs = []
+        for s in sigs:
+            buf = np.zeros(L, np.float32)
+            buf[: len(s)] = s
+            feats, nf = mfcc39(jnp.asarray(buf), jnp.int32(len(s)), cfg)
+            ref = load_wav_as_mfcc_oracle(s)
+            errs.append(float(np.max(np.abs(
+                np.asarray(feats)[: ref.shape[0]] - ref))))
+
+        def body(dep, cfg=cfg):
+            l2 = jnp.where(jnp.isnan(dep), lens - 1, lens)
+            return jnp.sum(mfcc39_batch(sig, l2, cfg)[0])
+
+        dt = _timeit_device(body)
+        log(f"dft={dft_p:8s} mel={mel_p:8s} dct={dct_p:8s}: "
+            f"err {max(errs):.3e}, {dt*1e3:.2f} ms "
+            f"-> {audio_s/dt:.0f} audio-s/s")
+
 
 if __name__ == "__main__":
     main()

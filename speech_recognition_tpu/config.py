@@ -76,6 +76,14 @@ class FrontendConfig:
     # fused Pallas kernel (ops/pallas_kernels.pallas_mfcc), not from
     # precision dialing.  See scripts/exp_frontend_precision.py.
     spectral_precision: str = "highest"
+    # per-stage overrides ('' = inherit spectral_precision): the error
+    # amplification is stage-dependent — the power spectrum spans ~10
+    # decades into the mel sum and log amplifies floor-level bins — so
+    # the DFT can ride fewer passes than the mel GEMM (on-chip combo
+    # sweep in scripts/exp_frontend_precision.py)
+    dft_precision: str = ""
+    mel_precision: str = ""
+    dct_precision: str = ""
 
     @property
     def effective_preemph(self) -> float:

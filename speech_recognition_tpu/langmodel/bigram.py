@@ -88,3 +88,62 @@ def sequence_cost(lm: BigramLM, seq: List[int]) -> float:
     for u, v in zip(seq[:-1], seq[1:]):
         c += float(lm.cost[u, v])
     return c + float(lm.end_cost[seq[-1]])
+
+
+class BigramBackoff(NamedTuple):
+    """Backoff decomposition of a bigram cost matrix (host arrays).
+
+    Add-k (and any backoff-style) smoothing makes every UNSEEN pair's
+    cost row-constant: ``cost[u, v] = base[u]`` for all v with zero
+    count, and ``cost[u, v] <= base[u]`` for seen pairs.  Exact
+    consequence for the rescoring recursion
+    ``H[w] = min_u (D[u] + cost[u, w])``:
+
+        H[w] = min( min_u (D[u] + base[u]),
+                    min_{u: (u,w) seen} (D[u] + cost[u, w]) )
+
+    — one global backoff min shared by every w, plus a per-word sparse
+    min over at most K seen predecessors: O(V + nnz) per frame instead
+    of O(V^2).  ``pred_idx``/``pred_cost`` are [V, K] padded with
+    index 0 / POS_INF."""
+
+    base: np.ndarray  # [V] row-constant unseen cost
+    pred_idx: np.ndarray  # [V, K] seen predecessor ids (dest-major)
+    pred_cost: np.ndarray  # [V, K] full pair costs (1e30 pad)
+    k: int
+
+
+def bigram_backoff(cost: np.ndarray, tol: float = 1e-5, k_cap: int = None):
+    """Extract the backoff structure of ``cost`` (``[V, V]``, any
+    order).  Taking each row's max as its backoff level makes the
+    decomposition EXACT for any matrix (sub-level pairs are the sparse
+    corrections); it is only *useful* when those corrections are
+    sparse, so None is returned when any word has more than ``k_cap``
+    (default V/8, min 16) below-level predecessors — the dense
+    recombination is the better kernel there."""
+    cost = np.asarray(cost)
+    v = cost.shape[0]
+    if k_cap is None:
+        k_cap = max(16, v // 8)
+    # with add-k / backoff smoothing the row max IS the unseen level
+    # (seen pairs are strictly cheaper)
+    base = cost.max(axis=1)
+    corr = cost - base[:, None]
+    seen = corr < -tol
+    nnz_per_w = seen.sum(axis=0)
+    k = int(nnz_per_w.max()) if v else 0
+    if k > k_cap:
+        return None
+    if k == 0:
+        return BigramBackoff(base=base.astype(np.float32),
+                             pred_idx=np.zeros((v, 1), np.int32),
+                             pred_cost=np.full((v, 1), 1e30, np.float32),
+                             k=1)
+    pred_idx = np.zeros((v, k), np.int32)
+    pred_cost = np.full((v, k), 1e30, np.float32)
+    for w in range(v):
+        us = np.flatnonzero(seen[:, w])
+        pred_idx[w, : len(us)] = us
+        pred_cost[w, : len(us)] = cost[us, w]
+    return BigramBackoff(base=base.astype(np.float32), pred_idx=pred_idx,
+                         pred_cost=pred_cost, k=k)

@@ -39,18 +39,29 @@ import numpy as np
 from speech_recognition_tpu.config import FrontendConfig
 
 
-def _spectral_precision(cfg: FrontendConfig):
-    """Matmul precision for the DFT/mel/DCT chain.  The bf16 single-pass
-    default corrupts MFCCs by ~4.7 absolute (round-1 on-chip finding);
-    3-pass 'high' is measured within the 1.3e-3 vs-float64 budget at
-    half the MXU passes of 'highest' (tests/test_frontend.py guards the
-    CPU equivalence; scripts/exp_frontend_precision.py the on-chip one)."""
-    name = getattr(cfg, "spectral_precision", "highest")
-    return {
-        "highest": jax.lax.Precision.HIGHEST,
-        "high": jax.lax.Precision.HIGH,
-        "default": jax.lax.Precision.DEFAULT,
-    }[name]
+_PREC = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+    "default": jax.lax.Precision.DEFAULT,
+}
+
+
+def _spectral_precision(cfg: FrontendConfig, stage: str = ""):
+    """Matmul precision for the DFT/mel/DCT chain, per stage.
+
+    The bf16 single-pass default corrupts MFCCs by ~4.7 absolute
+    (round-1 on-chip finding).  Round-3 on-chip sweep
+    (scripts/exp_frontend_precision.py): 'high' (3-pass) everywhere is
+    2.62 ms vs 'highest' 3.45 ms at batch 256 x 5 s but 1.0e-2 vs the
+    float64 oracle — over the 1.3e-3 budget.  The error source is
+    stage-dependent (the power spectrum spans ~10 decades into the mel
+    sum, and log amplifies floor-level bins), so each GEMM gets its own
+    dial: ``dft_precision`` / ``mel_precision`` / ``dct_precision``
+    override ``spectral_precision`` when set."""
+    name = getattr(cfg, f"{stage}_precision", "") if stage else ""
+    if not name:
+        name = getattr(cfg, "spectral_precision", "highest")
+    return _PREC[name]
 
 __all__ = [
     "padded_length",
@@ -276,22 +287,24 @@ def mfcc(signal, length, cfg: FrontendConfig = FrontendConfig(), n_frames_cap: i
     frames = _frame_signal(emph, F, fl, fs)
 
     # Windowed power spectrum.
-    prec = _spectral_precision(cfg)
     if cfg.dft_as_gemm:
-        re = jnp.dot(frames, consts["dft_cos"], precision=prec)
-        im = jnp.dot(frames, consts["dft_sin"], precision=prec)
+        prec_dft = _spectral_precision(cfg, "dft")
+        re = jnp.dot(frames, consts["dft_cos"], precision=prec_dft)
+        im = jnp.dot(frames, consts["dft_sin"], precision=prec_dft)
         power = (re * re + im * im) * (1.0 / cfg.n_fft)
     else:
         spec = jnp.fft.rfft(frames * consts["window"][None, :], cfg.n_fft)
         power = (jnp.abs(spec) ** 2) * (1.0 / cfg.n_fft)
 
     # Mel energies -> log -> DCT -> lifter.
-    mel = jnp.dot(power, consts["mel_w"], precision=prec)
+    mel = jnp.dot(power, consts["mel_w"],
+                  precision=_spectral_precision(cfg, "mel"))
     # reference floors exact zeros to float64 eps (cast so f32 stays f32)
     eps = jnp.asarray(np.finfo(np.float64).eps, dtype=dt)
     mel = jnp.where(mel <= 0.0, eps, mel)
     log_mel = jnp.log(mel) if cfg.variant == "psf" else jnp.log10(mel)
-    ceps = jnp.dot(log_mel, consts["dct_m"], precision=prec)
+    ceps = jnp.dot(log_mel, consts["dct_m"],
+                   precision=_spectral_precision(cfg, "dct"))
     ceps = ceps * consts["lifter"][None, :]
     ceps = jnp.where(frame_mask[:, None], ceps, 0.0)
     return ceps, nf

@@ -54,7 +54,7 @@ from speech_recognition_tpu.ops.viterbi_banded import (
 from speech_recognition_tpu.utils.numerics import POS_INF
 
 __all__ = ["viterbi_lattice_tb", "lattice_rescore", "lattice_words",
-           "decode_lextree_bigram"]
+           "decode_lextree_bigram", "rescore_backoff"]
 
 
 @functools.partial(jax.jit, static_argnames=("eps_ranges", "unroll"))
@@ -148,7 +148,7 @@ class RescoreResult(NamedTuple):
 @functools.partial(jax.jit, static_argnames=("block", "max_dur"))
 def lattice_rescore(ends_cost, ends_tau, leaf_word, bigram_cost, start_cost,
                     end_cost, n_frames, block: int = 128,
-                    max_dur: int = 128):
+                    max_dur: int = 128, backoff=None):
     """Exact bigram Viterbi over the lattice planes (one lax.scan).
 
     ``ends_cost/ends_tau [T, L, B]`` from :func:`viterbi_lattice_tb`;
@@ -159,10 +159,20 @@ def lattice_rescore(ends_cost, ends_tau, leaf_word, bigram_cost, start_cost,
     re-charges the same wic (it is an acoustic-side penalty, kept
     identical across passes), so only ``min_l' S0`` is subtracted.
     Returns costs, final leaves, and the predecessor-word planes for
-    :func:`lattice_words`."""
+    :func:`lattice_words`.
+
+    ``backoff``: optional ``(base_l [L], pred_idx [L, K], pred_cost
+    [L, K])`` device arrays in LEAF-SLOT order (from
+    :func:`langmodel.bigram.bigram_backoff` applied to the slot-
+    permuted cost matrix).  When given, the per-frame O(L^2) min-plus
+    recombination collapses to one global backoff min + a [L, K]
+    sparse min (exact for backoff-structured LMs; add-k smoothing
+    always is).  Between exact-cost ties the recorded predecessor can
+    differ from the dense path."""
     t_len, l, b = ends_cost.shape
     # reorder word-indexed LM arrays into leaf-slot order
-    big_ll = bigram_cost[leaf_word][:, leaf_word]  # [L, L] (w' slot, w slot)
+    if backoff is None:
+        big_ll = bigram_cost[leaf_word][:, leaf_word]  # [L, L] (w', w)
     start_l = start_cost[leaf_word]
     end_l = end_cost[leaf_word]
 
@@ -198,15 +208,34 @@ def lattice_rescore(ends_cost, ends_tau, leaf_word, bigram_cost, start_cost,
         in_window = (t - tau_all[t]) <= dmax
         hg = jnp.where(in_window, hg, POS_INF)
         d = base_all[t] + jnp.where(ends_tau[t] <= 0, 0.0, hg)  # [L, B]
-        h_new = jnp.full((l, b), POS_INF)
-        p_new = jnp.zeros((l, b), jnp.int32)
-        for j0 in range(0, l, block):  # bound the [L, lb, B] transient
-            blk = big_ll[:, j0 : j0 + block]
-            sc = d[:, None, :] + blk[:, :, None]
-            h_new = h_new.at[j0 : j0 + block].set(
-                jnp.minimum(jnp.min(sc, axis=0), POS_INF))
-            p_new = p_new.at[j0 : j0 + block].set(
-                jnp.argmin(sc, axis=0).astype(jnp.int32))
+        if backoff is not None:
+            base_l, pidx, pcost = backoff
+            kk = pidx.shape[1]
+            db = d + base_l[:, None]
+            m_all = jnp.min(db, axis=0)  # [B] global backoff min
+            arg_all = jnp.argmin(db, axis=0).astype(jnp.int32)
+            sc = (d[pidx.reshape(-1)].reshape(l, kk, b)
+                  + pcost[:, :, None])  # [L, K, B] seen-pair candidates
+            h_sp = jnp.min(sc, axis=1)
+            a_sp = jnp.argmin(sc, axis=1)  # [L, B] in 0..K-1
+            p_sp = jnp.take_along_axis(
+                jnp.broadcast_to(pidx[:, :, None], (l, kk, b)),
+                a_sp[:, None, :], axis=1)[:, 0, :]
+            take_sp = h_sp < m_all[None, :]
+            h_new = jnp.minimum(jnp.where(take_sp, h_sp, m_all[None, :]),
+                                POS_INF)
+            p_new = jnp.where(take_sp, p_sp, arg_all[None, :]).astype(
+                jnp.int32)
+        else:
+            h_new = jnp.full((l, b), POS_INF)
+            p_new = jnp.zeros((l, b), jnp.int32)
+            for j0 in range(0, l, block):  # bound the [L, lb, B] transient
+                blk = big_ll[:, j0 : j0 + block]
+                sc = d[:, None, :] + blk[:, :, None]
+                h_new = h_new.at[j0 : j0 + block].set(
+                    jnp.minimum(jnp.min(sc, axis=0), POS_INF))
+                p_new = p_new.at[j0 : j0 + block].set(
+                    jnp.argmin(sc, axis=0).astype(jnp.int32))
         h_ring = jax.lax.dynamic_update_slice(
             h_ring, h_new[:, :, None], (0, 0, t % dmax))
         return h_ring, (d, p_new)
@@ -298,6 +327,21 @@ def decode_lextree_bigram(bank, lexg, lm, feats, n_frames,
         jnp.asarray(np.asarray(lm.cost, np.float32)),
         jnp.asarray(np.asarray(lm.start_cost, np.float32)),
         jnp.asarray(np.asarray(lm.end_cost, np.float32)),
-        n_frames)
+        n_frames, backoff=rescore_backoff(lm, lexg.leaf_word))
     seqs = lattice_words(res, lexg.leaf_word, n_frames)
     return seqs, np.asarray(res.cost)
+
+
+def rescore_backoff(lm, leaf_word):
+    """Leaf-slot-space backoff arrays for :func:`lattice_rescore`, or
+    None when the LM has no row-constant backoff level (the rescorer
+    then runs the dense O(L^2)/frame recombination)."""
+    from speech_recognition_tpu.langmodel.bigram import bigram_backoff
+
+    leaf_word = np.asarray(leaf_word)
+    big_ll = np.asarray(lm.cost)[leaf_word][:, leaf_word]
+    bo = bigram_backoff(big_ll)
+    if bo is None:
+        return None
+    return (jnp.asarray(bo.base), jnp.asarray(bo.pred_idx),
+            jnp.asarray(bo.pred_cost))

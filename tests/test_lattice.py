@@ -235,3 +235,62 @@ def test_pallas_lattice_matches_xla(rng):
                                    backend="pallas-interpret")
     assert sx == sp
     np.testing.assert_allclose(cx, cp, rtol=1e-6)
+
+
+def test_backoff_rescore_matches_dense(rng):
+    """The O(V + nnz)/frame backoff recombination == the dense
+    O(V^2)/frame path: same rescored costs, same word sequences (away
+    from exact-cost ties), on an add-k LM over a deep tree."""
+    from speech_recognition_tpu.ops.lattice import rescore_backoff
+
+    lexg, units, unit_ids, unit_trans = make_case(rng, wic=0.3)
+    v = len(WORDS)
+    lm = fit_bigram([[int(x) for x in rng.integers(0, v, 6)]
+                     for _ in range(15)], v)
+    T, B = 25, 6
+    e = rng.uniform(0, 5, (T, len(units) * 3, B)).astype(np.float32)
+    nf = np.array([T, 13, T, 9, 17, 5], np.int32)
+
+    g = lexg.banded
+    nll_tb = jnp.asarray(e)[:, np.asarray(g.bank_state), :]
+    _, ends_cost, ends_tau = viterbi_lattice_tb(nll_tb, g, jnp.asarray(nf))
+    args = (ends_cost, ends_tau, jnp.asarray(lexg.leaf_word),
+            jnp.asarray(lm.cost), jnp.asarray(lm.start_cost),
+            jnp.asarray(lm.end_cost), jnp.asarray(nf))
+    dense = lattice_rescore(*args)
+    bo = rescore_backoff(lm, lexg.leaf_word)
+    assert bo is not None
+    sparse = lattice_rescore(*args, backoff=bo)
+    np.testing.assert_allclose(np.asarray(sparse.cost),
+                               np.asarray(dense.cost), rtol=1e-6)
+    w_d = lattice_words(dense, lexg.leaf_word, nf)
+    w_s = lattice_words(sparse, lexg.leaf_word, nf)
+    assert w_d == w_s
+
+
+def test_backoff_detection_rejects_unstructured():
+    """A generic (non-backoff) cost matrix yields None -> dense path."""
+    from speech_recognition_tpu.langmodel.bigram import bigram_backoff
+
+    rng = np.random.default_rng(3)
+    cost = rng.uniform(0, 5, (200, 200)).astype(np.float32)
+    assert bigram_backoff(cost) is None
+
+
+def test_backoff_identity_numpy(rng):
+    """H[w] = min(global backoff min, sparse seen-pair min) — the exact
+    decomposition the rescorer relies on, brute-checked."""
+    from speech_recognition_tpu.langmodel.bigram import bigram_backoff
+
+    v = 40
+    lm = fit_bigram([[int(x) for x in rng.integers(0, v, 9)]
+                     for _ in range(25)], v)
+    bo = bigram_backoff(lm.cost)
+    for _ in range(5):
+        d = rng.uniform(0, 8, v)
+        h_dense = np.min(d[:, None] + lm.cost, axis=0)
+        m_all = np.min(d + bo.base)
+        sp = np.where(bo.pred_cost < 1e29,
+                      d[bo.pred_idx] + bo.pred_cost, 1e30).min(axis=1)
+        np.testing.assert_allclose(np.minimum(m_all, sp), h_dense,
+                                   rtol=1e-6)
