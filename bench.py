@@ -491,10 +491,18 @@ def bench_lextree(batch=64, frames=500, n_words=1000, frame_step_s=0.01,
         from speech_recognition_tpu.ops.viterbi_lex_pallas import (
             lex_backtrace_wide,
             lex_pallas_plan,
+            lex_pallas_wide_batch_chunk,
             viterbi_lex_pallas_wide,
         )
 
         plan = lex_pallas_plan(lexg, layout="wide")
+        bc = lex_pallas_wide_batch_chunk(plan, batch)
+        if bc and bc < batch:
+            log(f"dict1 wide kernel: clamping batch {batch} -> {bc} "
+                f"(VMEM envelope)")
+            batch = bc
+            e = e[:batch]
+            nf = nf[:batch]
         log(f"lextree pallas WIDE plan: a_pad={plan.topo.a_pad} "
             f"W={plan.topo.sel_w} blocks={len(plan.topo.sel_blocks)}")
 

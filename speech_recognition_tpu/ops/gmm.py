@@ -79,10 +79,14 @@ def gmm_neg_log_lik_ubt(feats, w, log_weights, n_frames):
     """
     b, t, d = feats.shape
     u, m, a = w.shape
-    ft = jnp.transpose(feats, (1, 0, 2))  # [T, B, D]
+    # build the GEMM rhs DIRECTLY in [A, T*B]: one [B,T,D]->[D,T,B]
+    # transpose (40 MB at the production shape) + a leading-axis concat
+    # whose reshape is a view — the earlier [T*B, A].T form made XLA
+    # physically transpose the 83 MB augmented operand every call
+    ft = jnp.transpose(feats, (2, 1, 0))  # [D, T, B]
     xa_t = jnp.concatenate(
-        [ft * ft, ft, jnp.ones((t, b, 1), feats.dtype)], axis=-1
-    ).reshape(t * b, a).T  # [A, T*B]
+        [ft * ft, ft, jnp.ones((1, t, b), feats.dtype)], axis=0
+    ).reshape(a, t * b)  # [A, T*B] (view)
     pm = jnp.dot(w.reshape(u * m, a), xa_t,
                  precision=MATMUL_PRECISION).reshape(u, m, t, b)
     z = log_weights[:, :, None, None] - pm

@@ -177,37 +177,36 @@ def lattice_rescore(ends_cost, ends_tau, leaf_word, bigram_cost, start_cost,
     end_l = end_cost[leaf_word]
 
     q = jnp.min(ends_cost, axis=1)  # [T, B]
-    # tau-dependent terms with NO sequential dependence are gathered
-    # ONCE outside the scan (a per-step broadcast of q cost 260 MB of
-    # HBM traffic per frame and dominated the whole rescore):
-    # base[t, l, b] = S0 - Q[tau] (or S0 + start for tau == 0)
-    tau_all = jnp.clip(ends_tau, 0, t_len - 1)  # [T, L, B]
-    qg = jnp.take_along_axis(
-        jnp.transpose(q)[:, None, :],  # [B, 1, T]
-        jnp.transpose(tau_all, (2, 1, 0)), axis=2)  # [B, L, T]
-    qg = jnp.transpose(qg, (2, 1, 0))  # [T, L, B]
-    base_all = jnp.where(ends_tau <= 0, ends_cost + start_l[None, :, None],
-                         ends_cost - qg)
 
     # Per (t, w) the scan records H[t, w]'s argmin predecessor slot;
     # the word backtrace reads it back at each word's entry time.
-    # H lives in a RING over the last max_dur frames ([L, B, Dmax]):
-    # a dynamic take_along_axis over the full [L, B, T] history
-    # serialized on TPU (~4 ms/frame); the ring gather is an
-    # iota-compare + masked reduce over Dmax slots.  Lattice arcs
-    # longer than max_dur frames are dropped (the classical per-word
-    # duration cap; raise ``max_dur`` for slow speech).
+    # BOTH tau-indexed quantities ride RINGS over the last max_dur
+    # frames: H in [L, B, Dmax], the per-frame entry charge Q in
+    # [B, Dmax] (a take_along_axis of q over the full [T, L, B] tau
+    # plane outside the scan gathered 64M elements — dynamic gathers
+    # run ~150M elem/s on this TPU and that prologue alone cost ~0.4 s
+    # of the round-3 bigram bench's 0.68 s).  The ring gathers are one
+    # shared iota-compare mask + masked reduces over Dmax slots.
+    # Lattice arcs longer than max_dur frames are dropped (the
+    # classical per-word duration cap; raise ``max_dur`` for slow
+    # speech) — the H window already enforced this, the Q ring adds no
+    # new truncation.
     dmax = min(max_dur, t_len)
     iota_ring = jnp.arange(dmax)[None, None, :]  # [1, 1, Dmax]
 
-    def step(h_ring, t):
-        tau = tau_all[t]  # [L, B]
-        slot = (tau % dmax)[:, :, None]
+    def step(carry, inputs):
+        h_ring, q_ring = carry
+        t, s0, tau, q_t = inputs  # [L, B], [L, B] int32, [B]
+        tau_c = jnp.clip(tau, 0, t_len - 1)
+        slot = (tau_c % dmax)[:, :, None]
         sel = (iota_ring == slot).astype(h_ring.dtype)
         hg = jnp.sum(h_ring * sel, axis=2)  # [L, B]
-        in_window = (t - tau_all[t]) <= dmax
+        qg = jnp.sum(q_ring[None, :, :] * sel, axis=2)  # [L, B]
+        in_window = (t - tau_c) <= dmax
         hg = jnp.where(in_window, hg, POS_INF)
-        d = base_all[t] + jnp.where(ends_tau[t] <= 0, 0.0, hg)  # [L, B]
+        is_start = tau <= 0
+        base = jnp.where(is_start, s0 + start_l[:, None], s0 - qg)
+        d = base + jnp.where(is_start, 0.0, hg)  # [L, B]
         if backoff is not None:
             base_l, pidx, pcost = backoff
             kk = pidx.shape[1]
@@ -227,7 +226,7 @@ def lattice_rescore(ends_cost, ends_tau, leaf_word, bigram_cost, start_cost,
             p_new = jnp.where(take_sp, p_sp, arg_all[None, :]).astype(
                 jnp.int32)
         else:
-            h_new = jnp.full((l, b), POS_INF)
+            h_new = jnp.full((l, b), POS_INF, s0.dtype)
             p_new = jnp.zeros((l, b), jnp.int32)
             for j0 in range(0, l, block):  # bound the [L, lb, B] transient
                 blk = big_ll[:, j0 : j0 + block]
@@ -238,10 +237,14 @@ def lattice_rescore(ends_cost, ends_tau, leaf_word, bigram_cost, start_cost,
                     jnp.argmin(sc, axis=0).astype(jnp.int32))
         h_ring = jax.lax.dynamic_update_slice(
             h_ring, h_new[:, :, None], (0, 0, t % dmax))
-        return h_ring, (d, p_new)
+        q_ring = jax.lax.dynamic_update_slice(
+            q_ring, q_t[:, None], (0, t % dmax))
+        return (h_ring, q_ring), (d, p_new)
 
-    h0 = jnp.full((l, b, dmax), POS_INF)
-    _, (d_all, p_all) = jax.lax.scan(step, h0, jnp.arange(t_len))
+    h0 = jnp.full((l, b, dmax), POS_INF, ends_cost.dtype)
+    q0 = jnp.full((b, dmax), POS_INF, ends_cost.dtype)
+    _, (d_all, p_all) = jax.lax.scan(
+        step, (h0, q0), (jnp.arange(t_len), ends_cost, ends_tau, q))
 
     # best final leaf at each stream's last frame
     d_at_end = jnp.take_along_axis(

@@ -457,7 +457,10 @@ def lex_pallas_wide_vmem_bytes(plan: "LexPlan", batch: int,
                    + plan.eps_exit.shape[0] * topo.a_pad * 4
                    + 4 * 8 * s_w)
     plane = s_w * batch * 4
-    per_b = int(7.5 * plane) + 2 * frames_per_step * s_w * batch
+    # 9.5 live planes: calibrated against a measured Mosaic stack OOM
+    # (127.67 MB at dict1 scale, B=32 — the round-3 7.5-plane estimate
+    # under-counted the kernel's transients by ~25%)
+    per_b = int(9.5 * plane) + 2 * frames_per_step * s_w * batch
     return const_bytes + per_b
 
 
