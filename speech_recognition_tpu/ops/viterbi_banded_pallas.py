@@ -307,7 +307,7 @@ def _kernel(nll_ref, expand_ref, band_ref, eps_ref, e_end_ref, e_start_ref,
         # --- variable-length masking + final capture (XLA semantics) ---
         cost = jnp.where(t_abs < nf_b, cost, prev)
         bp_ref[k] = bp.astype(jnp.int8)
-        epsu_ref[k] = side.astype(jnp.int32)
+        epsu_ref[k] = side.astype(epsu_ref.dtype)
         if emit_eps_prev:
             epsp_ref[k] = side_prev.astype(jnp.int32)
         fin = jnp.where(t_abs == nf_b - 1, cost, fin)
@@ -497,7 +497,10 @@ def viterbi_banded_tb_pallas(nll_tb, g: BandedGraph, n_frames,
         out_shape=[
             jax.ShapeDtypeStruct((s8, b), jnp.float32),
             jax.ShapeDtypeStruct((t8, s8, b), jnp.int8),
-            jax.ShapeDtypeStruct((t8, r8, b), jnp.int32),
+            # eps origins are word-end slot ids: int8 while they fit
+            # (saves 3/4 of the side plane's HBM write + backtrace read)
+            jax.ShapeDtypeStruct((t8, r8, b),
+                                 jnp.int8 if l <= 127 else jnp.int32),
         ] + extra_shapes,
         scratch_shapes=[pltpu.VMEM((s8, b), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
@@ -703,7 +706,9 @@ def banded_backtrace_tb_pallas(bp8, eps_u, g: BandedGraph, end_state, n_frames,
             raise ValueError(f"graph/topology mismatch: {s} vs {topo.n_states}")
         uniform = (w_live, w_live - 1) if w_live else ()
         end_ids = end_state.astype(jnp.int32)
-    eps_u = eps_u.astype(jnp.int32)
+    # keep the plane's native dtype (int8 when origins fit): casting to
+    # int32 here would re-materialize the ~80 MB plane in HBM; the
+    # kernel casts per-block in VMEM
     if eps_u.shape[1] == r and r8 != r:
         eps_u = jnp.pad(eps_u, ((0, 0), (0, r8 - r), (0, 0)))
     elif eps_u.shape[1] not in (r, r8):

@@ -22,9 +22,20 @@ import numpy as np
 # and cost/statistics GEMMs need true f32 — measured on-chip: the default
 # precision puts MFCC features off by ~4.7 absolute vs the float64 oracle,
 # while HIGHEST is within 1.3e-3 (see RESULTS.md).
+#
+# SRT_MATMUL_PRECISION overrides (highest|high|default) — a measurement
+# dial for precision experiments (scripts/exp_emission_precision.py);
+# the production default stays HIGHEST unless task-level invariance is
+# demonstrated for a cheaper setting (RESULTS.md round 3).
+import os
+
 import jax
 
-MATMUL_PRECISION = jax.lax.Precision.HIGHEST
+MATMUL_PRECISION = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+    "default": jax.lax.Precision.DEFAULT,
+}[os.environ.get("SRT_MATMUL_PRECISION", "highest")]
 
 # A finite stand-in for +inf cost.  Using a finite sentinel keeps
 # min-plus arithmetic free of inf-inf NaN traps while being large enough
