@@ -67,21 +67,19 @@ class FrontendConfig:
     # jnp.fft.rfft.  Identical results; much better TPU mapping.
     dft_as_gemm: bool = True
     # TPU matmul pass count for the spectral chain (DFT/mel/DCT GEMMs):
-    # 'highest' = 6 bf16 passes (exact f32; the only mode inside the
-    # 1.3e-3 vs-float64 budget — measured on-chip: 'high' is 1.0e-2,
-    # 'default' 1.0 absolute on standardized features, the log stage
-    # amplifies quiet mel channels).  'high'/'default' are kept as
-    # measurement dials; round-3 finding: 6 passes is the floor for
-    # f32-exact bf16-MXU matmuls, so frontend speed comes from the
-    # fused Pallas kernel (ops/pallas_kernels.pallas_mfcc), not from
-    # precision dialing.  See scripts/exp_frontend_precision.py.
+    # 'highest' = 6 bf16 passes (exact f32: 1.6e-4 vs the float64
+    # oracle; 'high' = 3 passes = 1.0e-2; 'default' = 1 pass = 1.0
+    # absolute — the log stage amplifies quiet mel channels).  See
+    # scripts/exp_frontend_precision.py for the on-chip sweep.
     spectral_precision: str = "highest"
-    # per-stage overrides ('' = inherit spectral_precision): the error
-    # amplification is stage-dependent — the power spectrum spans ~10
-    # decades into the mel sum and log amplifies floor-level bins — so
-    # the DFT can ride fewer passes than the mel GEMM (on-chip combo
-    # sweep in scripts/exp_frontend_precision.py)
-    dft_precision: str = ""
+    # Per-stage overrides ('' = inherit spectral_precision).  The
+    # PRODUCTION default runs the DFT at 'high': the 1e-2 feature
+    # error is task-invariant — on-chip, dft=high decodes a connected
+    # corpus IDENTICALLY (48/48 word sequences, same WER;
+    # scripts/exp_frontend_wer.py) — and the frontend drops 3.45 ms ->
+    # 2.38 ms at batch 256 x 5 s.  Set dft_precision='highest' for the
+    # strict float64-oracle budget (feature-parity work).
+    dft_precision: str = "high"
     mel_precision: str = ""
     dct_precision: str = ""
 
