@@ -72,6 +72,7 @@ def run(prec):
 
 
 def main():
+    sys.path.insert(0, str(HERE))
     from speech_recognition_tpu.utils.metrics import wer
 
     a = run("highest")

@@ -29,7 +29,11 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from speech_recognition_tpu.data.synthetic import random_gmm_hmm, sample_hmm_features
-from speech_recognition_tpu.models.graph import build_word_graph, pad_graphs
+from speech_recognition_tpu.models.graph import (
+    build_word_graph,
+    pad_graphs,
+    pad_graphs_banded,
+)
 from speech_recognition_tpu.models.hmm import GMMHMM, HMMBank
 from speech_recognition_tpu.parallel.mesh import make_mesh
 from speech_recognition_tpu.parallel.trainer import (
@@ -39,7 +43,7 @@ from speech_recognition_tpu.parallel.trainer import (
 from speech_recognition_tpu.utils.numerics import to_cost_matrix
 
 
-def main(n_utts: int = 10_000):
+def main(n_utts: int = 10_000, soft: bool = False):
     rng = np.random.default_rng(0)
     n_words, s, m, d, t = 11, 4, 2, 16, 100
     words_per_utt = 3
@@ -94,11 +98,15 @@ def main(n_utts: int = 10_000):
             cache[key] = build_word_graph(trans_np, [[l] for l in ls])
         graphs.append(cache[key])
     print(f"  {len(cache)} distinct transcripts")
-    graph_batch, eps_depth = pad_graphs(graphs)
+    if soft:  # Baum-Welch step over the banded graphs (O(3S)/frame FB)
+        graph_batch, eps_depth = pad_graphs_banded(graphs)
+    else:
+        graph_batch, eps_depth = pad_graphs(graphs)
 
     n_dev = len(jax.devices())
     mesh = make_mesh(shape=(n_dev, 1))
-    step = make_sharded_embedded_step(mesh, eps_depth=eps_depth, var_floor=1e-3)
+    step = make_sharded_embedded_step(mesh, eps_depth=eps_depth,
+                                      var_floor=1e-3, soft=soft)
     b_s, f_s, n_s, g_s = shard_embedded_inputs(mesh, bank, feats, n_frames, graph_batch)
 
     for it in range(3):
@@ -107,11 +115,13 @@ def main(n_utts: int = 10_000):
         cost = float(stats.total_cost)  # host fetch = sync fence
         dt = time.perf_counter() - t0
         tag = "(incl. compile)" if it == 0 else ""
+        kind = "soft (Baum-Welch, banded FB)" if soft else "hard (Viterbi)"
         print(
-            f"iteration {it}: total alignment cost {cost:.0f}, "
+            f"iteration {it} [{kind}]: total cost {cost:.0f}, "
             f"{dt:.1f} s -> {n_utts/dt:.0f} utts/s {tag}"
         )
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 10_000)
+    args = [a for a in sys.argv[1:] if a != "--soft"]
+    main(int(args[0]) if args else 10_000, soft="--soft" in sys.argv)

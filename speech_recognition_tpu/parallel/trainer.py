@@ -27,6 +27,11 @@ from speech_recognition_tpu.train.embedded_step import embedded_step
 from speech_recognition_tpu.parallel.mesh import batch_sharding, bank_sharding
 
 GRAPH_KEYS = ("trans", "eps_trans", "init_cost", "end_states", "bank_state")
+#: banded graph batch (models.graph.pad_graphs_banded) — the soft
+#: (Baum-Welch) step's production form: O(3S)/frame forward-backward
+SOFT_GRAPH_KEYS = ("band", "init_cost", "eps_block", "word_starts",
+                   "word_ends", "start_pos", "is_start", "end_scores",
+                   "bank_state")
 
 
 def shard_embedded_inputs(
@@ -38,23 +43,37 @@ def shard_embedded_inputs(
     bank = jax.tree.map(lambda a: jax.device_put(jnp.asarray(a), b_sh), bank)
     feats = jax.device_put(jnp.asarray(feats, jnp.float32), data)
     n_frames = jax.device_put(jnp.asarray(n_frames, jnp.int32), data)
-    g = {k: jax.device_put(jnp.asarray(graph_batch[k]), data) for k in GRAPH_KEYS}
+    keys = SOFT_GRAPH_KEYS if "band" in graph_batch else GRAPH_KEYS
+    g = {k: jax.device_put(jnp.asarray(graph_batch[k]), data) for k in keys}
     return bank, feats, n_frames, g
 
 
 def make_sharded_embedded_step(
-    mesh: Mesh, eps_depth: int = 1, var_floor: float = 1e-2, shard_models: bool = False
+    mesh: Mesh, eps_depth: int = 1, var_floor: float = 1e-2,
+    shard_models: bool = False, soft: bool = False
 ):
     """A pjit-compiled embedded-training step over the mesh.
 
     Batch must divide the 'data' axis size.  Returns a function
     ``step(bank, feats, n_frames, graph_batch) -> (new_bank, stats)``
-    with replicated outputs.
+    with replicated outputs.  ``soft=True`` runs the Baum-Welch
+    (sum-product) step; pass the banded graph batch from
+    :func:`models.graph.pad_graphs_banded` (the banded O(3S)/frame
+    forward-backward is its production form).
     """
     data = NamedSharding(mesh, P("data"))
     bank_sh = bank_sharding(mesh, shard_models)
 
-    fn = functools.partial(embedded_step, eps_depth=eps_depth, var_floor=var_floor)
+    if soft:
+        from speech_recognition_tpu.train.embedded_step import embedded_step_soft
+
+        fn = functools.partial(embedded_step_soft, eps_depth=eps_depth,
+                               var_floor=var_floor)
+        graph_keys = SOFT_GRAPH_KEYS
+    else:
+        fn = functools.partial(embedded_step, eps_depth=eps_depth,
+                               var_floor=var_floor)
+        graph_keys = GRAPH_KEYS
     bank_shardings = HMMBank(bank_sh, bank_sh, bank_sh, bank_sh)
     return jax.jit(
         fn,
@@ -62,7 +81,7 @@ def make_sharded_embedded_step(
             bank_shardings,
             data,
             data,
-            {k: data for k in GRAPH_KEYS},
+            {k: data for k in graph_keys},
         ),
         out_shardings=(bank_shardings, None),
     )
