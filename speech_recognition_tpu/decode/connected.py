@@ -138,7 +138,6 @@ def _decode_banded_batch(bank: HMMBank, feats, n_frames, g: BandedGraph,
         # gather is never materialized; the backpointer plane stays
         # padded end to end (no slice+repad copies of the ~100 MB
         # tensor)
-        nll_ubt = bank_nll_ubt(bank, feats, n_frames)
         # emit_eps_prev: the forward kernel records each eps winner's
         # post-unwind predecessor in a second side plane, unlocking the
         # value-carried backtrace (one full-plane lookup per frame
@@ -150,11 +149,25 @@ def _decode_banded_batch(bank: HMMBank, feats, n_frames, g: BandedGraph,
                      & set(pallas_topo.word_ends)))
         eps_prev = None
         if emit_prev:
+            # fused-emission form: the GMM GEMM + mixture logsumexp run
+            # inside the kernel per frame block, so neither the
+            # [U, M, T, B] intermediate (225 MB at batch 512 x 500) nor
+            # the standalone [U, T, B] nll plane crosses HBM — only the
+            # [A, T, B] augmented features (measured: the standalone
+            # emission stage was ~1.0 ms of pure memory traffic)
+            from speech_recognition_tpu.ops.gmm import (
+                augment_dtb,
+                gmm_emission_weights,
+            )
+
+            w_gm, lw_gm = gmm_emission_weights(*bank.flat_states())
             final, bp8, eps_u, eps_prev = viterbi_banded_tb_pallas(
-                nll_ubt, g, n_frames, pallas_topo, eps_depth=eps_depth,
-                bank_input=True, return_padded_bp=True, input_ubt=True,
-                interpret=pallas_interpret, emit_eps_prev=True)
+                augment_dtb(feats), g, n_frames, pallas_topo,
+                eps_depth=eps_depth, return_padded_bp=True, input_ubt=True,
+                interpret=pallas_interpret, emit_eps_prev=True,
+                fuse_emission=True, bank_gemm=(w_gm, lw_gm))
         else:
+            nll_ubt = bank_nll_ubt(bank, feats, n_frames)
             final, bp8, eps_u = viterbi_banded_tb_pallas(
                 nll_ubt, g, n_frames, pallas_topo, eps_depth=eps_depth,
                 bank_input=True, return_padded_bp=True, input_ubt=True,

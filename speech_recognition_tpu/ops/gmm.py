@@ -30,7 +30,7 @@ import numpy as np
 
 from speech_recognition_tpu.utils.numerics import MATMUL_PRECISION
 
-__all__ = ["gmm_emission_weights", "gmm_neg_log_lik", "mahalanobis", "augment_features"]
+__all__ = ["gmm_emission_weights", "gmm_neg_log_lik", "mahalanobis", "augment_features", "augment_dtb"]
 
 _LOG_2PI = float(np.log(2.0 * np.pi))
 
@@ -153,3 +153,14 @@ def pairwise_sq_euclidean(x, y):
     yn = jnp.sum(y * y, axis=-1)
     xy = jnp.dot(x, y.T, precision=MATMUL_PRECISION)
     return jnp.maximum(xn + yn[None, :] - 2.0 * xy, 0.0)
+
+
+def augment_dtb(feats):
+    """``[B, T, D]`` features -> the ``[2D+1, T, B]`` augmented tensor
+    the fused-emission Pallas decode kernel streams ([x^2, x, 1] along
+    the leading axis; one 40 MB transpose + a view reshape — no
+    [U, M, T, B] GMM intermediate ever exists in HBM)."""
+    b, t, d = feats.shape
+    ft = jnp.transpose(feats, (2, 1, 0))  # [D, T, B]
+    return jnp.concatenate(
+        [ft * ft, ft, jnp.ones((1, t, b), feats.dtype)], axis=0)

@@ -115,11 +115,17 @@ def _ceil(x, m):
 
 
 def _kernel(nll_ref, expand_ref, band_ref, eps_ref, e_end_ref, e_start_ref,
-            sel_sg_ref, p_start_ref, init_ref, nf_ref, final_ref, bp_ref,
-            epsu_ref, *rest, topo: BandedTopo, eps_depth: int,
+            sel_sg_ref, p_start_ref, init_ref, nf_ref, *rest,
+            topo: BandedTopo, eps_depth: int,
             frames_per_step: int, bank_mode: bool,
             uniform: Tuple[int, int] = (), ubt: bool = False,
-            emit_eps_prev: bool = False):
+            emit_eps_prev: bool = False, fuse_emission: bool = False,
+            n_mix: int = 0, u8_mix: int = 0):
+    if fuse_emission:
+        wg_ref, lw_ref = rest[0], rest[1]
+        rest = rest[2:]
+    final_ref, bp_ref, epsu_ref = rest[:3]
+    rest = rest[3:]
     if emit_eps_prev:
         epsp_ref, cost_ref = rest
     else:
@@ -130,6 +136,25 @@ def _kernel(nll_ref, expand_ref, band_ref, eps_ref, e_end_ref, e_start_ref,
     v8 = sel_sg_ref.shape[0]
 
     def nll_at(kk):
+        if fuse_emission:
+            # emission fused in-kernel: the [U, M, T, B] f32 GMM
+            # intermediate (225 MB at the headline shape, ~0.9 ms of
+            # HBM traffic through the standalone producer + consumer)
+            # never exists — one HIGHEST [M*U8, A8] x [A8, B] GEMM on
+            # the augmented feature block, then the mixture logsumexp
+            # on a mix-major reshape VIEW ([M, U8, B]; U8 is 8-aligned
+            # so the sublane split lowers)
+            xa = nll_ref[:, kk, :]  # [A8, B]
+            pm = dotf(wg_ref[...], xa, precision=jax.lax.Precision.HIGHEST)
+            z = lw_ref[...] - pm  # [M*U8, B]
+            zv = z.reshape(n_mix, u8_mix, b)
+            zmax = zv[0]
+            for mi in range(1, n_mix):
+                zmax = jnp.maximum(zmax, zv[mi])
+            acc = jnp.exp(zv[0] - zmax)
+            for mi in range(1, n_mix):
+                acc = acc + jnp.exp(zv[mi] - zmax)
+            return -(jnp.log(acc) + zmax)  # [U8, B] bank NLL
         return nll_ref[:, kk, :] if ubt else nll_ref[kk]
 
     def dotf(a, x, precision=_SELECT_PRECISION):
@@ -321,7 +346,7 @@ def _kernel(nll_ref, expand_ref, band_ref, eps_ref, e_end_ref, e_start_ref,
                    static_argnames=("topo", "eps_depth", "interpret",
                                     "frames_per_step", "bank_input",
                                     "return_padded_bp", "input_ubt",
-                                    "emit_eps_prev"))
+                                    "emit_eps_prev", "fuse_emission"))
 def viterbi_banded_tb_pallas(nll_tb, g: BandedGraph, n_frames,
                              topo: BandedTopo, eps_depth: int = 1,
                              interpret: bool = False,
@@ -329,7 +354,9 @@ def viterbi_banded_tb_pallas(nll_tb, g: BandedGraph, n_frames,
                              bank_input: bool = None,
                              return_padded_bp: bool = False,
                              input_ubt: bool = False,
-                             emit_eps_prev: bool = False):
+                             emit_eps_prev: bool = False,
+                             fuse_emission: bool = False,
+                             bank_gemm=None):
     """Drop-in Pallas replacement for
     :func:`ops.viterbi_banded.viterbi_banded_tb`.
 
@@ -347,21 +374,43 @@ def viterbi_banded_tb_pallas(nll_tb, g: BandedGraph, n_frames,
     Returns ``(final [S, B], bp8 [T, S, B] int8, eps_u [T, R, B])``
     matching the XLA kernel's encoding (band codes, ``_EPS`` + side
     plane).
+
+    ``fuse_emission``: ``nll_tb`` is instead the AUGMENTED FEATURE
+    tensor ``[A, T, B]`` (``ops.gmm.augment_dtb``) and ``bank_gemm``
+    carries ``(w [U, M, A], log_weights [U, M])`` from
+    :func:`ops.gmm.gmm_emission_weights` — the GMM emission GEMM +
+    mixture logsumexp run in-kernel per frame block, so the
+    ``[U, M, T, B]`` f32 intermediate never touches HBM.  Final costs
+    match the unfused path to f32 GEMM reassociation (the fused GEMM
+    tiles the batch axis); paths are identical away from exact ties.
     """
-    if input_ubt:
-        # [U, T, B] emission layout (gmm_neg_log_lik_ubt): frame blocks
-        # are middle-axis slices, so the producer never transposes the
-        # full nll tensor
-        s_in, t_len, b = nll_tb.shape
+    if fuse_emission:
+        if bank_gemm is None:
+            raise ValueError("fuse_emission needs bank_gemm=(w, lw)")
+        if not input_ubt:
+            raise ValueError("fuse_emission expects the [A, T, B] layout")
+        a_in, t_len, b = nll_tb.shape
+        w_gm, lw_gm = bank_gemm
+        n_bank_g, n_mix, a_w = w_gm.shape
+        if a_w != a_in:
+            raise ValueError(f"augmented dim mismatch: {a_w} vs {a_in}")
+        s_in = n_bank_g  # selector-side state dim (compact bank)
     else:
-        t_len, s_in, b = nll_tb.shape
+        if input_ubt:
+            # [U, T, B] emission layout (gmm_neg_log_lik_ubt): frame
+            # blocks are middle-axis slices, so the producer never
+            # transposes the full nll tensor
+            s_in, t_len, b = nll_tb.shape
+        else:
+            t_len, s_in, b = nll_tb.shape
     s = topo.n_states
     if getattr(g, "cross_src", None) is not None:
         raise NotImplementedError("Pallas banded kernel: cross-arc edges "
                                   "(lex graphs) run on the XLA kernel")
     # bank_input=None infers from the state dim; pass it explicitly when
     # the graph coincidentally has exactly n_bank states
-    bank_mode = (s_in != s) if bank_input is None else bank_input
+    bank_mode = True if fuse_emission else (
+        (s_in != s) if bank_input is None else bank_input)
     n_bank = max(topo.bank_map) + 1 if topo.bank_map else 0
     if bank_mode and s_in != n_bank:
         raise ValueError(f"bank emission block has {s_in} states, "
@@ -402,11 +451,14 @@ def viterbi_banded_tb_pallas(nll_tb, g: BandedGraph, n_frames,
         pad_rows = np.arange(s)
     if not bank_mode:
         sb8 = s8
+    # fused emission: the streamed in-block is the augmented feature
+    # block [A8, k, B]; the selector-side dim stays the compact bank
+    in8 = _ceil(a_in, 8) if fuse_emission else sb8
     # VMEM budget: the nll in-block, bp8 and eps_u out-blocks are
     # double-buffered (4+4, 1+1 and 4+4 bytes per element per frame) plus
     # the resident frontier/final/selector buffers — clamp k to stay
     # under ~12 MB.
-    per_k = 8 * sb8 * b + 2 * s8 * b + 8 * r8 * b
+    per_k = 8 * in8 * b + 2 * s8 * b + 8 * r8 * b
     k = max(1, min(frames_per_step, (12 * 2**20 - 4 * s8 * b) // max(per_k, 1)))
     if input_ubt:
         # [U, T, B] blocks put the frame axis second-to-last, which
@@ -445,7 +497,20 @@ def viterbi_banded_tb_pallas(nll_tb, g: BandedGraph, n_frames,
     eps_vals = eps_vals.at[:r, :l].set(g.eps_block)
     init_col = jnp.full((s8, 1), POS_INF, jnp.float32)
     init_col = init_col.at[pad_rows_j, 0].set(g.init_cost)
-    if sb8 != s_in or t8 != t_len:
+    if fuse_emission:
+        if in8 != a_in or t8 != t_len:
+            nll_tb = jnp.pad(nll_tb, ((0, in8 - a_in), (0, t8 - t_len),
+                                      (0, 0)))
+        # mix-major GEMM rows (row m*U8 + u) so the in-kernel mixture
+        # logsumexp is a sublane-group reshape view [M, U8, B]
+        wg = jnp.zeros((n_mix * sb8, in8), jnp.float32)
+        lwr = jnp.zeros((n_mix * sb8, 1), jnp.float32)
+        for mi in range(n_mix):
+            wg = wg.at[mi * sb8 : mi * sb8 + n_bank_g, :a_in].set(
+                w_gm[:, mi, :].astype(jnp.float32))
+            lwr = lwr.at[mi * sb8 : mi * sb8 + n_bank_g, 0].set(
+                lw_gm[:, mi].astype(jnp.float32))
+    elif sb8 != s_in or t8 != t_len:
         # emission pad rows/frames are zeros; padded GRAPH states get
         # POS_INF via band/init so zero emissions never matter, and in
         # bank mode no graph state maps to a padded bank row
@@ -460,13 +525,21 @@ def viterbi_banded_tb_pallas(nll_tb, g: BandedGraph, n_frames,
     kernel = functools.partial(_kernel, topo=topo, eps_depth=eps_depth,
                                frames_per_step=k, bank_mode=bank_mode,
                                uniform=uniform, ubt=input_ubt,
-                               emit_eps_prev=emit_eps_prev)
+                               emit_eps_prev=emit_eps_prev,
+                               fuse_emission=fuse_emission,
+                               n_mix=n_mix if fuse_emission else 0,
+                               u8_mix=sb8 if fuse_emission else 0)
     const = lambda *_: (0, 0)
-    nll_spec = (pl.BlockSpec((sb8, k, b), lambda t: (0, t, 0),
+    nll_spec = (pl.BlockSpec((in8, k, b), lambda t: (0, t, 0),
                              memory_space=pltpu.VMEM)
                 if input_ubt else
                 pl.BlockSpec((k, sb8, b), lambda t: (t, 0, 0),
                              memory_space=pltpu.VMEM))
+    fuse_specs = ([pl.BlockSpec((n_mix * sb8, in8), const,
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((n_mix * sb8, 1), const,
+                                memory_space=pltpu.VMEM)]
+                  if fuse_emission else [])
     extra_specs = ([pl.BlockSpec((k, r8, b), lambda t: (t, 0, 0),
                                  memory_space=pltpu.VMEM)]
                    if emit_eps_prev else [])
@@ -486,7 +559,7 @@ def viterbi_banded_tb_pallas(nll_tb, g: BandedGraph, n_frames,
             pl.BlockSpec((s8, r8), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((s8, 1), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, b), const, memory_space=pltpu.VMEM),
-        ],
+        ] + fuse_specs,
         out_specs=[
             pl.BlockSpec((s8, b), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((k, s8, b), lambda t: (t, 0, 0),
@@ -510,7 +583,7 @@ def viterbi_banded_tb_pallas(nll_tb, g: BandedGraph, n_frames,
     )(nll_tb, jnp.asarray(expand, jnp.bfloat16), band_t, eps_vals,
       jnp.asarray(e_end),
       jnp.asarray(e_start), jnp.asarray(sel_sg), jnp.asarray(p_start),
-      init_col, nf_row)
+      init_col, nf_row, *((wg, lwr) if fuse_emission else ()))
     final, bp8, eps_u = outs[:3]
     eps_prev = outs[3] if emit_eps_prev else None
     final = final[pad_rows_j] if uniform else final[:s]

@@ -442,3 +442,71 @@ def test_pallas_value_backtrace_bit_parity(rng):
                                           np.asarray(s_q)[:nf, i], err_msg=name)
             np.testing.assert_array_equal(np.asarray(e_x)[:nf, i],
                                           np.asarray(e_q)[:nf, i], err_msg=name)
+
+
+def test_pallas_fused_emission_interpret_matches(rng):
+    """fuse_emission (in-kernel GMM GEMM + mixture lse) == the unfused
+    Pallas path fed with producer NLLs: equal costs to f32 GEMM
+    reassociation, identical paths on non-tie random cases."""
+    import jax
+
+    from speech_recognition_tpu.decode.connected import connected_graph_arrays
+    from speech_recognition_tpu.models.hmm import bank_nll_ubt
+    from speech_recognition_tpu.ops.gmm import augment_dtb, gmm_emission_weights
+    from speech_recognition_tpu.data.synthetic import random_gmm_hmm
+    from speech_recognition_tpu.models.hmm import GMMHMM, HMMBank
+    from speech_recognition_tpu.ops.viterbi_banded_pallas import (
+        banded_backtrace_tb_pallas,
+        banded_topology,
+        viterbi_banded_tb_pallas,
+    )
+    from speech_recognition_tpu.utils.numerics import to_cost_matrix
+
+    nprng = np.random.default_rng(11)
+    models = []
+    for _ in range(4):
+        p = random_gmm_hmm(nprng, n_states=3, n_mix=2, dim=8, sep=2.0)
+        models.append(GMMHMM(
+            means=jnp.asarray(p["means"], jnp.float32),
+            log_vars=jnp.log(jnp.asarray(p["variances"], jnp.float32)),
+            log_weights=jnp.log(jnp.asarray(p["weights"], jnp.float32)),
+            trans_cost=jnp.asarray(to_cost_matrix(p["trans"])),
+        ))
+    bank = HMMBank.stack(models)
+    graph = connected_graph_arrays(bank, 3)
+    bg = banded_arrays(graph)
+    topo = banded_topology(bg)
+    b, t = 4, 21
+    feats = jnp.asarray(rng.standard_normal((b, t, bank.means.shape[-1])),
+                        jnp.float32)
+    nf = jnp.asarray([t, 9, 13, 1], jnp.int32)
+
+    nll_ubt = bank_nll_ubt(bank, feats, nf)
+    ref = viterbi_banded_tb_pallas(
+        nll_ubt, bg, nf, topo, eps_depth=graph.eps_depth, bank_input=True,
+        return_padded_bp=True, input_ubt=True, emit_eps_prev=True,
+        interpret=True)
+
+    w, lw = gmm_emission_weights(*bank.flat_states())
+    xa = augment_dtb(feats)
+    out = viterbi_banded_tb_pallas(
+        xa, bg, nf, topo, eps_depth=graph.eps_depth,
+        return_padded_bp=True, input_ubt=True, emit_eps_prev=True,
+        interpret=True, fuse_emission=True, bank_gemm=(w, lw))
+
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref[0]),
+                               rtol=1e-5, atol=1e-5)
+    ends = bg.end_states[jnp.argmin(np.asarray(ref[0])[
+        np.asarray(bg.end_states), :], axis=0)]
+    s_r, f_r = banded_backtrace_tb_pallas(
+        ref[1], ref[2], bg, ends, nf, topo, eps_depth=graph.eps_depth,
+        eps_prev=ref[3], interpret=True)
+    s_f, f_f = banded_backtrace_tb_pallas(
+        out[1], out[2], bg, ends, nf, topo, eps_depth=graph.eps_depth,
+        eps_prev=out[3], interpret=True)
+    nfs = np.asarray(nf)
+    for i in range(b):
+        np.testing.assert_array_equal(
+            np.asarray(s_r)[: nfs[i], i], np.asarray(s_f)[: nfs[i], i])
+        np.testing.assert_array_equal(
+            np.asarray(f_r)[: nfs[i], i], np.asarray(f_f)[: nfs[i], i])
