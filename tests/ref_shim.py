@@ -25,10 +25,16 @@ _REF_PATH = "/root/reference"
 
 def load_reference():
     """Import and return the reference's ``sr`` package (+ config)."""
-    # numpy < 1.24 aliases
+    # numpy < 1.24 aliases (hasattr on removed names raises a
+    # FutureWarning on some numpy versions — silence the probe)
+    import warnings
+
     for name, repl in [("int", int), ("float", float), ("bool", bool),
                        ("object", object), ("alltrue", np.all)]:
-        if not hasattr(np, name) or name == "alltrue":
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            present = hasattr(np, name)
+        if not present or name == "alltrue":
             try:
                 setattr(np, name, repl)
             except Exception:
