@@ -91,7 +91,7 @@ def main():
         return np.asarray(fs, np.float32)
 
     n_test, n_utt_words = 96, 5
-    for noise in (1.0, 1.4):
+    for noise in (1.4, 1.8, 2.2):
         refs = [markov_seq(n_utt_words) for _ in range(n_test)]
         feats_list = [synth(s, noise) for s in refs]
         tmax = max(f.shape[0] for f in feats_list)

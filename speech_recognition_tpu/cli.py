@@ -32,7 +32,7 @@ from speech_recognition_tpu.config import (
 
 
 def _featurize_files(paths, cfg: FrontendConfig, cap_samples: int,
-                     norm: str = "utterance", cmvn=None):
+                     norm: str = "utterance", cmvn=None, chunk: int = 512):
     """Wavs -> features, one batched jit over the whole file list.
 
     The frontend config adapts to the files' actual sample rate (the
@@ -45,12 +45,43 @@ def _featurize_files(paths, cfg: FrontendConfig, cap_samples: int,
     import jax.numpy as jnp
 
     from speech_recognition_tpu.ops.frontend import apply_cmvn, mfcc39_batch, padded_length
-    from speech_recognition_tpu.runtime.loader import load_wav_batch
+    from speech_recognition_tpu.runtime.loader import (
+        PrefetchWavBatches,
+        load_wav_batch,
+    )
+
+    paths = list(paths)
+    # Large corpora stream through the prefetching input pipeline: the
+    # C++ thread-pool loader reads batch k+1 from disk while batch k
+    # featurizes on-device (uniform chunk size keeps one compiled
+    # shape; the tail chunk zero-pads and its outputs are dropped).
+    if len(paths) > chunk:
+        feats_all, lens_all = [], []
+        pad = (-len(paths)) % chunk
+        padded_paths = paths + [paths[0]] * pad
+        for cpaths, samples, lengths, rates in PrefetchWavBatches(
+                padded_paths, chunk, cap_samples):
+            f, l = _featurize_loaded(samples, lengths, rates, cfg,
+                                     cap_samples, norm, cmvn)
+            feats_all.extend(f)
+            lens_all.extend(l)
+        return feats_all[: len(paths)], lens_all[: len(paths)]
 
     # native batched IO (C++ thread pool; scipy fallback)
-    samples, lengths, rates = load_wav_batch(list(paths), cap_samples)
+    samples, lengths, rates = load_wav_batch(paths, cap_samples)
+    return _featurize_loaded(samples, lengths, rates, cfg, cap_samples,
+                             norm, cmvn)
+
+
+def _featurize_loaded(samples, lengths, rates, cfg, cap_samples, norm, cmvn):
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from speech_recognition_tpu.ops.frontend import apply_cmvn, mfcc39_batch, padded_length
+    b = samples.shape[0]
     rate = int(rates[0]) if len(rates) else cfg.sample_rate
-    if np.any(rates[: len(paths)] != rate):
+    if np.any(rates[:b] != rate):
         raise ValueError(f"mixed sample rates in batch: {sorted(set(rates.tolist()))}")
     if rate != cfg.sample_rate:
         cfg = dataclasses.replace(cfg, sample_rate=rate)
@@ -69,7 +100,7 @@ def _featurize_files(paths, cfg: FrontendConfig, cap_samples: int,
         fb = apply_cmvn(fb, nfb, jnp.asarray(cmvn[0]), jnp.asarray(cmvn[1]))
     fb = np.asarray(fb)
     lens = [int(n) for n in np.asarray(nfb)]
-    return [fb[i] for i in range(len(paths))], lens
+    return [fb[i] for i in range(b)], lens
 
 
 def _featurize_arrays(sample_arrays, cfg: FrontendConfig, cap_samples: int,

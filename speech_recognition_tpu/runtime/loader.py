@@ -111,3 +111,51 @@ def load_wav_batch(
         lengths[i] = n
         rates[i] = rate
     return out, lengths, rates
+
+
+class PrefetchWavBatches:
+    """Iterate padded wav batches with one-batch lookahead.
+
+    A worker thread runs the native batched loader for batch k+1 while
+    the caller featurizes/decodes batch k on-device — the input
+    pipeline overlap the reference's serial per-file scipy loop cannot
+    express (``/root/reference/sr/core.py:122-139``).  Yields
+    ``(paths_chunk, samples [b, cap], lengths [b], rates [b])`` in
+    order; IO errors surface in the consuming thread.
+    """
+
+    def __init__(self, paths: List[str], batch_size: int, cap_samples: int,
+                 n_threads: int = 0, depth: int = 2):
+        self.paths = list(paths)
+        self.batch_size = int(batch_size)
+        self.cap_samples = int(cap_samples)
+        self.n_threads = n_threads
+        self.depth = max(1, int(depth))
+
+    def __iter__(self):
+        import queue
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.depth)
+        chunks = [self.paths[i : i + self.batch_size]
+                  for i in range(0, len(self.paths), self.batch_size)]
+
+        def worker():
+            try:
+                for chunk in chunks:
+                    q.put(("ok", chunk,
+                           load_wav_batch(chunk, self.cap_samples,
+                                          self.n_threads)))
+            except BaseException as e:  # surface in the consumer
+                q.put(("err", e, None))
+            q.put(("done", None, None))
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            kind, a, b = q.get()
+            if kind == "done":
+                break
+            if kind == "err":
+                raise a
+            samples, lengths, rates = b
+            yield a, samples, lengths, rates
