@@ -409,6 +409,34 @@ def bench_lex_pipeline(batch=128, samples=80000, n_words=1000):
     log(f"lex pipeline ({n_words} words): {audio_s:.0f} audio-s in "
         f"{dt*1e3:.2f} ms device-time ({LAST_REGIME}) "
         f"-> {audio_s/dt:.0f} audio-s/s")
+
+    # words-out tail the serving API actually pays (round-2 VERDICT
+    # item 6): fetch the [B, T] paths and run the vectorized host word
+    # recovery; reported separately because the path fetch rides the
+    # axon tunnel (production hosts pay PCIe instead)
+    from speech_recognition_tpu.models.lexgraph import lex_words_from_path_batch
+
+    feats, nf = mfcc39_batch(sig, lens, cfg)
+    t = feats.shape[1]
+    nll_tub = jnp.transpose(
+        jax.vmap(lambda x, n: bank_nll(bank, x, jnp.arange(t) < n))(feats, nf),
+        (1, 2, 0))
+    final, bp8, eps_u = viterbi_lex_pallas(nll_tub, plan, nf, plan.topo)
+    end_costs = final[plan.ends_soa, :] + lexg.banded.end_bonus[:, None]
+    best = jnp.argmin(end_costs, axis=0)
+    states, flags = lex_backtrace_soa_pallas(
+        bp8, eps_u, plan, plan.ends_soa[best], nf, plan.topo)
+    jax.block_until_ready(states)
+    t0 = time.perf_counter()
+    s_np = np.asarray(states).T  # [B, T] fetch
+    f_np = np.asarray(flags).T
+    words = lex_words_from_path_batch(lexg, s_np, np.asarray(nf), f_np)
+    t_words = time.perf_counter() - t0
+    n_w = sum(len(w) for w in words)
+    log(f"  + words-out: {n_w} words for {batch} streams in "
+        f"{t_words*1e3:.0f} ms wall (fetch {s_np.nbytes + f_np.nbytes:,} B "
+        f"over the tunnel + vectorized host recovery) -> full serving "
+        f"{audio_s/(dt + t_words):.0f} audio-s/s")
     return audio_s / dt
 
 

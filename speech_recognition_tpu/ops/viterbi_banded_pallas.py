@@ -187,6 +187,11 @@ def _kernel(nll_ref, expand_ref, band_ref, eps_ref, e_end_ref, e_start_ref,
     fin = final_ref[...]
     nf_b = nf_ref[...] + jnp.zeros((s8, b), jnp.int32)  # broadcast [1,B]
     inf = jnp.full((s8, b), POS_INF, jnp.float32)
+    # loop-invariant wrapped-row penalties for the band shifts (hoisted
+    # out of the frames_per_step x MAX_BAND loops)
+    iota_col = jax.lax.broadcasted_iota(jnp.int32, (s8, 1), 0)
+    pen = {d: jnp.where(iota_col < d, jnp.float32(POS_INF), jnp.float32(0))
+           for d in range(1, MAX_BAND + 1)}
 
     for k in range(frames_per_step):
         t_abs = ti * frames_per_step + k
@@ -208,11 +213,8 @@ def _kernel(nll_ref, expand_ref, band_ref, eps_ref, e_end_ref, e_start_ref,
             if d == 0:
                 shifted = prev
             else:
-                pen_d = jnp.where(
-                    jax.lax.broadcasted_iota(jnp.int32, (s8, 1), 0) < d,
-                    jnp.float32(POS_INF), jnp.float32(0))
                 shifted = jnp.minimum(
-                    pltpu.roll(prev, d, 0) + pen_d, POS_INF)
+                    pltpu.roll(prev, d, 0) + pen[d], POS_INF)
             cand = col + shifted
             take = cand <= best
             best = jnp.where(take, cand, best)
