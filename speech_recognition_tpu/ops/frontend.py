@@ -174,11 +174,15 @@ def _frontend_constants(cfg: FrontendConfig):
         raise ValueError(f"unknown frontend variant {cfg.variant!r}")
 
     dft_cos, dft_sin = _dft_power_bases(window, cfg.n_fft)
+    # one [fl, 2*bins] GEMM per frame block instead of two half-size
+    # launches (same FLOPs, one MXU pass sequence)
+    dft_cs = np.concatenate([dft_cos, dft_sin], axis=1)
     # Stored float64; cast to the compute dtype at trace time.
     return {
         "window": window,
         "dft_cos": dft_cos,
         "dft_sin": dft_sin,
+        "dft_cs": dft_cs,
         "mel_w": fbank.T.copy(),  # [n_bins, n_mels]
         "dct_m": dct_m,  # [n_mels, n_ceps]
         "lifter": lifter,
@@ -289,8 +293,9 @@ def mfcc(signal, length, cfg: FrontendConfig = FrontendConfig(), n_frames_cap: i
     # Windowed power spectrum.
     if cfg.dft_as_gemm:
         prec_dft = _spectral_precision(cfg, "dft")
-        re = jnp.dot(frames, consts["dft_cos"], precision=prec_dft)
-        im = jnp.dot(frames, consts["dft_sin"], precision=prec_dft)
+        reim = jnp.dot(frames, consts["dft_cs"], precision=prec_dft)
+        nb = consts["dft_cos"].shape[1]
+        re, im = reim[..., :nb], reim[..., nb:]
         power = (re * re + im * im) * (1.0 / cfg.n_fft)
     else:
         spec = jnp.fft.rfft(frames * consts["window"][None, :], cfg.n_fft)

@@ -77,6 +77,15 @@ class BandedTopo(NamedTuple):
     # state // W and end-state = u*W + W-1 are integer expressions, so
     # the eps machinery needs no MXU at all.  0 = irregular (lex trees).
     uniform_w: int = 0
+    # per-range flag: every destination row of the eps block is
+    # CONSTANT across its origin span (true for every no-LM composed
+    # graph — the eps cost is the shared word-insertion/boundary cost).
+    # The kernel then replaces the per-origin candidate loop with one
+    # masked min-reduce over the span (argmin on raw end values; with
+    # per-row constants argmin(c + end) == argmin(end) except on
+    # f32-rounding ties of quantized emissions — same documented
+    # restriction as the lex kernel's eps_rowconst fast path).
+    rowconst: Tuple[bool, ...] = ()
 
 
 def banded_topology(g: BandedGraph) -> BandedTopo:
@@ -91,13 +100,20 @@ def banded_topology(g: BandedGraph) -> BandedTopo:
         if (np.array_equal(starts, np.arange(v) * w)
                 and np.array_equal(ends, np.arange(v) * w + w - 1)):
             uniform_w = w
+    ranges = eps_ranges(g)
+    blk = np.asarray(g.eps_block)
+    rowconst = tuple(
+        bool(np.all(blk[v_lo:v_hi, u_lo:u_hi]
+                    == blk[v_lo:v_hi, u_lo : u_lo + 1]))
+        for (v_lo, v_hi, u_lo, u_hi) in ranges)
     return BandedTopo(
         n_states=s,
         word_starts=tuple(int(x) for x in starts),
         word_ends=tuple(int(x) for x in ends),
-        ranges=eps_ranges(g),
+        ranges=ranges,
         bank_map=tuple(int(x) for x in np.asarray(g.bank_state)),
         uniform_w=uniform_w,
+        rowconst=rowconst,
     )
 
 
@@ -259,28 +275,64 @@ def _kernel(nll_ref, expand_ref, band_ref, eps_ref, e_end_ref, e_start_ref,
             # disjoint) eps-block runs — Mosaic has no scatter
             pieces_b, pieces_a, pieces_p = [], [], []
             cursor = 0
-            for (v_lo, v_hi, u_lo, u_hi) in topo.ranges:
+            for ri, (v_lo, v_hi, u_lo, u_hi) in enumerate(topo.ranges):
                 if v_lo > cursor:
                     pieces_b.append(
                         jnp.full((v_lo - cursor, b), POS_INF, jnp.float32))
                     pieces_a.append(jnp.zeros((v_lo - cursor, b), jnp.float32))
                     pieces_p.append(jnp.zeros((v_lo - cursor, b), jnp.float32))
-                bb = jnp.full((v_hi - v_lo, b), POS_INF, jnp.float32)
-                aa = jnp.zeros((v_hi - v_lo, b), jnp.float32)
-                pp = jnp.zeros((v_hi - v_lo, b), jnp.float32)
-                for u in range(u_lo, u_hi):
-                    cand_u = (eps_ref[v_lo:v_hi, u : u + 1]
-                              + end_vals[u : u + 1, :])
-                    take = cand_u < bb  # strict: keep first minimum
-                    bb = jnp.where(take, cand_u, bb)
-                    aa = jnp.where(take, jnp.float32(u), aa)
+                span = u_hi - u_lo
+                rc = (ri < len(topo.rowconst) and topo.rowconst[ri]
+                      and span > 2)
+                if rc:
+                    # row-constant block (no-LM boundary cost): ONE
+                    # masked min-reduce over the span replaces the
+                    # per-origin candidate chain — bb is bit-equal
+                    # (c + end[u*] with u* = first argmin of the raw
+                    # ends; the f32-rounding-tie caveat is documented
+                    # on the rowconst field)
+                    sp_vals = end_vals[u_lo:u_hi, :]  # [span, B]
+                    m = jnp.min(sp_vals, axis=0, keepdims=True)  # [1, B]
+                    iota_u = jax.lax.broadcasted_iota(
+                        jnp.int32, (span, b), 0)
+                    arg_rel = jnp.min(
+                        jnp.where(sp_vals == m, iota_u, jnp.int32(span)),
+                        axis=0, keepdims=True)  # [1, B] first minimum
+                    zros = jnp.zeros((v_hi - v_lo, b), jnp.float32)
+                    bb = eps_ref[v_lo:v_hi, u_lo : u_lo + 1] + m
+                    aa = (arg_rel + u_lo).astype(jnp.float32) + zros
+                    pp = jnp.zeros((v_hi - v_lo, b), jnp.float32)
                     if emit_eps_prev:
+                        onehot = (iota_u == arg_rel).astype(jnp.float32)
                         if uniform:
-                            end_row = u * uniform[1] + uniform[0] - 1
+                            er = ((iota_u + u_lo).astype(jnp.float32)
+                                  * uniform[1] + (uniform[0] - 1))
                         else:
-                            end_row = topo.word_ends[u]
-                        prev_u = jnp.float32(end_row) - d_ends[u : u + 1, :]
-                        pp = jnp.where(take, prev_u, pp)
+                            er = jnp.asarray(
+                                np.array([topo.word_ends[u]
+                                          for u in range(u_lo, u_hi)],
+                                         np.float32)[:, None])
+                        prev_plane = er - d_ends[u_lo:u_hi, :]
+                        pp = jnp.sum(prev_plane * onehot, axis=0,
+                                     keepdims=True) + zros
+                else:
+                    bb = jnp.full((v_hi - v_lo, b), POS_INF, jnp.float32)
+                    aa = jnp.zeros((v_hi - v_lo, b), jnp.float32)
+                    pp = jnp.zeros((v_hi - v_lo, b), jnp.float32)
+                    for u in range(u_lo, u_hi):
+                        cand_u = (eps_ref[v_lo:v_hi, u : u + 1]
+                                  + end_vals[u : u + 1, :])
+                        take = cand_u < bb  # strict: keep first minimum
+                        bb = jnp.where(take, cand_u, bb)
+                        aa = jnp.where(take, jnp.float32(u), aa)
+                        if emit_eps_prev:
+                            if uniform:
+                                end_row = u * uniform[1] + uniform[0] - 1
+                            else:
+                                end_row = topo.word_ends[u]
+                            prev_u = (jnp.float32(end_row)
+                                      - d_ends[u : u + 1, :])
+                            pp = jnp.where(take, prev_u, pp)
                 pieces_b.append(bb)
                 pieces_a.append(aa)
                 pieces_p.append(pp)
