@@ -295,8 +295,10 @@ def mfcc(signal, length, cfg: FrontendConfig = FrontendConfig(), n_frames_cap: i
         prec_dft = _spectral_precision(cfg, "dft")
         reim = jnp.dot(frames, consts["dft_cs"], precision=prec_dft)
         nb = consts["dft_cos"].shape[1]
-        re, im = reim[..., :nb], reim[..., nb:]
-        power = (re * re + im * im) * (1.0 / cfg.n_fft)
+        # power via a [F, 2, bins] reshape view (lane slices re/im
+        # would materialize two copies of the 2x-bins GEMM output)
+        sq = (reim * reim).reshape(reim.shape[0], 2, nb)
+        power = (sq[:, 0, :] + sq[:, 1, :]) * (1.0 / cfg.n_fft)
     else:
         spec = jnp.fft.rfft(frames * consts["window"][None, :], cfg.n_fft)
         power = (jnp.abs(spec) ** 2) * (1.0 / cfg.n_fft)

@@ -100,3 +100,74 @@ def test_continuous_training_improves_connected_decode():
 
     wer_after = wer_digits(trained)
     assert wer_after <= 0.15, f"digit WER after embedded training {wer_after}"
+
+
+def test_word_confidence_tracks_noise(rng):
+    """Frame-posterior word confidence: clean decodes score near 1,
+    noisy decodes score lower; values are valid posteriors."""
+    import jax.numpy as jnp
+
+    from speech_recognition_tpu.decode.confidence import (
+        path_posteriors,
+        word_confidence,
+    )
+    from speech_recognition_tpu.decode.connected import (
+        _decode_banded_batch,
+        decode_connected,
+    )
+    from speech_recognition_tpu.data.synthetic import random_gmm_hmm
+    from speech_recognition_tpu.models.graph import build_loop_graph
+    from speech_recognition_tpu.models.hmm import GMMHMM, HMMBank
+    from speech_recognition_tpu.ops.viterbi_banded import banded_arrays
+    from speech_recognition_tpu.utils.numerics import to_cost_matrix
+
+    params = [random_gmm_hmm(rng, n_states=3, n_mix=1, dim=6, sep=6.0)
+              for _ in range(4)]
+    bank = HMMBank.stack([GMMHMM(
+        means=jnp.asarray(p["means"], jnp.float32),
+        log_vars=jnp.log(jnp.asarray(p["variances"], jnp.float32)),
+        log_weights=jnp.log(jnp.asarray(p["weights"], jnp.float32)),
+        trans_cost=jnp.asarray(to_cost_matrix(p["trans"])),
+    ) for p in params])
+    graph = build_loop_graph([p["trans"] for p in params])
+    bg = banded_arrays(graph)
+
+    def corpus(noise):
+        seqs, xs, nfs = [], [], []
+        for _ in range(6):
+            seq = [int(rng.integers(0, 4)) for _ in range(4)]
+            frames = []
+            for w in seq:
+                for s in range(3):
+                    for _ in range(3):
+                        frames.append(params[w]["means"][s, 0]
+                                      + noise * rng.standard_normal(6))
+            seqs.append(seq)
+            xs.append(np.asarray(frames, np.float32))
+            nfs.append(len(frames))
+        t = max(nfs)
+        fb = np.zeros((6, t, 6), np.float32)
+        for i, x in enumerate(xs):
+            fb[i, : len(x)] = x
+        return seqs, jnp.asarray(fb), jnp.asarray(np.asarray(nfs, np.int32))
+
+    def mean_conf(noise):
+        seqs, fb, nfs = corpus(noise)
+        states, eps_flags, costs = _decode_banded_batch(
+            bank, fb, nfs, bg, eps_depth=graph.eps_depth)
+        post = path_posteriors(bank, bg, fb, nfs, states,
+                               eps_depth=graph.eps_depth)
+        post_np = np.asarray(post)
+        vals = []
+        for i in range(fb.shape[0]):
+            wc = word_confidence(graph, np.asarray(states)[i], 
+                                 np.asarray(eps_flags)[i], post_np[i],
+                                 int(nfs[i]))
+            assert all(0.0 <= c <= 1.0 + 1e-6 for _, c in wc)
+            vals.extend(c for _, c in wc)
+        return float(np.mean(vals))
+
+    clean = mean_conf(0.2)
+    noisy = mean_conf(3.0)
+    assert clean > 0.9, clean
+    assert noisy < clean, (noisy, clean)
