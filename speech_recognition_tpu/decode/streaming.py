@@ -43,7 +43,9 @@ import numpy as np
 from speech_recognition_tpu.models.graph import WordGraph
 from speech_recognition_tpu.models.hmm import HMMBank, bank_nll
 from speech_recognition_tpu.ops.viterbi_banded import (
+    _CROSS,
     _EPS,
+    MAX_BAND,
     BandedGraph,
     _band_relax,
     _cross_relax,
@@ -57,7 +59,30 @@ from speech_recognition_tpu.utils.numerics import POS_INF
 __all__ = ["StreamingDecoder"]
 
 
-@functools.partial(jax.jit, static_argnames=("eps_depth", "first_chunk"))
+@jax.jit
+def _immortal_scan(org_stack, alive):
+    """Compose chunk ancestor maps newest-to-oldest.
+
+    ``org_stack [N, B, S]`` (chunk k's map: end-of-chunk state -> state
+    at the last frame of chunk k-1), ``alive [B, S]`` ->
+    ``(imm [N, B] bool, sig [N, B] int32)`` where row j refers to
+    boundary ``N-1-j``: imm = every live state shares one ancestor
+    there, sig = that ancestor."""
+    n, b, s = org_stack.shape
+    ident = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32)[None], (b, s))
+
+    def f(a, org_k):
+        a2 = jnp.take_along_axis(org_k, a, axis=1)
+        mn = jnp.min(jnp.where(alive, a2, jnp.int32(s)), axis=1)
+        mx = jnp.max(jnp.where(alive, a2, jnp.int32(-1)), axis=1)
+        return a2, (mn == mx, mn)
+
+    _, (imm, sig) = jax.lax.scan(f, ident, org_stack[::-1])
+    return imm, sig
+
+
+@functools.partial(jax.jit, static_argnames=("eps_depth", "first_chunk",
+                                              "track_org"))
 def _chunk_step(
     bank: HMMBank,
     g: BandedGraph,
@@ -66,11 +91,19 @@ def _chunk_step(
     n_valid,
     eps_depth: int = 1,
     first_chunk: bool = False,
+    track_org: bool = False,
 ):
     """Advance the frontier over one chunk.
 
-    Returns ``(new frontier [S], bp8 [C, S] int8, eps_u [C, R])``.  For
-    the first chunk the frontier is the graph's init cost (no band
+    Returns ``(new frontier [S], bp8 [C, S] int8, eps_u [C, R])``, plus
+    an ancestor map ``org [S] int32`` when ``track_org``: for each
+    state, the state at the CHUNK START its best token descends from
+    (the same value-carry pattern as the lattice pass's entry times) —
+    the building block of incremental emission: composing chunk maps
+    tells when every live hypothesis shares one ancestor, at which
+    point the path up to that frame is immortal and can be flushed.
+
+    For the first chunk the frontier is the graph's init cost (no band
     relaxation before the first emission); later chunks relax from the
     carried frontier first.
     """
@@ -78,21 +111,43 @@ def _chunk_step(
     frame_mask = jnp.arange(c) < n_valid
     nll = bank_nll(bank, feats_chunk, frame_mask)[:, g.bank_state]
     nll = jnp.minimum(nll, POS_INF)
+    s = g.init_cost.shape[0]
     r = g.word_starts.shape[0]
     u_dtype = _eps_u_dtype(g.word_ends.shape[0])
 
-    def column(base, d_sel, emis):
+    def shift_org(x, dd):
+        if dd == 0:
+            return x
+        return jnp.concatenate([jnp.zeros((dd,), x.dtype), x[:-dd]])
+
+    def column(base, d_sel, emis, prev, org):
         cost = jnp.minimum(base + emis, POS_INF)
         bp8 = d_sel
         eps_u = jnp.zeros((r,), u_dtype)
+        if track_org:
+            new_org = org
+            for dd in range(1, MAX_BAND + 1):
+                new_org = jnp.where(d_sel == jnp.int8(dd),
+                                    shift_org(org, dd), new_org)
+            if g.cross_src is not None:
+                new_org = jnp.where(d_sel == jnp.int8(_CROSS),
+                                    org[g.cross_src], new_org)
+        else:
+            new_org = org
         for _ in range(eps_depth):
             cost, better, better_r, origin_u = _eps_relax(cost, emis, g)
             bp8 = jnp.where(better, jnp.int8(_EPS), bp8)
             eps_u = jnp.where(better_r, origin_u.astype(u_dtype), eps_u)
-        return cost, bp8, eps_u
+            if track_org:
+                # eps arrivals inherit the origin end-state's ancestor
+                org_ends = new_org[g.word_ends]  # [L]
+                arc_org = org_ends[origin_u]  # [R]
+                dense = arc_org[g.start_pos]
+                new_org = jnp.where(better, dense, new_org)
+        return cost, bp8, eps_u, new_org
 
     def step(carry, inputs):
-        prev = carry
+        prev, org = carry
         t, emis = inputs
         if first_chunk:
             # column 0 of the whole utterance: init cost enters directly,
@@ -105,13 +160,19 @@ def _chunk_step(
         else:
             base, d_sel = _band_relax(prev, g.band)
             base, d_sel = _cross_relax(base, d_sel, prev, g)
-        cost, bp8, eps_u = column(base, d_sel, emis)
+        cost, bp8, eps_u, new_org = column(base, d_sel, emis, prev, org)
         active = t < n_valid
         cost = jnp.where(active, cost, prev)
-        return cost, (bp8, eps_u)
+        if track_org:
+            new_org = jnp.where(active, new_org, org)
+        return (cost, new_org), (bp8, eps_u)
 
     ts = jnp.arange(c)
-    new_frontier, (bps, eps_us) = jax.lax.scan(step, frontier, (ts, nll))
+    org0 = jnp.arange(s, dtype=jnp.int32)  # identity at the chunk start
+    (new_frontier, org_out), (bps, eps_us) = jax.lax.scan(
+        step, (frontier, org0), (ts, nll))
+    if track_org:
+        return new_frontier, bps, eps_us, org_out
     return new_frontier, bps, eps_us
 
 
@@ -123,10 +184,23 @@ class StreamingDecoder:
     counts) — the production serving shape."""
 
     def __init__(self, bank: HMMBank, graph, chunk_frames: int = 256,
-                 batch: int = 1):
+                 batch: int = 1, emit_incremental: bool = False,
+                 window_chunks: int = 8):
         """``graph`` is a WordGraph or a LexGraph — streaming over the
         lexical tree works unchanged (the chunk step already relaxes
-        cross-arc edges; only word recovery differs)."""
+        cross-arc edges; only word recovery differs).
+
+        ``emit_incremental``: bounded-memory mode for unbounded audio.
+        Each chunk step also carries an ANCESTOR MAP (state -> the
+        chunk-boundary state its best token descends from); when every
+        live hypothesis of a stream shares one ancestor at some
+        buffered boundary, the path up to that frame is IMMORTAL — it
+        is a prefix of whatever the final backtrace will produce — so
+        its words are emitted (``push`` returns them), its plane chunks
+        are dropped, and device memory stays O(window) regardless of
+        audio length.  Emitted + final output is bit-identical to the
+        monolithic decode (asserted in tests).  Requires full-width
+        pushes (the final push may be partial) and a word graph."""
         from speech_recognition_tpu.models.lexgraph import LexGraph
 
         self.bank = bank
@@ -135,11 +209,18 @@ class StreamingDecoder:
         self.bg = graph.banded if self._is_lex else banded_arrays(graph)
         self.chunk_frames = chunk_frames
         self.batch = batch
+        self.emit_incremental = emit_incremental
+        self.window_chunks = max(2, int(window_chunks))
+        if emit_incremental and self._is_lex:
+            raise NotImplementedError(
+                "emit_incremental: lexgraph word recovery not wired yet")
+
         def make_step(first):
             return jax.vmap(
                 lambda fr, x, n: _chunk_step(
                     self.bank, self.bg, fr, x, n,
                     eps_depth=self.graph.eps_depth, first_chunk=first,
+                    track_org=self.emit_incremental,
                 )
             )
 
@@ -152,8 +233,13 @@ class StreamingDecoder:
         self._frontier = jnp.broadcast_to(self.bg.init_cost, (self.batch, s))
         self._bp_chunks: List[jnp.ndarray] = []  # device-resident [B, C, S]
         self._eps_chunks: List[jnp.ndarray] = []  # device-resident [B, C, R]
+        self._org_chunks: List[jnp.ndarray] = []  # [B, S] ancestor maps
         self._nv_history: List[np.ndarray] = []
         self._n_frames = np.zeros((self.batch,), dtype=np.int64)
+        self._flushed = 0  # frames already emitted (uniform across streams)
+        self._emitted: List[List[int]] = [[] for _ in range(self.batch)]
+        self._prev_slot = [-1] * self.batch
+        self._saw_partial = False
         self._first = True
 
     def _as_batch(self, a, extra_dims):
@@ -177,14 +263,85 @@ class StreamingDecoder:
         else:
             nv = np.broadcast_to(np.asarray(n_valid, np.int32), (self.batch,)).copy()
         step = self._step_first if self._first else self._step_rest
-        self._frontier, bp8, eps_u = step(
-            self._frontier, jnp.asarray(x, jnp.float32), jnp.asarray(nv)
-        )
+        outs = step(self._frontier, jnp.asarray(x, jnp.float32),
+                    jnp.asarray(nv))
+        if self.emit_incremental:
+            if getattr(self, "_saw_partial", False):
+                raise ValueError("emit_incremental needs full-width pushes "
+                                 "(only the final chunk may be partial)")
+            if int(nv.min()) != c:
+                self._saw_partial = True
+            self._frontier, bp8, eps_u, org = outs
+            self._org_chunks.append(org)
+        else:
+            self._frontier, bp8, eps_u = outs
         self._first = False
         self._bp_chunks.append(bp8)  # stays on device
         self._eps_chunks.append(eps_u)
         self._nv_history.append(nv)
         self._n_frames += nv
+        if (self.emit_incremental
+                and len(self._bp_chunks) > self.window_chunks
+                and int(nv.min()) == c):
+            return self._try_flush()
+        return [[] for _ in range(self.batch)]
+
+    def _extend_words(self, i, states, eps_flags):
+        """Continue the per-stream word state machine over a new path
+        segment (same boundary rule as ``states_to_words``, with slot
+        continuity carried across flushes)."""
+        slot = np.asarray(self.graph.slot)
+        labels = np.asarray(self.graph.slot_label)
+        base_t = self._flushed
+        new: List[int] = []
+        for t, st in enumerate(states):
+            s = int(slot[int(st)])
+            gt = base_t + t
+            boundary = s != self._prev_slot[i] or (gt > 0 and eps_flags[t])
+            if boundary:
+                w = int(labels[s])
+                new.append(w)
+                self._emitted[i].append(w)
+            self._prev_slot[i] = s
+        return new
+
+    def _try_flush(self):
+        """Emit every word whose path is immortal and drop its planes.
+
+        Composes the buffered ancestor maps newest-to-oldest; the most
+        recent boundary where every live hypothesis of every stream
+        shares one ancestor is a fixed point of the final backtrace, so
+        the segment before it decodes NOW, bit-identically."""
+        n = len(self._org_chunks)
+        out: List[List[int]] = [[] for _ in range(self.batch)]
+        imm, sig = _immortal_scan(jnp.stack(self._org_chunks),
+                                  self._frontier < POS_INF / 2)
+        imm = np.asarray(imm)
+        sig = np.asarray(sig)
+        for j in range(n):
+            k = n - 1 - j
+            if k >= 1 and bool(imm[j].all()):
+                break
+        else:
+            return out
+        seg_bp = jnp.concatenate(self._bp_chunks[:k], axis=1).transpose(1, 2, 0)
+        seg_eps = jnp.concatenate(self._eps_chunks[:k], axis=1).transpose(1, 2, 0)
+        t_seg = int(seg_bp.shape[0])
+        states_tb, eps_tb = banded_backtrace_tb(
+            seg_bp, seg_eps, self.bg,
+            jnp.asarray(sig[j].astype(np.int32)),
+            jnp.full((self.batch,), t_seg, jnp.int32),
+            eps_depth=self.graph.eps_depth)
+        s_np = np.asarray(states_tb).T
+        e_np = np.asarray(eps_tb).T
+        for i in range(self.batch):
+            out[i] = self._extend_words(i, s_np[i, :t_seg], e_np[i, :t_seg])
+        del self._bp_chunks[:k]
+        del self._eps_chunks[:k]
+        del self._org_chunks[:k]
+        del self._nv_history[:k]
+        self._flushed += t_seg
+        return out
 
     def best_cost(self):
         f = np.asarray(self._frontier)
@@ -217,6 +374,7 @@ class StreamingDecoder:
         # every stream — concatenates on DEVICE: valid frames are
         # contiguous and trailing garbage is masked by n_frames, so no
         # plane ever crosses the tunnel (only the [B, T] paths do)
+        nf_bt = (self._n_frames - self._flushed).astype(np.int32)
         contiguous = all(
             int(nv.min()) == c.shape[1]
             for c, nv in zip(self._bp_chunks[:-1], self._nv_history[:-1]))
@@ -245,7 +403,7 @@ class StreamingDecoder:
         states_tb, eps_tb = banded_backtrace_tb(
             bp_tsb, eps_tsb,
             self.bg, jnp.asarray(end_states),
-            jnp.asarray(self._n_frames.astype(np.int32)),
+            jnp.asarray(nf_bt),
             eps_depth=self.graph.eps_depth,
         )
         states_all = np.asarray(states_tb).T  # [B, T]
@@ -253,9 +411,14 @@ class StreamingDecoder:
 
         results = []
         for b in range(self.batch):
-            t_total = int(self._n_frames[b])
+            t_total = int(nf_bt[b])
             states = states_all[b, :t_total].astype(np.int32)
-            if self._is_lex:
+            if self.emit_incremental:
+                # residual segment continues the incremental machine;
+                # emitted + residual == the monolithic word sequence
+                self._extend_words(b, states, eps_all[b, :t_total])
+                words = list(self._emitted[b])
+            elif self._is_lex:
                 from speech_recognition_tpu.models.lexgraph import (
                     lex_words_from_path,
                 )

@@ -169,3 +169,67 @@ def test_batched_streaming_matches_individual(setup, rng):
         assert words_b == words_s
         np.testing.assert_allclose(cost_b, cost_s, rtol=1e-5)
         np.testing.assert_array_equal(states_b, states_s)
+
+
+def test_incremental_emission_matches_monolithic(setup):
+    """emit_incremental: words emitted mid-stream (path immortality via
+    composed ancestor maps) + the finish() residual == the monolithic
+    decode exactly, while the plane buffer stays bounded."""
+    bank, graph, x, seq = setup
+    mono_seqs, mono_costs = decode_connected(
+        bank, graph, x[None], np.asarray([len(x)], np.int32))
+
+    chunk, window = 32, 3
+    dec = StreamingDecoder(bank, graph, chunk_frames=chunk,
+                           emit_incremental=True, window_chunks=window)
+    early, max_buf = [], 0
+    t = 0
+    while t < len(x):
+        c = min(chunk, len(x) - t)
+        buf = np.zeros((chunk, x.shape[1]), np.float32)
+        buf[:c] = x[t : t + c]
+        new = dec.push(buf, n_valid=c)
+        early.extend(new[0])
+        max_buf = max(max_buf, len(dec._bp_chunks))
+        t += c
+    words, states, cost = dec.finish()
+    assert words == mono_seqs[0]
+    np.testing.assert_allclose(cost, mono_costs[0], rtol=1e-5)
+    # the flushes really happened: a healthy share of words was emitted
+    # before finish, and the plane buffer never grew past window + 1
+    assert len(early) >= len(words) // 2, (len(early), len(words))
+    assert early == words[: len(early)]
+    assert max_buf <= window + 1, max_buf
+
+
+def test_incremental_emission_batched(setup, rng):
+    """Batched incremental streams: lock-step flushes still reproduce
+    each stream's monolithic decode."""
+    bank, graph, x, seq = setup
+    b = 3
+    t_max = len(x)
+    fb = np.zeros((b, t_max, x.shape[1]), np.float32)
+    for i in range(b):
+        fb[i] = x + 0.02 * rng.standard_normal(x.shape)
+    lens = [t_max] * b  # lock-step serving: equal-length streams
+    mono_seqs, mono_costs = decode_connected(
+        bank, graph, fb, np.asarray(lens, np.int32))
+
+    chunk = 40
+    dec = StreamingDecoder(bank, graph, chunk_frames=chunk, batch=b,
+                           emit_incremental=True, window_chunks=3)
+    early = [[] for _ in range(b)]
+    t = 0
+    while t < t_max:
+        c = min(chunk, t_max - t)
+        bufc = np.zeros((b, chunk, x.shape[1]), np.float32)
+        bufc[:, :c] = fb[:, t : t + c]
+        new = dec.push(bufc, n_valid=c)
+        for i in range(b):
+            early[i].extend(new[i])
+        t += c
+    res = dec.finish()
+    for i in range(b):
+        words, states, cost = res[i]
+        assert words == mono_seqs[i], i
+        assert early[i] == words[: len(early[i])], i
