@@ -779,6 +779,60 @@ def bench_streaming(batch=64, chunk=256, n_chunks=20, frame_step_s=0.01):
     log(f"streaming e2e (host chunks): {total_audio:.0f} audio-s in "
         f"{wall:.2f} s wall incl. feature upload -> "
         f"{total_audio/wall:.0f} audio-s/s")
+
+    # (c) incremental emission: unbounded-audio mode — words emitted
+    # mid-stream via path-immortality flushes, plane memory O(window).
+    # Two requirements for stabilization: speech-like input (pure noise
+    # keeps every hypothesis competitive) and an unbounded-audio graph
+    # (the LOOP graph; a fixed-slot sausage keeps lagging slot-1 tokens
+    # alive forever, so no boundary is ever shared — and it cannot
+    # model unbounded audio in the first place).
+    from speech_recognition_tpu.decode.streaming import StreamingDecoder as SD
+    from speech_recognition_tpu.models.graph import build_loop_graph
+
+    loop_g = build_loop_graph(
+        [np.asarray(bank.trans_cost[i]) for i in range(bank.n_models)])
+
+    means = np.asarray(bank.means)  # [N, S, M, D]
+    n_models, n_states = means.shape[0], means.shape[1]
+    t_total = chunk * n_chunks
+    sig_feats = np.zeros((batch, t_total, means.shape[-1]), np.float32)
+    for bi in range(batch):
+        t = 0
+        while t < t_total:
+            w = int(rng.integers(0, n_models))
+            for st in range(n_states):
+                for _ in range(int(rng.integers(2, 5))):
+                    if t >= t_total:
+                        break
+                    sig_feats[bi, t] = (means[w, st, 0]
+                                        + 0.5 * rng.standard_normal(
+                                            means.shape[-1]))
+                    t += 1
+    chunks_sp = [
+        jax.block_until_ready(jnp.asarray(
+            sig_feats[:, i * chunk : (i + 1) * chunk], jnp.float32))
+        for i in range(n_chunks)]
+
+    dec_i = SD(bank, loop_g, chunk_frames=chunk, batch=batch,
+               emit_incremental=True, window_chunks=8)
+    n_early = 0
+    max_buf = 0
+    for trial in range(2):
+        dec_i.reset()
+        n_early = 0
+        t0 = time.perf_counter()
+        for x_dev in chunks_sp:
+            new = dec_i.push(x_dev)
+            n_early += sum(len(w) for w in new)
+            max_buf = max(max_buf, len(dec_i._bp_chunks))
+        res = dec_i.finish()
+        wall_i = time.perf_counter() - t0
+    n_total = sum(len(r[0]) for r in res)
+    log(f"streaming e2e (incremental, window 8): {total_audio:.0f} audio-s "
+        f"in {wall_i:.2f} s wall -> {total_audio/wall_i:.0f} audio-s/s; "
+        f"{n_early}/{n_total} words emitted mid-stream, plane buffer "
+        f"peak {max_buf} chunks (memory O(window) for unbounded audio)")
     return e2e
 
 
