@@ -285,52 +285,127 @@ def lattice_words(res: RescoreResult, leaf_word, n_frames) -> List[List[int]]:
     return out
 
 
+@functools.partial(jax.jit, static_argnames=("max_dur",))
+def _lattice_truncation_count(ends_cost, ends_tau, n_frames,
+                              max_dur: int = 128):
+    """Number of LIVE lattice arcs whose span exceeds ``max_dur`` frames
+    (the rescorer's H/Q rings silently drop them — the classical
+    per-word duration cap).  One masked reduce, fetched as a scalar."""
+    t_len = ends_cost.shape[0]
+    ts = jnp.arange(t_len)[:, None, None]
+    live = (ends_cost < POS_INF / 2) & (ts < n_frames[None, None, :])
+    too_long = (ts - ends_tau) > max_dur
+    return jnp.sum(live & too_long)
+
+
 def decode_lextree_bigram(bank, lexg, lm, feats, n_frames,
-                          backend: str = None) -> Tuple[List[List[int]],
-                                                        np.ndarray]:
+                          backend: str = None, max_dur: int = 128,
+                          batch_chunk: int = None,
+                          ) -> Tuple[List[List[int]], np.ndarray]:
     """Production bigram decode over a deep lexical tree: no-LM pass-1
-    lattice (Pallas lex kernel on TPU, XLA scan elsewhere) + exact
-    bigram rescoring over the lattice.  ``lexg`` must be built with
-    NO lm/unigram (word_insertion_cost allowed, passed as ``wic``).
+    lattice (Pallas lex kernel on TPU — SoA layout when its VMEM
+    envelope admits the graph, the lane-major "wide" kernel at
+    reference-dictionary scale — the XLA scan elsewhere) + exact bigram
+    rescoring over the lattice.  ``lexg`` must be built with NO
+    lm/unigram (word_insertion_cost allowed, passed as ``wic``).
+
+    ``backend``: None auto-selects by VMEM fits-guard
+    (``lex_pallas_lattice_batch_chunk``) with batch chunking, falling
+    back to the XLA lattice scan when nothing fits; "xla" / "pallas" /
+    "pallas-wide" (each with an optional "-interpret" suffix) force a
+    path.  ``max_dur``: per-word duration cap of the rescorer; arcs
+    spanning more frames are dropped from the lattice, and a
+    ``RuntimeWarning`` reports how many live arcs that truncated.
 
     Returns ``(word sequences, rescored costs)``."""
+    import warnings
+
     import jax as _jax
 
     from speech_recognition_tpu.models.hmm import bank_nll
 
     g = lexg.banded
-    b, t, d = feats.shape
     feats = jnp.asarray(feats)
     n_frames = jnp.asarray(n_frames)
+    b, t, d = feats.shape
+
+    if backend is None:
+        from speech_recognition_tpu.decode.lextree import _lex_plan_cached
+        from speech_recognition_tpu.ops.viterbi_lex_pallas import (
+            lex_pallas_lattice_batch_chunk,
+        )
+
+        backend = "xla"
+        if _jax.default_backend() == "tpu":
+            plan = _lex_plan_cached(lexg)
+            if (plan is not None
+                    and lex_pallas_lattice_batch_chunk(plan, b) > 0):
+                backend = "pallas"
+            else:
+                wplan = _lex_plan_cached(lexg, layout="wide")
+                if (wplan is not None
+                        and lex_pallas_lattice_batch_chunk(wplan, b) > 0):
+                    backend = "pallas-wide"
 
     def emis(x, nf):
         return bank_nll(bank, x, jnp.arange(t) < nf)
 
-    nll_bank = jax.vmap(emis)(feats, n_frames)  # [B, T, U]
-    if backend is None:
-        backend = "pallas" if _jax.default_backend() == "tpu" else "xla"
     if backend.startswith("pallas"):
         from speech_recognition_tpu.decode.lextree import _lex_plan_cached
         from speech_recognition_tpu.ops.viterbi_lex_pallas import (
+            lex_pallas_lattice_batch_chunk,
             viterbi_lex_pallas_lattice,
+            viterbi_lex_pallas_wide_lattice,
         )
 
-        plan = _lex_plan_cached(lexg)
+        wide = backend.startswith("pallas-wide")
+        plan = _lex_plan_cached(lexg, layout="wide" if wide else "soa")
         if plan is None:
             raise ValueError("graph outside the Pallas kernel's structure")
-        nll_tub = jnp.transpose(nll_bank, (1, 2, 0))
-        ends_cost, ends_tau = viterbi_lex_pallas_lattice(
-            nll_tub, plan, n_frames, plan.topo,
-            interpret=backend.endswith("interpret"))
+        interp = backend.endswith("interpret")
+        kern = (viterbi_lex_pallas_wide_lattice if wide
+                else viterbi_lex_pallas_lattice)
+        bc = batch_chunk or lex_pallas_lattice_batch_chunk(plan, b)
+        if bc == 0:
+            raise ValueError("graph exceeds the lattice-kernel VMEM "
+                             "envelope at any batch; use backend='xla'")
+
+        def run(nll_c, nf_c):
+            return kern(nll_c, plan, nf_c, plan.topo, interpret=interp)
+
+        nll_tub = jnp.transpose(jax.vmap(emis)(feats, n_frames), (1, 2, 0))
+        if bc >= b:
+            ends_cost, ends_tau = run(nll_tub, n_frames)
+        else:
+            b_pad = (b + bc - 1) // bc * bc
+            nf_p = n_frames
+            if b_pad != b:
+                nll_tub = jnp.pad(nll_tub,
+                                  ((0, 0), (0, 0), (0, b_pad - b)))
+                nf_p = jnp.pad(n_frames, (0, b_pad - b), constant_values=1)
+            outs = [run(nll_tub[:, :, i : i + bc], nf_p[i : i + bc])
+                    for i in range(0, b_pad, bc)]
+            ends_cost = jnp.concatenate([o[0] for o in outs], axis=2)[:, :, :b]
+            ends_tau = jnp.concatenate([o[1] for o in outs], axis=2)[:, :, :b]
     else:
+        nll_bank = jax.vmap(emis)(feats, n_frames)  # [B, T, U]
         nll_tb = jnp.transpose(nll_bank, (1, 2, 0))[:, g.bank_state, :]
         _, ends_cost, ends_tau = viterbi_lattice_tb(nll_tb, g, n_frames)
+    n_trunc = int(_lattice_truncation_count(ends_cost, ends_tau, n_frames,
+                                            max_dur=max_dur))
+    if n_trunc:
+        warnings.warn(
+            f"lattice_rescore: {n_trunc} live lattice arc(s) span more "
+            f"than max_dur={max_dur} frames and were dropped from the "
+            "lattice; raise max_dur for slow speech / long words",
+            RuntimeWarning, stacklevel=2)
     res = lattice_rescore(
         ends_cost, ends_tau, jnp.asarray(lexg.leaf_word),
         jnp.asarray(np.asarray(lm.cost, np.float32)),
         jnp.asarray(np.asarray(lm.start_cost, np.float32)),
         jnp.asarray(np.asarray(lm.end_cost, np.float32)),
-        n_frames, backoff=rescore_backoff(lm, lexg.leaf_word))
+        n_frames, max_dur=max_dur,
+        backoff=rescore_backoff(lm, lexg.leaf_word))
     seqs = lattice_words(res, lexg.leaf_word, n_frames)
     return seqs, np.asarray(res.cost)
 

@@ -46,8 +46,9 @@ from speech_recognition_tpu.ops.viterbi_banded import _CROSS, _EPS, MAX_BAND
 from speech_recognition_tpu.utils.numerics import POS_INF
 
 __all__ = ["LexTopo", "LexPlan", "lex_pallas_plan", "viterbi_lex_pallas",
-           "viterbi_lex_pallas_lattice", "lex_backtrace_soa",
-           "lex_pallas_fits", "lex_pallas_batch_chunk"]
+           "viterbi_lex_pallas_lattice", "viterbi_lex_pallas_wide_lattice",
+           "lex_backtrace_soa", "lex_pallas_fits", "lex_pallas_batch_chunk",
+           "lex_pallas_lattice_batch_chunk"]
 
 _SELECT_PRECISION = jax.lax.Precision.HIGHEST
 
@@ -474,6 +475,47 @@ def lex_pallas_wide_batch_chunk(plan: "LexPlan", batch: int,
                                       frames_per_step) <= 100 * 2**20:
             return min(bc, batch)
         bc -= 8
+    return 0
+
+
+def lex_pallas_lattice_vmem_bytes(plan: "LexPlan", batch: int,
+                                  frames_per_step: int = 2) -> int:
+    """Scoped-VMEM estimate for the LATTICE variants: the base kernel's
+    budget plus the tau scratch plane and its ~2 live transients
+    (tau_b / tau_g), minus nothing that matters (the dropped bp blocks
+    are smaller than the added endc/endt f32+int32 blocks only at
+    su < 2, which the lex builder rejects anyway — keep the estimate
+    conservative)."""
+    topo = plan.topo
+    s = topo.su * topo.a_pad
+    extra = 3 * s * batch * 4 + 2 * frames_per_step * topo.a_pad * batch * 8
+    if topo.lane_major:
+        return lex_pallas_wide_vmem_bytes(plan, batch, frames_per_step) + extra
+    return lex_pallas_vmem_bytes(plan, batch, frames_per_step) + extra
+
+
+def lex_pallas_lattice_batch_chunk(plan: "LexPlan", batch: int,
+                                   frames_per_step: int = 2) -> int:
+    """Largest batch tile for the lattice kernel matching the plan's
+    layout (8-multiples for wide, powers of two for SoA); 0 if nothing
+    fits — callers fall back to the XLA lattice scan."""
+    if plan.topo.lane_major:
+        bc = min(_ceil8(batch), 64)
+        while bc >= 8:
+            if lex_pallas_lattice_vmem_bytes(
+                    plan, min(bc, batch), frames_per_step) <= 100 * 2**20:
+                return min(bc, batch)
+            bc -= 8
+        return 0
+    bc = min(1 << max(0, int(batch - 1).bit_length()), 512)
+    while bc >= 1:
+        eff = min(bc, batch)
+        if lex_pallas_lattice_vmem_bytes(plan, eff,
+                                         frames_per_step) <= 100 * 2**20:
+            return eff
+        if eff <= 1:
+            break
+        bc //= 2
     return 0
 
 
@@ -995,7 +1037,8 @@ def viterbi_lex_pallas_lattice(nll_tub, plan: LexPlan, n_frames,
 
 def _lex_kernel_wide(nll_ref, expand_ref, band_ref, cc_ref, eps_ref,
                      rows_ref, lid_ref, init_ref, nf_ref, *rest,
-                     topo: LexTopo, frames_per_step: int):
+                     topo: LexTopo, frames_per_step: int,
+                     emit_lattice: bool = False):
     """Lane-major ([B, S_soa]) twin of :func:`_lex_kernel` for
     reference-dictionary-scale graphs: states ride the LANE axis so a
     live frontier plane costs B * S_soa * 4 bytes instead of the
@@ -1004,10 +1047,23 @@ def _lex_kernel_wide(nll_ref, expand_ref, band_ref, cc_ref, eps_ref,
     live planes).  Levels are 128-padded so every lane slice, shift
     and concat lands on a vreg boundary.  Always banded selectors +
     factored expansion + eps_prev side plane (the value backtrace is
-    the only walk at this scale)."""
+    the only walk at this scale).
+
+    ``emit_lattice``: the lattice-generation twin (the wide-layout
+    counterpart of ``_lex_kernel(emit_lattice=True)``): no backpointer
+    planes at all — an entry-time value plane ``tau [B, S]`` rides the
+    DP (band decisions follow ``dsel``, cross decisions gather the
+    parent's tau through the SAME staircase selectors, eps re-entries
+    stamp the current frame), and per frame the end-slice costs + entry
+    times stream out for pass-2 bigram rescoring (``ops/lattice.py``)."""
     sel_ref = rest[0] if topo.sel_blocks else None
     n_sel = 1 if topo.sel_blocks else 0
-    final_ref, bp_ref, epsu_ref, epsp_ref, cost_ref = rest[n_sel:]
+    endc_ref = endt_ref = tau_ref = None
+    bp_ref = epsu_ref = epsp_ref = None
+    if emit_lattice:
+        final_ref, endc_ref, endt_ref, cost_ref, tau_ref = rest[n_sel:]
+    else:
+        final_ref, bp_ref, epsu_ref, epsp_ref, cost_ref = rest[n_sel:]
     ti = pl.program_id(0)
     b, s_w = cost_ref.shape
     su, a_pad, r = topo.su, topo.a_pad, topo.n_roots
@@ -1035,13 +1091,25 @@ def _lex_kernel_wide(nll_ref, expand_ref, band_ref, cc_ref, eps_ref,
         p0, p1, p2 = split3_l(x)
         return dot_nt(p0, sel) + dot_nt(p1, sel) + dot_nt(p2, sel)
 
-    def shift_lanes(x, d):
-        """x[:, j - d] with POS_INF fill (lane concat, 128-aligned d)."""
+    def shift_lanes(x, d, fill=POS_INF):
+        """x[:, j - d] with constant fill (lane concat, 128-aligned d)."""
         return jnp.concatenate(
-            [jnp.full((b, d), POS_INF, jnp.float32), x[:, :-d]], axis=1)
+            [jnp.full((b, d), fill, jnp.float32), x[:, :-d]], axis=1)
+
+    def gather_ends_wide(src, fill0):
+        """Block-banded staircase gather of a [B, A] end-slice plane to
+        child-start lanes (the cross-edge parent map) — shared by the
+        cost relaxation and the lattice entry-time carry."""
+        w = topo.sel_w
+        pieces = [jnp.full((b, lv0), fill0, jnp.float32)]
+        for (row0, nr, w0) in topo.sel_blocks:
+            selb = sel_ref[row0 : row0 + nr, :].astype(jnp.bfloat16)
+            pieces.append(gather3(src[:, w0 : w0 + w], selb))
+        return jnp.concatenate(pieces, axis=1)  # [B, A]
 
     prev = cost_ref[...]  # [B, S]
     fin = final_ref[...]
+    tau = tau_ref[...] if emit_lattice else None
     nf_c = nf_ref[...]  # [B, 1]
     inf_bs = jnp.full((b, s_w), POS_INF, jnp.float32)
     expand_bf = expand_ref[...].astype(jnp.bfloat16)  # [a_pad, U128]
@@ -1065,16 +1133,19 @@ def _lex_kernel_wide(nll_ref, expand_ref, band_ref, cc_ref, eps_ref,
                          jnp.where(best == c1, jnp.float32(1),
                                    jnp.float32(0)))
         base = jnp.minimum(best, POS_INF)
+        if emit_lattice:
+            # entry-time carry follows the band decision (0-filled
+            # wrap lanes only matter where the cost is POS_INF)
+            tau_prev_f = tau
+            tau_b = jnp.where(dsel == jnp.float32(1),
+                              shift_lanes(tau, a_pad, 0.0), tau)
+            tau_b = jnp.where(dsel == jnp.float32(2),
+                              shift_lanes(tau, 2 * a_pad, 0.0), tau_b)
 
         # cross edges: block-banded staircase gathers of the end slice
         ends_prev = prev[:, end_lo:]  # [B, A]
         if topo.sel_blocks:
-            w = topo.sel_w
-            pieces = [jnp.full((b, lv0), POS_INF, jnp.float32)]
-            for (row0, nr, w0) in topo.sel_blocks:
-                selb = sel_ref[row0 : row0 + nr, :].astype(jnp.bfloat16)
-                pieces.append(gather3(ends_prev[:, w0 : w0 + w], selb))
-            gath = jnp.concatenate(pieces, axis=1)  # [B, A]
+            gath = gather_ends_wide(ends_prev, POS_INF)
             cand_start = jnp.minimum(gath + cc_ref[...], POS_INF)
         else:  # flat vocabulary: no cross edges at all
             cand_start = jnp.full((b, a_pad), POS_INF, jnp.float32)
@@ -1087,6 +1158,15 @@ def _lex_kernel_wide(nll_ref, expand_ref, band_ref, cc_ref, eps_ref,
         take = cand_cross <= base
         base = jnp.where(take, cand_cross, base)
         dsel = jnp.where(take, jnp.float32(_CROSS), dsel)
+        if emit_lattice:
+            if topo.sel_blocks:
+                tau_g = gather_ends_wide(tau[:, end_lo:], 0.0)
+            else:
+                tau_g = jnp.zeros((b, a_pad), jnp.float32)
+            if su > 1:
+                tau_g = jnp.concatenate(
+                    [tau_g, jnp.zeros((b, end_lo), jnp.float32)], axis=1)
+            tau_b = jnp.where(take, tau_g, tau_b)
 
         if k == 0:
             is0 = ti == 0
@@ -1095,67 +1175,89 @@ def _lex_kernel_wide(nll_ref, expand_ref, band_ref, cc_ref, eps_ref,
             dsel = jnp.where(is0, jnp.float32(0), dsel)
             prev = jnp.where(is0, inf_bs, prev)
             fin = jnp.where(is0, inf_bs, fin)
+            if emit_lattice:
+                tau_b = jnp.where(is0, jnp.float32(0), tau_b)
+                tau_prev_f = jnp.where(is0, jnp.float32(0), tau_prev_f)
 
         cost = jnp.minimum(base + emis, POS_INF)
         bp = dsel
 
-        # eps re-entry + eps_prev side plane
+        # eps re-entry + eps_prev side plane (lattice mode stamps the
+        # current frame into tau instead and records no predecessors)
         end_vals = cost[:, end_lo:]  # [B, A]
         big = jnp.float32(topo.n_leaves + 1)
         lid = lid_ref[0:1, :]  # [1, A]
-        combo = (jnp.float32(end_lo) + iota_a
-                 - dsel[:, end_lo:] * jnp.float32(a_pad))  # [B, A]
+        if not emit_lattice:
+            combo = (jnp.float32(end_lo) + iota_a
+                     - dsel[:, end_lo:] * jnp.float32(a_pad))  # [B, A]
         if topo.eps_rowconst:
             masked = jnp.where(lid < jnp.float32(topo.n_leaves),
                                end_vals, POS_INF)
             m = jnp.min(masked, axis=1, keepdims=True)  # [B, 1]
-            ids = jnp.where(masked == m, lid, big)
-            u = jnp.min(ids, axis=1, keepdims=True)  # [B, 1]
             eps_min = jnp.minimum(rows_ref[0:1, :] + m, POS_INF)  # [B, lv0]
-            eps_arg = u + jnp.zeros((b, lv0), jnp.float32)
-            pv = jnp.sum(combo * (lid == u).astype(jnp.float32),
-                         axis=1, keepdims=True)  # [B, 1]
-            eps_prev = pv + jnp.zeros((b, lv0), jnp.float32)
+            if not emit_lattice:
+                ids = jnp.where(masked == m, lid, big)
+                u = jnp.min(ids, axis=1, keepdims=True)  # [B, 1]
+                eps_arg = u + jnp.zeros((b, lv0), jnp.float32)
+                pv = jnp.sum(combo * (lid == u).astype(jnp.float32),
+                             axis=1, keepdims=True)  # [B, 1]
+                eps_prev = pv + jnp.zeros((b, lv0), jnp.float32)
         else:
             mins, args, prevs = [], [], []
             for ri in range(r):
                 sc = jnp.minimum(eps_ref[ri : ri + 1, :] + end_vals, POS_INF)
                 m = jnp.min(sc, axis=1, keepdims=True)  # [B, 1]
-                ids = jnp.where(sc == m, lid, big)
-                arg = jnp.min(ids, axis=1, keepdims=True)
                 mins.append(m)
-                args.append(arg)
-                prevs.append(jnp.sum(
-                    combo * (lid == arg).astype(jnp.float32),
-                    axis=1, keepdims=True))
+                if not emit_lattice:
+                    ids = jnp.where(sc == m, lid, big)
+                    arg = jnp.min(ids, axis=1, keepdims=True)
+                    args.append(arg)
+                    prevs.append(jnp.sum(
+                        combo * (lid == arg).astype(jnp.float32),
+                        axis=1, keepdims=True))
             pad_c = lv0 - r
             if pad_c:
                 mins.append(jnp.full((b, pad_c), POS_INF, jnp.float32))
-                args.append(jnp.zeros((b, pad_c), jnp.float32))
-                prevs.append(jnp.zeros((b, pad_c), jnp.float32))
+                if not emit_lattice:
+                    args.append(jnp.zeros((b, pad_c), jnp.float32))
+                    prevs.append(jnp.zeros((b, pad_c), jnp.float32))
             eps_min = jnp.concatenate(mins, axis=1)  # [B, lv0]
-            eps_arg = jnp.concatenate(args, axis=1)
-            eps_prev = jnp.concatenate(prevs, axis=1)
+            if not emit_lattice:
+                eps_arg = jnp.concatenate(args, axis=1)
+                eps_prev = jnp.concatenate(prevs, axis=1)
         cand_re = jnp.minimum(eps_min + emis[:, :lv0], POS_INF)
         head = cost[:, :lv0]
         better = cand_re < head
         cost = jnp.concatenate(
             [jnp.where(better, cand_re, head), cost[:, lv0:]], axis=1)
-        bp = jnp.concatenate(
-            [jnp.where(better, jnp.float32(_EPS), bp[:, :lv0]),
-             bp[:, lv0:]], axis=1)
-        side = jnp.where(better, eps_arg, jnp.float32(0))
-        side_prev = jnp.where(better, eps_prev, jnp.float32(0))
+        if emit_lattice:
+            t_abs_f = (t_abs * jnp.ones((), jnp.int32)).astype(jnp.float32)
+            tau_new = jnp.concatenate(
+                [jnp.where(better, t_abs_f, tau_b[:, :lv0]),
+                 tau_b[:, lv0:]], axis=1)
+        else:
+            bp = jnp.concatenate(
+                [jnp.where(better, jnp.float32(_EPS), bp[:, :lv0]),
+                 bp[:, lv0:]], axis=1)
+            side = jnp.where(better, eps_arg, jnp.float32(0))
+            side_prev = jnp.where(better, eps_prev, jnp.float32(0))
 
         cost = jnp.where(t_abs < nf_c, cost, prev)
-        bp_ref[k] = bp.astype(jnp.int8)
-        epsu_ref[k] = side.astype(jnp.int32)
-        epsp_ref[k] = side_prev.astype(jnp.int32)
+        if emit_lattice:
+            tau = jnp.where(t_abs < nf_c, tau_new, tau_prev_f)
+            endc_ref[k] = cost[:, end_lo:]
+            endt_ref[k] = tau[:, end_lo:].astype(jnp.int32)
+        else:
+            bp_ref[k] = bp.astype(jnp.int8)
+            epsu_ref[k] = side.astype(jnp.int32)
+            epsp_ref[k] = side_prev.astype(jnp.int32)
         fin = jnp.where(t_abs == nf_c - 1, cost, fin)
         prev = cost
 
     cost_ref[...] = prev
     final_ref[...] = fin
+    if emit_lattice:
+        tau_ref[...] = tau
 
 
 @functools.partial(jax.jit, static_argnames=("topo", "interpret",
@@ -1234,6 +1336,89 @@ def viterbi_lex_pallas_wide(nll_tub, plan: LexPlan, n_frames, topo: LexTopo,
       plan.eps_rows, plan.leaf_id, plan.init_soa, nf_col, *plan.sels)
     final, bp8, eps_u, eps_prev = outs
     return final, bp8[:t_len], eps_u[:t_len], eps_prev[:t_len]
+
+
+@functools.partial(jax.jit, static_argnames=("topo", "interpret",
+                                             "frames_per_step"))
+def viterbi_lex_pallas_wide_lattice(nll_tub, plan: LexPlan, n_frames,
+                                    topo: LexTopo, interpret: bool = False,
+                                    frames_per_step: int = 2):
+    """Lattice-generation variant of :func:`viterbi_lex_pallas_wide`:
+    the lane-major kernel carries an entry-time plane and streams out
+    per-frame end-slice costs + entry times (no backpointer planes —
+    pass-2 rescoring replaces the backtrace).  Returns
+    ``(ends_cost [T, L, B], ends_tau [T, L, B] int32)`` in LEAF-SLOT
+    order, matching :func:`ops.lattice.viterbi_lattice_tb` — the
+    reference-dictionary-scale half of the bigram north star
+    (``/root/reference/sr/langmodel/langmodel.py:1`` +
+    ``/root/reference/tests/test_data/dict1.txt``)."""
+    if not topo.lane_major:
+        raise ValueError("plan was not built with layout='wide'")
+    t_len, u_in, b = nll_tub.shape
+    su, a_pad = topo.su, topo.a_pad
+    s_w = su * a_pad
+    u128 = topo.n_units_pad
+    k = frames_per_step
+    t8 = (t_len + k - 1) // k * k
+    n_u_in = u_in // su
+    nll_u = nll_tub[:, : n_u_in * su].reshape(t_len, n_u_in, su, b)
+    nll_u = jnp.transpose(nll_u, (0, 2, 3, 1))  # [T, su, B, U_in]
+    if n_u_in > u128:
+        nll_u = nll_u[..., :u128]
+    elif n_u_in < u128:
+        nll_u = jnp.pad(nll_u, ((0, 0), (0, 0), (0, 0), (0, u128 - n_u_in)))
+    if t8 != t_len:
+        nll_u = jnp.pad(nll_u, ((0, t8 - t_len), (0, 0), (0, 0), (0, 0)))
+    nf_col = n_frames.astype(jnp.int32)[:, None]
+
+    kernel = functools.partial(_lex_kernel_wide, topo=topo,
+                               frames_per_step=k, emit_lattice=True)
+    const = lambda *_: (0, 0)
+    sel_specs = [pl.BlockSpec(s.shape, const, memory_space=pltpu.VMEM)
+                 for s in plan.sels]
+    final, endc, endt = pl.pallas_call(
+        kernel,
+        grid=(t8 // k,),
+        in_specs=[
+            pl.BlockSpec((k, su, b, u128), lambda t: (t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(plan.expand.shape, const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, s_w), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, a_pad), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec(plan.eps_exit.shape, const,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, topo.level_sizes[0]), const,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, a_pad), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_w), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, 1), const, memory_space=pltpu.VMEM),
+        ] + sel_specs,
+        out_specs=[
+            pl.BlockSpec((b, s_w), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, b, a_pad), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, b, a_pad), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, s_w), jnp.float32),
+            jax.ShapeDtypeStruct((t8, b, a_pad), jnp.float32),
+            jax.ShapeDtypeStruct((t8, b, a_pad), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.VMEM((b, s_w), jnp.float32),
+                        pltpu.VMEM((b, s_w), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=127 * 2**20),
+        interpret=interpret,
+    )(nll_u, plan.expand, plan.band_soa, plan.cross_cost, plan.eps_exit,
+      plan.eps_rows, plan.leaf_id, plan.init_soa, nf_col, *plan.sels)
+    # end-slice arc lanes -> leaf-slot order: gather the (small) leaf
+    # subset FIRST ([T, B, L] written once), then transpose to [T, L, B]
+    leaf_cols = plan.ends_soa - (su - 1) * a_pad  # [L] arc positions
+    ends_cost = jnp.transpose(endc[:t_len, :, leaf_cols], (0, 2, 1))
+    ends_tau = jnp.transpose(endt[:t_len, :, leaf_cols], (0, 2, 1))
+    return ends_cost, ends_tau
 
 
 def _lex_bt_wide_kernel(bp_ref, epsp_ref, cross_ref, endv_ref, nf_ref,

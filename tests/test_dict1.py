@@ -114,3 +114,61 @@ def test_dict1_subset_interpret_parity(rng):
                                       np.asarray(s_x)[:n, i])
         np.testing.assert_array_equal(np.asarray(f_p)[:n, i],
                                       np.asarray(f_x)[:n, i])
+
+
+@pytest.mark.skipif(not os.path.exists(DICT1), reason="reference dict absent")
+def test_dict1_uniform_lm_reproduces_pass1(rng):
+    """Property test at full dict1 scale (CPU interpret): rescoring the
+    wide-kernel lattice with a FLAT (all-zero) bigram reproduces the
+    plain pass-1 decode — words and costs — so the tau/Q/H algebra is
+    sound on the reference's own dictionary
+    (``/root/reference/tests/test_data/dict1.txt``)."""
+    from speech_recognition_tpu.langmodel.bigram import uniform_bigram
+    from speech_recognition_tpu.models.lexgraph import lex_words_from_path
+    from speech_recognition_tpu.ops.lattice import (
+        lattice_rescore,
+        lattice_words,
+    )
+    from speech_recognition_tpu.ops.viterbi_lex_pallas import (
+        viterbi_lex_pallas_wide_lattice,
+    )
+
+    words = load_dict1()
+    units = sorted(set("".join(words)))
+    unit_ids = {ch: i for i, ch in enumerate(units)}
+    su = 3
+    wic = 0.4
+    lexg = build_lex_graph(words, [ltr(su, rng) for _ in units], unit_ids,
+                           word_insertion_cost=wic)
+    plan = lex_pallas_plan(lexg, layout="wide")
+    assert plan.topo.lane_major and plan.topo.sel_banded
+
+    T, B = 6, 4
+    e = rng.uniform(0, 5, (T, len(units) * su, B)).astype(np.float32)
+    nf = np.array([T, 3, T, 5], np.int32)
+    ends_p, taus_p = viterbi_lex_pallas_wide_lattice(
+        jnp.asarray(e), plan, jnp.asarray(nf), plan.topo, interpret=True)
+
+    lm0 = uniform_bigram(len(words), flat=True)
+    res = lattice_rescore(
+        ends_p, taus_p, jnp.asarray(lexg.leaf_word),
+        jnp.asarray(lm0.cost), jnp.asarray(lm0.start_cost),
+        jnp.asarray(lm0.end_cost), jnp.asarray(nf))
+    w_resc = lattice_words(res, lexg.leaf_word, nf)
+
+    # pass-1 ground truth on the XLA banded scan
+    g = lexg.banded
+    bank_state = np.asarray(g.bank_state)
+    nll_tb = jnp.asarray(e)[:, bank_state, :]
+    fin_x, bp_x, eu_x = viterbi_banded_tb(nll_tb, g, jnp.asarray(nf))
+    ends = np.asarray(g.end_states)
+    costs = np.asarray(fin_x)[ends] + np.asarray(g.end_bonus)[:, None]
+    best = np.argmin(costs, axis=0)
+    pass1 = costs[best, np.arange(B)]
+    np.testing.assert_allclose(np.asarray(res.cost), pass1, rtol=1e-6)
+    s_x, f_x = banded_backtrace_tb(bp_x, eu_x, g, jnp.asarray(ends[best]),
+                                   jnp.asarray(nf))
+    for i in range(B):
+        w_ref = lex_words_from_path(lexg, np.asarray(s_x)[:, i], int(nf[i]),
+                                    np.asarray(f_x)[:, i])
+        assert w_resc[i] == w_ref, i

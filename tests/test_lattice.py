@@ -196,9 +196,17 @@ def test_pallas_lattice_matches_xla(rng):
     _, ends_x, taus_x = viterbi_lattice_tb(nll_tb, g, jnp.asarray(nf))
     live = np.asarray(ends_x) < 1e29  # dead arcs carry garbage taus
     assert live.any() and not live.all()
-    for kwargs in ({}, {"sel_mode": "banded", "expand_mode": "factored"}):
+    for kwargs in ({}, {"sel_mode": "banded", "expand_mode": "factored"},
+                   {"layout": "wide"}):
+        from speech_recognition_tpu.ops.viterbi_lex_pallas import (
+            viterbi_lex_pallas_wide_lattice,
+        )
+
         plan = lex_pallas_plan(lexg, **kwargs)
-        ends_p, taus_p = viterbi_lex_pallas_lattice(
+        kern = (viterbi_lex_pallas_wide_lattice
+                if kwargs.get("layout") == "wide"
+                else viterbi_lex_pallas_lattice)
+        ends_p, taus_p = kern(
             jnp.asarray(e), plan, jnp.asarray(nf), plan.topo, interpret=True)
         np.testing.assert_array_equal(np.asarray(ends_x), np.asarray(ends_p),
                                       err_msg=str(kwargs))
@@ -235,6 +243,59 @@ def test_pallas_lattice_matches_xla(rng):
                                    backend="pallas-interpret")
     assert sx == sp
     np.testing.assert_allclose(cx, cp, rtol=1e-6)
+    sw, cw = decode_lextree_bigram(bank, lexg2, lm, feats, nfs,
+                                   backend="pallas-wide-interpret")
+    assert sx == sw
+    np.testing.assert_allclose(cx, cw, rtol=1e-6)
+    # batch-chunked wide path (tile smaller than the batch) is identical
+    sc, cc = decode_lextree_bigram(bank, lexg2, lm, feats, nfs,
+                                   backend="pallas-wide-interpret",
+                                   batch_chunk=2)
+    assert sx == sc
+    np.testing.assert_allclose(cx, cc, rtol=1e-6)
+
+
+def test_max_dur_truncation_warns(rng):
+    """A live lattice arc spanning more than max_dur frames triggers the
+    RuntimeWarning guard (and a large-enough max_dur does not)."""
+    import warnings
+
+    from speech_recognition_tpu.data.synthetic import random_gmm_hmm
+    from speech_recognition_tpu.models.hmm import GMMHMM, HMMBank
+    from speech_recognition_tpu.ops.lattice import decode_lextree_bigram
+    from speech_recognition_tpu.utils.numerics import to_cost_matrix
+
+    lexg, units, unit_ids, unit_trans = make_case(rng, wic=0.1)
+    nprng = np.random.default_rng(7)
+    models, u_trans = [], []
+    for _ in units:
+        p = random_gmm_hmm(nprng, n_states=3, n_mix=1, dim=6, sep=6.0)
+        models.append(GMMHMM(
+            means=jnp.asarray(p["means"], jnp.float32),
+            log_vars=jnp.log(jnp.asarray(p["variances"], jnp.float32)),
+            log_weights=jnp.log(jnp.asarray(p["weights"], jnp.float32)),
+            trans_cost=jnp.asarray(to_cost_matrix(p["trans"])),
+        ))
+        u_trans.append(p["trans"])
+    bank = HMMBank.stack(models)
+    from speech_recognition_tpu.langmodel.bigram import uniform_bigram
+
+    lexg2 = build_lex_graph(WORDS, u_trans, unit_ids,
+                            word_insertion_cost=0.1)
+    lm = uniform_bigram(len(WORDS))
+    T = 40  # > max_dur=16: the planted dwell spans deeper than the cap
+    # constant features at one unit's mean force the best token to dwell
+    # inside a single word for all T frames -> a live arc of span T-1
+    mu = np.asarray(bank.means)[unit_ids["b"], 0, 0]
+    feats = np.broadcast_to(mu, (2, T, 6)).astype(np.float32).copy()
+    nfs = np.array([T, T], np.int32)
+    with pytest.warns(RuntimeWarning, match="max_dur"):
+        decode_lextree_bigram(bank, lexg2, lm, feats, nfs, backend="xla",
+                              max_dur=16)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        decode_lextree_bigram(bank, lexg2, lm, feats, nfs, backend="xla",
+                              max_dur=T + 1)
 
 
 def test_backoff_rescore_matches_dense(rng):
