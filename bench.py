@@ -678,15 +678,18 @@ def bench_lextree_bigram(batch=128, frames=500, n_words=1000,
     return audio_s / dt
 
 
-def bench_soft_em(batch=32, frames=300, banded=True):
-    """Baum-Welch (sum-product) embedded step, device time — the
-    banded O(3S)/frame forward-backward is the production form
-    (``banded=False`` times the dense [S, S] pass for comparison)."""
+def bench_soft_em(batch=32, frames=300, banded="auto"):
+    """Baum-Welch (sum-product) embedded step, device time.  The
+    production form picks the forward-backward pass by graph size
+    (``pad_graphs_auto``): dense [S, S] for transcript-scale graphs
+    (S ~ 30 — where the banded pass's gather machinery cost 4.3x,
+    the round-3 regression), banded O(3S)/frame past the crossover.
+    ``banded=True/False`` force a pass for comparison."""
     import jax
     import jax.numpy as jnp
 
     from speech_recognition_tpu.models.graph import (
-        build_word_graph, pad_graphs, pad_graphs_banded)
+        build_word_graph, pad_graphs, pad_graphs_auto, pad_graphs_banded)
     from speech_recognition_tpu.train.embedded_step import embedded_step_soft
 
     bank = _bank()
@@ -694,11 +697,16 @@ def bench_soft_em(batch=32, frames=300, banded=True):
     rng = np.random.default_rng(3)
     labels = [[int(rng.integers(0, 11)) for _ in range(5)] for _ in range(batch)]
     graphs = [build_word_graph(trans_np, [[l] for l in ls]) for ls in labels]
-    if banded:
+    if banded == "auto":
+        gb, eps_depth = pad_graphs_auto(graphs)
+        banded = "band" in gb
+    elif banded:
         gb, eps_depth = pad_graphs_banded(graphs)
-        g = {k: jnp.asarray(v) for k, v in gb.items()}
     else:
         gb, eps_depth = pad_graphs(graphs)
+    if "band" in gb:
+        g = {k: jnp.asarray(v) for k, v in gb.items()}
+    else:
         g = {k: jnp.asarray(gb[k]) for k in ("trans", "eps_trans", "init_cost",
                                              "end_scores", "bank_state")}
     feats = jnp.asarray(rng.standard_normal((batch, frames, 39)), jnp.float32)
@@ -710,8 +718,9 @@ def bench_soft_em(batch=32, frames=300, banded=True):
                                   eps_depth=eps_depth)[1].total_cost
 
     dt = _timeit_device(body)
-    log(f"soft-EM step: {batch} utts in {dt*1e3:.2f} ms device-time "
-        f"({LAST_REGIME}) -> {batch/dt:.0f} utts/s")
+    form = "banded" if "band" in gb else "dense"
+    log(f"soft-EM step ({form} FB): {batch} utts in {dt*1e3:.2f} ms "
+        f"device-time ({LAST_REGIME}) -> {batch/dt:.0f} utts/s")
     return batch / dt
 
 

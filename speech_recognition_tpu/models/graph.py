@@ -30,7 +30,7 @@ import numpy as np
 
 from speech_recognition_tpu.utils.numerics import POS_INF
 
-__all__ = ["WordGraph", "build_word_graph", "build_loop_graph", "transcript_graph", "pad_graphs", "pad_graphs_banded"]
+__all__ = ["WordGraph", "build_word_graph", "build_loop_graph", "transcript_graph", "pad_graphs", "pad_graphs_banded", "pad_graphs_auto", "BANDED_FB_MIN_STATES"]
 
 
 @dataclasses.dataclass
@@ -454,3 +454,24 @@ def pad_graphs_banded(graphs: List[WordGraph]):
         "bank_state": np.stack(bstate),
     }
     return batch, depth
+
+
+#: state-count crossover for :func:`pad_graphs_auto`: below it the dense
+#: [S, S] forward-backward wins (one masked logsumexp matmul per frame —
+#: the banded pass's gather/segment-lse machinery costs ~4x at S ~ 30,
+#: the round-3 soft-EM regression), above it the O(3S)/frame banded pass
+#: wins (the dense plane is O(S^2)).  Measured on-chip at 32 x 300
+#: (see RESULTS.md round-4 soft-EM table).
+BANDED_FB_MIN_STATES = 256
+
+
+def pad_graphs_auto(graphs: List[WordGraph]):
+    """Pick the graph-batch format for sum-product training by size:
+    dense (:func:`pad_graphs`) for small transcript graphs, banded
+    (:func:`pad_graphs_banded`) past :data:`BANDED_FB_MIN_STATES` —
+    ``embedded_step_soft`` dispatches on the dict shape, so the choice
+    here decides which forward-backward pass runs."""
+    smax = max(g.n_states for g in graphs)
+    if smax >= BANDED_FB_MIN_STATES:
+        return pad_graphs_banded(graphs)
+    return pad_graphs(graphs)

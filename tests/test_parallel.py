@@ -208,3 +208,35 @@ def test_soft_step_banded_matches_dense(embedded_fixture):
                                np.asarray(b2.log_vars), rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(b1.trans_cost),
                                np.asarray(b2.trans_cost), rtol=1e-4, atol=1e-4)
+
+
+def test_pad_graphs_auto_selection():
+    """pad_graphs_auto picks the dense dict for transcript-scale graphs
+    (the round-3 soft-EM regression: banded FB machinery loses 4x at
+    S ~ 30) and the banded dict past BANDED_FB_MIN_STATES."""
+    from speech_recognition_tpu.models.graph import (
+        BANDED_FB_MIN_STATES,
+        build_word_graph,
+        pad_graphs_auto,
+    )
+
+    rng = np.random.default_rng(0)
+    def ltr(S=5):
+        t = np.full((S, S), np.inf)
+        for i in range(S):
+            t[i, i] = rng.uniform(0.1, 1)
+            if i + 1 < S:
+                t[i + 1, i] = rng.uniform(0.1, 1)
+        return t
+
+    trans_np = [ltr() for _ in range(5)]
+    small = [build_word_graph(trans_np, [[l] for l in [0, 1, 2]])]
+    gb_small, _ = pad_graphs_auto(small)
+    assert "band" not in gb_small and "trans" in gb_small
+
+    n_words = BANDED_FB_MIN_STATES // 5 + 2
+    big = [build_word_graph(trans_np,
+                            [[l % 5] for l in range(n_words)])]
+    assert big[0].n_states >= BANDED_FB_MIN_STATES
+    gb_big, _ = pad_graphs_auto(big)
+    assert "band" in gb_big
