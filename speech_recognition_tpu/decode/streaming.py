@@ -65,9 +65,11 @@ def _immortal_scan(org_stack, alive):
 
     ``org_stack [N, B, S]`` (chunk k's map: end-of-chunk state -> state
     at the last frame of chunk k-1), ``alive [B, S]`` ->
-    ``(imm [N, B] bool, sig [N, B] int32)`` where row j refers to
-    boundary ``N-1-j``: imm = every live state shares one ancestor
-    there, sig = that ancestor."""
+    packed ``[N, B, 2] int32`` where row j refers to boundary
+    ``N-1-j``: ``[..., 0]`` = 1 when every live state shares one
+    ancestor there, ``[..., 1]`` = that ancestor.  Packed so the host
+    fetches ONE small array per flush attempt instead of two (the axon
+    tunnel charges per round trip)."""
     n, b, s = org_stack.shape
     ident = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32)[None], (b, s))
 
@@ -75,10 +77,10 @@ def _immortal_scan(org_stack, alive):
         a2 = jnp.take_along_axis(org_k, a, axis=1)
         mn = jnp.min(jnp.where(alive, a2, jnp.int32(s)), axis=1)
         mx = jnp.max(jnp.where(alive, a2, jnp.int32(-1)), axis=1)
-        return a2, (mn == mx, mn)
+        return a2, jnp.stack([(mn == mx).astype(jnp.int32), mn], axis=-1)
 
-    _, (imm, sig) = jax.lax.scan(f, ident, org_stack[::-1])
-    return imm, sig
+    _, packed = jax.lax.scan(f, ident, org_stack[::-1])
+    return packed
 
 
 @functools.partial(jax.jit, static_argnames=("eps_depth", "first_chunk",
@@ -185,10 +187,12 @@ class StreamingDecoder:
 
     def __init__(self, bank: HMMBank, graph, chunk_frames: int = 256,
                  batch: int = 1, emit_incremental: bool = False,
-                 window_chunks: int = 8):
+                 window_chunks: int = 8, flush_every: int = 2):
         """``graph`` is a WordGraph or a LexGraph — streaming over the
         lexical tree works unchanged (the chunk step already relaxes
-        cross-arc edges; only word recovery differs).
+        cross-arc edges, and the ancestor maps follow cross/eps origins;
+        only word recovery differs: trie leaves name words at epsilon
+        re-entries instead of slot changes).
 
         ``emit_incremental``: bounded-memory mode for unbounded audio.
         Each chunk step also carries an ANCESTOR MAP (state -> the
@@ -197,10 +201,18 @@ class StreamingDecoder:
         buffered boundary, the path up to that frame is IMMORTAL — it
         is a prefix of whatever the final backtrace will produce — so
         its words are emitted (``push`` returns them), its plane chunks
-        are dropped, and device memory stays O(window) regardless of
-        audio length.  Emitted + final output is bit-identical to the
-        monolithic decode (asserted in tests).  Requires full-width
-        pushes (the final push may be partial) and a word graph."""
+        are dropped, and device memory stays O(window + flush_every)
+        regardless of audio length.  Emitted + final output is
+        bit-identical to the monolithic decode (asserted in tests).
+        Requires full-width pushes (the final push may be partial).
+
+        ``flush_every``: attempt a flush every this many pushes once
+        the window fills — the immortality scan's composition gathers
+        and the per-flush path fetch are the incremental mode's
+        wall-clock overhead (round-3: 5.7k vs 12.3k audio-s/s through
+        the push API), so amortizing them over a few pushes buys most
+        of that back at the cost of `flush_every - 1` extra buffered
+        chunks."""
         from speech_recognition_tpu.models.lexgraph import LexGraph
 
         self.bank = bank
@@ -211,9 +223,7 @@ class StreamingDecoder:
         self.batch = batch
         self.emit_incremental = emit_incremental
         self.window_chunks = max(2, int(window_chunks))
-        if emit_incremental and self._is_lex:
-            raise NotImplementedError(
-                "emit_incremental: lexgraph word recovery not wired yet")
+        self.flush_every = max(1, int(flush_every))
 
         def make_step(first):
             return jax.vmap(
@@ -239,6 +249,8 @@ class StreamingDecoder:
         self._flushed = 0  # frames already emitted (uniform across streams)
         self._emitted: List[List[int]] = [[] for _ in range(self.batch)]
         self._prev_slot = [-1] * self.batch
+        self._prev_wa = [-1] * self.batch  # lex: word id at the last frame
+        self._since_flush = 0
         self._saw_partial = False
         self._first = True
 
@@ -283,7 +295,10 @@ class StreamingDecoder:
         if (self.emit_incremental
                 and len(self._bp_chunks) > self.window_chunks
                 and int(nv.min()) == c):
-            return self._try_flush()
+            self._since_flush += 1
+            if self._since_flush >= self.flush_every:
+                self._since_flush = 0
+                return self._try_flush()
         return [[] for _ in range(self.batch)]
 
     def _extend_words(self, i, states, eps_flags):
@@ -305,6 +320,24 @@ class StreamingDecoder:
             self._prev_slot[i] = s
         return new
 
+    def _extend_words_lex(self, i, states, eps_flags):
+        """Lexgraph twin of :meth:`_extend_words`: a word completes when
+        a re-entry epsilon fires (the word id lives at the *previous*
+        frame's leaf arc — ``lex_words_from_path`` semantics), so the
+        machine carries the last frame's word-at-state across flushes.
+        The word under construction at the segment end is NOT emitted
+        (it completes at a later eps or at finish())."""
+        wa = self.graph.arc_leaf_word[self.graph.arc_of_state[states]]
+        base_t = self._flushed
+        new: List[int] = []
+        for t in range(len(states)):
+            if eps_flags[t] and base_t + t > 0:
+                w = int(self._prev_wa[i])
+                new.append(w)
+                self._emitted[i].append(w)
+            self._prev_wa[i] = int(wa[t])
+        return new
+
     def _try_flush(self):
         """Emit every word whose path is immortal and drop its planes.
 
@@ -314,10 +347,9 @@ class StreamingDecoder:
         the segment before it decodes NOW, bit-identically."""
         n = len(self._org_chunks)
         out: List[List[int]] = [[] for _ in range(self.batch)]
-        imm, sig = _immortal_scan(jnp.stack(self._org_chunks),
-                                  self._frontier < POS_INF / 2)
-        imm = np.asarray(imm)
-        sig = np.asarray(sig)
+        packed = np.asarray(_immortal_scan(jnp.stack(self._org_chunks),
+                                           self._frontier < POS_INF / 2))
+        imm, sig = packed[..., 0], packed[..., 1]
         for j in range(n):
             k = n - 1 - j
             if k >= 1 and bool(imm[j].all()):
@@ -334,8 +366,9 @@ class StreamingDecoder:
             eps_depth=self.graph.eps_depth)
         s_np = np.asarray(states_tb).T
         e_np = np.asarray(eps_tb).T
+        extend = self._extend_words_lex if self._is_lex else self._extend_words
         for i in range(self.batch):
-            out[i] = self._extend_words(i, s_np[i, :t_seg], e_np[i, :t_seg])
+            out[i] = extend(i, s_np[i, :t_seg], e_np[i, :t_seg])
         del self._bp_chunks[:k]
         del self._eps_chunks[:k]
         del self._org_chunks[:k]
@@ -416,7 +449,12 @@ class StreamingDecoder:
             if self.emit_incremental:
                 # residual segment continues the incremental machine;
                 # emitted + residual == the monolithic word sequence
-                self._extend_words(b, states, eps_all[b, :t_total])
+                if self._is_lex:
+                    self._extend_words_lex(b, states, eps_all[b, :t_total])
+                    # the in-flight word completes at the final frame
+                    self._emitted[b].append(int(self._prev_wa[b]))
+                else:
+                    self._extend_words(b, states, eps_all[b, :t_total])
                 words = list(self._emitted[b])
             elif self._is_lex:
                 from speech_recognition_tpu.models.lexgraph import (
