@@ -428,10 +428,13 @@ def cmd_connected_test(args):
             lm.cost[:, sil] = 0.0
             lm.start_cost[sil] = 0.0
             lm.end_cost[sil] = 0.0
+    conf_graph = conf_states = conf_eps = None
     if args.graph == "loop":
         graph = build_loop_graph(trans_np, lm=lm,
                                  word_insertion_cost=args.word_insertion_cost)
         hyps, _ = decode_connected(bank, graph, fb, nb, drop_labels=drop)
+        if getattr(args, "confidence", False):
+            conf_graph = graph
     elif args.graph == "lextree":
         # the large-vocabulary production decoder (models/lexgraph.py);
         # on the flat digit vocabulary it is provably identical to the
@@ -441,10 +444,30 @@ def cmd_connected_test(args):
 
         symbols = [chr(ord("0") + i) if i < 10 else chr(ord("A") + i - 10)
                    for i in range(bank.n_models)]
-        lexg = build_lex_graph(
-            symbols, trans_np, {s: i for i, s in enumerate(symbols)},
-            lm=lm, word_insertion_cost=args.word_insertion_cost)
-        hyps, _ = decode_lextree(bank, lexg, fb, nb)
+        decoder = getattr(args, "decoder", "auto")
+        use_lattice = (lm is not None and
+                       (decoder == "lattice"
+                        or (decoder == "auto"
+                            and any(len(s) > 1 for s in symbols))))
+        if decoder == "lattice" and lm is None:
+            sys.exit("--decoder lattice needs --lm bigram")
+        if use_lattice:
+            # production deep-tree path: no-LM pass-1 lattice + exact
+            # bigram rescoring (ops/lattice.py) — composing the bigram
+            # onto the graph only works on flat vocabularies
+            from speech_recognition_tpu.ops.lattice import (
+                decode_lextree_bigram,
+            )
+
+            lexg = build_lex_graph(
+                symbols, trans_np, {s: i for i, s in enumerate(symbols)},
+                word_insertion_cost=args.word_insertion_cost)
+            hyps, _ = decode_lextree_bigram(bank, lexg, lm, fb, nb)
+        else:
+            lexg = build_lex_graph(
+                symbols, trans_np, {s: i for i, s in enumerate(symbols)},
+                lm=lm, word_insertion_cost=args.word_insertion_cost)
+            hyps, _ = decode_lextree(bank, lexg, fb, nb)
         if sil is not None:
             hyps = [[w for w in h if w != sil] for h in hyps]
     else:
@@ -467,6 +490,36 @@ def cmd_connected_test(args):
     for h, r, f in zip(hyps, refs, files):
         tag = "Correct" if h == r else "Incorrect"
         print(f"{tag}: {[DIGIT_NAMES[x] for x in h]} ref {[DIGIT_NAMES[x] for x in r]}")
+    if conf_graph is not None:
+        # per-word frame-posterior confidence (decode/confidence.py):
+        # re-derive the Viterbi path + banded-FB posteriors in one
+        # batched device pass over the same graph
+        import jax.numpy as jnp
+
+        from speech_recognition_tpu.decode.confidence import (
+            path_posteriors,
+            word_confidence,
+        )
+        from speech_recognition_tpu.decode.connected import (
+            _decode_banded_batch,
+        )
+        from speech_recognition_tpu.ops.viterbi_banded import banded_arrays
+
+        bg = banded_arrays(conf_graph)
+        states, eps_flags, _ = _decode_banded_batch(
+            bank, jnp.asarray(fb), jnp.asarray(nb), bg,
+            eps_depth=conf_graph.eps_depth)
+        post = np.asarray(path_posteriors(bank, bg, jnp.asarray(fb),
+                                          jnp.asarray(nb), states,
+                                          eps_depth=conf_graph.eps_depth))
+        states = np.asarray(states)
+        eps_flags = np.asarray(eps_flags)
+        for i, f in enumerate(files):
+            wc = word_confidence(conf_graph, states[i], eps_flags[i],
+                                 post[i], int(nb[i]))
+            pretty = " ".join(f"{DIGIT_NAMES[w] if w < len(DIGIT_NAMES) else 'sil'}:{c:.3f}"
+                              for w, c in wc)
+            print(f"confidence {os.path.basename(f)}: {pretty}")
     print("Sequence accuracy:", sequence_accuracy(hyps, refs))
     print("Digit accuracy:", positional_digit_accuracy(hyps, refs))
     print("WER:", wer(hyps, refs))
@@ -568,6 +621,85 @@ def cmd_spellcheck(args):
             print(sc.spell_check(line))
 
 
+def cmd_stream(args):
+    """Streaming decode: push fixed-size feature chunks through the
+    carried-frontier :class:`~speech_recognition_tpu.decode.streaming.
+    StreamingDecoder` (the long-audio serving path) instead of decoding
+    utterances whole.  ``--incremental`` turns on bounded-memory
+    mid-stream word emission (path-immortality flushes); words are
+    printed as soon as they become immortal, the rest at finish."""
+    from speech_recognition_tpu.decode.streaming import StreamingDecoder
+    from speech_recognition_tpu.models.graph import build_loop_graph
+    from speech_recognition_tpu.utils.checkpoint import load_bank
+
+    cfg = FrontendConfig()
+    bank, meta = load_bank(args.input)
+    norm, cmvn = _norm_from_meta(meta)
+    files = sorted(glob.glob(os.path.join(args.data, "*.wav")))
+    if not files:
+        sys.exit(f"no wavs under {args.data}")
+    feats, lens = _featurize_files(files, cfg, args.max_samples, norm=norm,
+                                   cmvn=cmvn)
+    fb, nb = _stack(feats, lens)
+
+    trans_np = [np.asarray(bank.trans_cost[i]) for i in range(bank.n_models)]
+    if args.graph == "lextree":
+        from speech_recognition_tpu.models.lexgraph import build_lex_graph
+
+        symbols = [chr(ord("0") + i) if i < 10 else chr(ord("A") + i - 10)
+                   for i in range(bank.n_models)]
+        graph = build_lex_graph(
+            symbols, trans_np, {s: i for i, s in enumerate(symbols)},
+            word_insertion_cost=args.word_insertion_cost)
+    else:
+        graph = build_loop_graph(
+            trans_np, word_insertion_cost=args.word_insertion_cost)
+
+    chunk = args.chunk_frames
+    d = fb.shape[2]
+
+    def name(w):
+        return DIGIT_NAMES[w] if w < len(DIGIT_NAMES) else "sil"
+
+    if args.incremental:
+        # incremental emission needs full-width pushes per stream, so
+        # ragged-length files stream one decoder each (batch=1)
+        for i, f in enumerate(files):
+            dec = StreamingDecoder(bank, graph, chunk_frames=chunk,
+                                   emit_incremental=True,
+                                   window_chunks=args.window_chunks)
+            early = []
+            t, L = 0, int(nb[i])
+            while t < L:
+                c = min(chunk, L - t)
+                buf = np.zeros((chunk, d), np.float32)
+                buf[:c] = fb[i, t : t + c]
+                early.extend(dec.push(buf, n_valid=c)[0])
+                t += c
+            words, _, cost = dec.finish()
+            print(f"{os.path.basename(f)}: {[name(w) for w in words]} "
+                  f"({len(early)}/{len(words)} words emitted mid-stream, "
+                  f"cost {cost:.1f})")
+    else:
+        dec = StreamingDecoder(bank, graph, chunk_frames=chunk,
+                               batch=len(files))
+        t_max = int(nb.max())
+        t = 0
+        while t < t_max:
+            nv = np.clip(nb - t, 0, chunk).astype(np.int32)
+            c = min(chunk, t_max - t)
+            buf = np.zeros((len(files), chunk, d), np.float32)
+            buf[:, :c] = fb[:, t : t + c]
+            dec.push(buf, n_valid=nv)
+            t += chunk
+        results = dec.finish()
+        if len(files) == 1:
+            results = [results]
+        for f, (words, _, cost) in zip(files, results):
+            print(f"{os.path.basename(f)}: {[name(w) for w in words]} "
+                  f"(cost {cost:.1f})")
+
+
 def cmd_record(args):
     from speech_recognition_tpu.data.capture import record
 
@@ -649,8 +781,30 @@ def main(argv=None):
     p.add_argument("--lm-train", default=None,
                    help="wav dir whose filenames provide bigram training "
                         "transcripts (default: test transcripts, with warning)")
+    p.add_argument("--decoder", choices=["auto", "compose", "lattice"],
+                   default="auto",
+                   help="lextree+bigram strategy: compose the LM onto the "
+                        "graph (flat vocabularies only) or lattice-rescore "
+                        "(the deep-tree production path, ops/lattice.py); "
+                        "auto picks lattice for multi-unit words")
+    p.add_argument("--confidence", action="store_true",
+                   help="print per-word frame-posterior confidence "
+                        "(loop graph)")
     p.add_argument("--max-samples", type=int, default=120000)
     p.set_defaults(fn=cmd_connected_test)
+
+    p = sub.add_parser("stream", help="streaming (chunked) connected decode")
+    p.add_argument("-i", "--input", required=True, help="bank .npz")
+    p.add_argument("-d", "--data", required=True, help="wav dir")
+    p.add_argument("--graph", choices=["loop", "lextree"], default="loop")
+    p.add_argument("--chunk-frames", type=int, default=64)
+    p.add_argument("--incremental", action="store_true",
+                   help="bounded-memory mid-stream word emission")
+    p.add_argument("--window-chunks", type=int, default=4)
+    p.add_argument("--word-insertion-cost", type=float,
+                   default=_dc.word_insertion_cost)
+    p.add_argument("--max-samples", type=int, default=120000)
+    p.set_defaults(fn=cmd_stream)
 
     p = sub.add_parser("align", help="forced alignment -> word segments")
     p.add_argument("-i", "--input", required=True, help="bank .npz")

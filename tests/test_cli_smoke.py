@@ -48,6 +48,61 @@ def test_cli_pipeline(tmp_path, capsys, monkeypatch):
         [l for l in out.splitlines() if l.startswith("WER:")][0].split()[1])
     assert wer_lex == wer, (wer_lex, wer)
 
+    # production lattice-bigram decoder (pass-1 lattice + exact rescoring)
+    # through the CLI: sane WER on the same corpus
+    main(["connected_test", "-i", sorted(glob.glob("models-cont/*.npz"))[-1],
+          "-d", "data/test", "--graph", "lextree", "--lm", "bigram",
+          "--decoder", "lattice"])
+    out = capsys.readouterr().out
+    wer_lat = float(
+        [l for l in out.splitlines() if l.startswith("WER:")][0].split()[1])
+    assert wer_lat <= wer + 0.1, (wer_lat, wer)
+
+    # per-word confidence emission on the loop graph
+    main(["connected_test", "-i", sorted(glob.glob("models-cont/*.npz"))[-1],
+          "-d", "data/test", "--graph", "loop", "--confidence"])
+    out = capsys.readouterr().out
+    conf_lines = [l for l in out.splitlines() if l.startswith("confidence ")]
+    assert conf_lines
+    for l in conf_lines:
+        for tok in l.split(":", 1)[1].split():
+            c = float(tok.rsplit(":", 1)[1])
+            assert 0.0 <= c <= 1.0 + 1e-6, l
+
+
+def test_cli_stream(tmp_path, capsys, monkeypatch):
+    """The stream action: chunked decode == whole-utterance decode, and
+    the incremental mode emits words mid-stream."""
+    monkeypatch.chdir(tmp_path)
+    main(["synth", "-o", "data", "--n-train", "4", "--n-test", "2",
+          "--n-continuous", "10"])
+    main(["isolated_train", "-i", "data/train", "-o", "models/bank.npz",
+          "--n-gaussians", "2"])
+    capsys.readouterr()
+    main(["stream", "-i", "models/bank.npz", "-d", "data/test",
+          "--chunk-frames", "48"])
+    out1 = capsys.readouterr().out
+    lines1 = [l for l in out1.splitlines() if l.endswith(")")]
+    assert len(lines1) >= 2
+
+    # incremental mode decodes the same words and reports mid-stream counts
+    main(["stream", "-i", "models/bank.npz", "-d", "data/test",
+          "--chunk-frames", "32", "--incremental", "--window-chunks", "2"])
+    out2 = capsys.readouterr().out
+    lines2 = [l for l in out2.splitlines() if "emitted mid-stream" in l]
+    assert len(lines2) == len(lines1)
+    words1 = {l.split(":")[0]: l.split("] (")[0] for l in lines1}
+    words2 = {l.split(":")[0]: l.split("] (")[0] for l in lines2}
+    assert words1 == words2
+
+    # lextree streaming too
+    main(["stream", "-i", "models/bank.npz", "-d", "data/test",
+          "--graph", "lextree", "--chunk-frames", "48"])
+    out3 = capsys.readouterr().out
+    lines3 = [l for l in out3.splitlines() if l.endswith(")")]
+    words3 = {l.split(":")[0]: l.split("] (")[0] for l in lines3}
+    assert words3 == words1
+
 
 def test_cli_pipeline_cmvn_silence(tmp_path, capsys, monkeypatch):
     """CMVN + silence-model flags end to end."""
