@@ -76,17 +76,21 @@ def _timeit(fn, warmup=2, iters=5):
 LAST_REGIME = "unmeasured"
 
 
-def _timeit_device(body, n_lo=2, n_hi=12, reps=3):
+def _timeit_device(body, n_lo=2, n_hi=12, reps=3, args=()):
     """Steady-state device time per iteration of ``body``.
 
-    ``body(dep_scalar) -> scalar`` must thread the dependence scalar
-    into its inputs (e.g. ``nf = where(isnan(dep), nf + 1, nf)``) so
-    iterations chain and can't be elided.  Runs ``n`` chained
+    ``body(dep_scalar, *args) -> scalar`` must thread the dependence
+    scalar into its inputs (e.g. ``nf = where(isnan(dep), nf + 1,
+    nf)``) so iterations chain and can't be elided.  Runs ``n`` chained
     iterations inside ONE jit (lax.fori_loop) for two values of n; the
     slope removes both the tunnel's per-dispatch round trip (~10-50 ms
     on axon) and the fixed jit entry cost.  This is the honest
     throughput number: in production decodes are pipelined back to
     back, they don't pay a host round trip each.
+
+    Large device arrays MUST ride ``args`` (forwarded to ``body``), not
+    the closure: closed-over arrays embed as HLO constants and the
+    remote AOT service rejects programs over ~100 MB with HTTP 413.
 
     Sets :data:`LAST_REGIME` to "slope" or "upper-bound"."""
     global LAST_REGIME
@@ -94,17 +98,17 @@ def _timeit_device(body, n_lo=2, n_hi=12, reps=3):
     import jax.numpy as jnp
 
     @jax.jit
-    def run(n):  # dynamic trip count: ONE compile serves every n
+    def run(n, *xs):  # dynamic trip count: ONE compile serves every n
         def step(_, acc):
-            return acc + body(acc) * jnp.float32(1e-30)
+            return acc + body(acc, *xs) * jnp.float32(1e-30)
         return jax.lax.fori_loop(0, n, step, jnp.float32(0.0))
 
-    np.asarray(run(jnp.int32(1)))  # compile + warm
+    np.asarray(run(jnp.int32(1), *args))  # compile + warm
 
     def t(n):
         t0 = time.perf_counter()
         for _ in range(reps):
-            np.asarray(run(jnp.int32(n)))
+            np.asarray(run(jnp.int32(n), *args))
         return (time.perf_counter() - t0) / reps
 
     # grow n_hi until the delta clears tunnel noise (~10-50 ms/dispatch)
@@ -160,8 +164,55 @@ def bench_connected_decode(batch=64, frames=500, n_slots=7, frame_step_s=0.01):
     dt = _timeit_device(body)
     audio_s = batch * frames * frame_step_s
     thr = audio_s / dt
-    log(f"connected decode: {batch}x{frames} frames in {dt*1e3:.2f} ms "
-        f"device-time ({LAST_REGIME}) -> {thr:.0f} audio-s/s")
+    log(f"connected decode (states path): {batch}x{frames} frames in "
+        f"{dt*1e3:.2f} ms device-time ({LAST_REGIME}) -> {thr:.0f} audio-s/s")
+
+    # production word-trace path: NO backpointer plane, NO backtrace
+    # kernel — the forward kernel carries entry times, eps events record
+    # (origin word, entry time), and words come off an O(#words) device
+    # chain walk (decode/connected._decode_banded_words)
+    if topo is not None and topo.uniform_w:
+        def body_wt(dep):
+            nf = jnp.where(jnp.isnan(dep), n_frames + 1, n_frames)
+            seqs_dev, costs = _decode_banded_words_device(
+                bank, graph, bg, feats, nf, topo)
+            return jnp.sum(costs) + jnp.sum(seqs_dev[0].astype(jnp.float32))
+
+        from speech_recognition_tpu.ops.gmm import (
+            augment_dtb,
+            gmm_emission_weights,
+        )
+        from speech_recognition_tpu.ops.viterbi_banded_pallas import (
+            viterbi_banded_wordtrace_pallas,
+            wordtrace_words_device,
+        )
+
+        w_gm, lw_gm = gmm_emission_weights(*bank.flat_states())
+        aug = augment_dtb(feats)
+
+        def _decode_banded_words_device(bank_, graph_, g_, feats_, nf_,
+                                        topo_):
+            final, eps_u, eps_tau, ftau = viterbi_banded_wordtrace_pallas(
+                aug, g_, nf_, topo_, input_ubt=True,
+                fuse_emission=True, bank_gemm=(w_gm, lw_gm))
+            end_costs = final[g_.end_states, :] + g_.end_bonus[:, None]
+            best = jnp.argmin(end_costs, axis=0)
+            costs = jnp.take_along_axis(end_costs, best[None, :], axis=0)[0]
+            end_state = g_.end_states[best]
+            best_slot = end_state // topo_.uniform_w
+            entry = jnp.take_along_axis(ftau, end_state[None, :], axis=0)[0]
+            words_rev, _ = wordtrace_words_device(
+                eps_u, eps_tau, best_slot, entry, nf_,
+                max_words=frames // topo_.uniform_w + 1)
+            return (words_rev,), costs
+
+        dt_wt = _timeit_device(body_wt)
+        thr_wt = audio_s / dt_wt
+        log(f"connected decode (word-trace, production): {batch}x{frames} "
+            f"in {dt_wt*1e3:.2f} ms device-time ({LAST_REGIME}) "
+            f"-> {thr_wt:.0f} audio-s/s")
+        if thr_wt > thr:
+            dt, thr = dt_wt, thr_wt
 
     from speech_recognition_tpu.ops.viterbi_banded import eps_ranges
     from speech_recognition_tpu.utils import roofline as rl

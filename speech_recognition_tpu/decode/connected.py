@@ -205,6 +205,49 @@ def _decode_banded_batch(bank: HMMBank, feats, n_frames, g: BandedGraph,
     return states.T, eps_flags.T, costs
 
 
+def _decode_banded_words(bank: HMMBank, graph: WordGraph, g: BandedGraph,
+                         feats, n_frames, topo, interpret: bool = False):
+    """Backtrace-free production decode (uniform composed word graphs):
+    the word-trace kernel carries entry times and records (origin word,
+    entry time) at every eps re-entry, so word recovery is an O(#words)
+    device chain walk — the [T, S, B] backpointer plane and the O(T)
+    backtrace kernel never exist.  Words identical to the states path
+    (every word boundary in a composed graph is an eps event; asserted
+    in tests).  Returns ``(word_sequences, costs)``."""
+    from speech_recognition_tpu.ops.gmm import (
+        augment_dtb,
+        gmm_emission_weights,
+    )
+    from speech_recognition_tpu.ops.viterbi_banded_pallas import (
+        viterbi_banded_wordtrace_pallas,
+        wordtrace_words_device,
+    )
+
+    feats = jnp.asarray(feats)
+    n_frames = jnp.asarray(n_frames)
+    b, t, d = feats.shape
+    w_gm, lw_gm = gmm_emission_weights(*bank.flat_states())
+    final, eps_u, eps_tau, ftau = viterbi_banded_wordtrace_pallas(
+        augment_dtb(feats), g, n_frames, topo, input_ubt=True,
+        fuse_emission=True, bank_gemm=(w_gm, lw_gm), interpret=interpret)
+    end_costs = final[g.end_states, :] + g.end_bonus[:, None]  # [E, B]
+    best = jnp.argmin(end_costs, axis=0)
+    costs = jnp.take_along_axis(end_costs, best[None, :], axis=0)[0]
+    end_state = g.end_states[best]  # [B]
+    best_slot = end_state // topo.uniform_w
+    entry = jnp.take_along_axis(ftau, end_state[None, :], axis=0)[0]
+    max_words = t // topo.uniform_w + 1  # every state dwells >= 1 frame
+    words_rev, n_words = wordtrace_words_device(
+        eps_u, eps_tau, best_slot, entry, n_frames, max_words=max_words)
+    words_rev = np.asarray(words_rev)  # [W, B] root-slot ids, -1 past end
+    n_words = np.asarray(n_words)
+    labels = np.asarray(graph.slot_label)[
+        np.asarray(graph.slot)[np.asarray(g.word_starts)]]  # root slot -> word
+    seqs = [labels[words_rev[: n_words[i], i][::-1]].tolist()
+            for i in range(b)]
+    return seqs, costs
+
+
 def decode_connected(
     bank: HMMBank, graph: WordGraph, feats, n_frames, backend: str = "auto",
     drop_labels=None, beam_width: int = 0,
@@ -213,7 +256,8 @@ def decode_connected(
 
     ``backend``: 'banded' (word-graph fast path), 'dense', or 'auto'
     (banded when the graph structure allows, else dense; on TPU the
-    banded frame loop runs as the Pallas kernel).
+    banded frame loop runs as the Pallas word-trace kernel — word
+    recovery via eps-event chains, no backtrace pass).
     ``beam_width`` > 0 enables per-frame rank pruning of the frontier.
 
     Returns ``(word_sequences, costs)`` where each sequence is the
@@ -226,6 +270,22 @@ def decode_connected(
             if backend == "banded":
                 raise
             bg = None
+        if bg is not None and beam_width == 0:
+            from speech_recognition_tpu.ops.viterbi_banded_pallas import (
+                default_pallas_topo,
+            )
+
+            topo = default_pallas_topo(bg)
+            if (topo is not None and topo.uniform_w
+                    and graph.eps_depth == 1
+                    and not (set(topo.word_starts) & set(topo.word_ends))):
+                seqs, costs = _decode_banded_words(
+                    bank, graph, bg, feats, n_frames, topo)
+                _warn_no_path(costs)
+                if drop_labels:
+                    seqs = [[w for w in s if w not in drop_labels]
+                            for s in seqs]
+                return seqs, np.asarray(costs)
         if bg is not None:
             topo = None
             if beam_width == 0:

@@ -136,17 +136,26 @@ def _kernel(nll_ref, expand_ref, band_ref, eps_ref, e_end_ref, e_start_ref,
             frames_per_step: int, bank_mode: bool,
             uniform: Tuple[int, int] = (), ubt: bool = False,
             emit_eps_prev: bool = False, fuse_emission: bool = False,
-            n_mix: int = 0, u8_mix: int = 0):
+            n_mix: int = 0, u8_mix: int = 0, emit_wordtrace: bool = False):
     if fuse_emission:
         wg_ref, lw_ref = rest[0], rest[1]
         rest = rest[2:]
-    final_ref, bp_ref, epsu_ref = rest[:3]
-    rest = rest[3:]
-    if emit_eps_prev:
-        epsp_ref, cost_ref = rest
+    bp_ref = epsp_ref = epst_ref = ftau_ref = tau_ref = None
+    if emit_wordtrace:
+        # word-trace mode (uniform graphs only): NO backpointer planes —
+        # an entry-time value plane tau [S, B] rides the DP (the same
+        # carry as the lattice kernels) and each eps event records the
+        # origin word AND its entry time into [R8, B] side planes, so
+        # word recovery is an O(#words) chain walk instead of an O(T)
+        # full-plane backtrace kernel.
+        final_ref, epsu_ref, epst_ref, ftau_ref, cost_ref, tau_ref = rest
     else:
-        (cost_ref,) = rest
-        epsp_ref = None
+        final_ref, bp_ref, epsu_ref = rest[:3]
+        rest = rest[3:]
+        if emit_eps_prev:
+            epsp_ref, cost_ref = rest
+        else:
+            (cost_ref,) = rest
     ti = pl.program_id(0)
     s8, b = cost_ref.shape
     v8 = sel_sg_ref.shape[0]
@@ -201,13 +210,10 @@ def _kernel(nll_ref, expand_ref, band_ref, eps_ref, e_end_ref, e_start_ref,
     # and int8 (32,128) tilings.
     prev = cost_ref[...]  # garbage at ti == 0 (discarded by selects below)
     fin = final_ref[...]
+    tau = tau_ref[...] if emit_wordtrace else None
+    ftau = ftau_ref[...] if emit_wordtrace else None
     nf_b = nf_ref[...] + jnp.zeros((s8, b), jnp.int32)  # broadcast [1,B]
     inf = jnp.full((s8, b), POS_INF, jnp.float32)
-    # loop-invariant wrapped-row penalties for the band shifts (hoisted
-    # out of the frames_per_step x MAX_BAND loops)
-    iota_col = jax.lax.broadcasted_iota(jnp.int32, (s8, 1), 0)
-    pen = {d: jnp.where(iota_col < d, jnp.float32(POS_INF), jnp.float32(0))
-           for d in range(1, MAX_BAND + 1)}
 
     for k in range(frames_per_step):
         t_abs = ti * frames_per_step + k
@@ -219,23 +225,32 @@ def _kernel(nll_ref, expand_ref, band_ref, eps_ref, e_end_ref, e_start_ref,
             emis = nll_at(k)
 
         # --- band relaxation of the previous frontier.  Row shifts are
-        # native sublane rotates (pltpu.roll); the wrapped-around rows
-        # are neutralized by an additive POS_INF column + clamp, which
-        # reproduces the POS_INF fill bit-exactly ---
-        best = inf
+        # native sublane rotates (pltpu.roll); no wrap penalty needed:
+        # band columns are POS_INF wherever the origin row would come
+        # from another word or wrap the array (same invariant the lex
+        # kernel relies on), and POS_INF + x == POS_INF bitwise for
+        # |x| << ulp(1e30).  The min-chain + post-hoc code derivation
+        # (largest finite d wins ties, matching _select_band) replaces
+        # the per-d compare/select chain — ~7 fewer full-plane passes
+        # per frame ---
+        cands = [band_ref[:, 0:1] + prev]
+        for d in range(1, MAX_BAND + 1):
+            cands.append(band_ref[:, d : d + 1] + pltpu.roll(prev, d, 0))
+        best = cands[0]
+        for d in range(1, MAX_BAND + 1):
+            best = jnp.minimum(best, cands[d])
         dsel = jnp.zeros((s8, b), jnp.float32)
-        for d in range(MAX_BAND + 1):
-            col = band_ref[:, d : d + 1]  # [S8, 1] arriving-from-offset-d
-            if d == 0:
-                shifted = prev
-            else:
-                shifted = jnp.minimum(
-                    pltpu.roll(prev, d, 0) + pen[d], POS_INF)
-            cand = col + shifted
-            take = cand <= best
-            best = jnp.where(take, cand, best)
-            dsel = jnp.where(take, jnp.float32(d), dsel)
+        for d in range(1, MAX_BAND + 1):
+            dsel = jnp.where(best == cands[d], jnp.float32(d), dsel)
         base = jnp.minimum(best, POS_INF)
+        if emit_wordtrace:
+            # entry-time carry follows the band decision (wrapped rows
+            # only matter where the cost is POS_INF — harmless garbage)
+            tau_prev_f = tau
+            tau_b = tau
+            for d in range(1, MAX_BAND + 1):
+                tau_b = jnp.where(dsel == jnp.float32(d),
+                                  pltpu.roll(tau, d, 0), tau_b)
 
         if k == 0:  # only the first frame of step 0 seeds from init
             is0 = ti == 0
@@ -244,11 +259,16 @@ def _kernel(nll_ref, expand_ref, band_ref, eps_ref, e_end_ref, e_start_ref,
             dsel = jnp.where(is0, jnp.float32(0), dsel)
             prev = jnp.where(is0, inf, prev)
             fin = jnp.where(is0, inf, fin)
+            if emit_wordtrace:
+                tau_b = jnp.where(is0, jnp.float32(0), tau_b)
+                tau_prev_f = jnp.where(is0, jnp.float32(0), tau_prev_f)
+                ftau = jnp.where(is0, jnp.float32(0), ftau)
 
         cost = jnp.minimum(base + emis, POS_INF)
         bp = dsel
         side = jnp.zeros((v8, b), jnp.float32)  # eps origins (as f32)
         side_prev = jnp.zeros((v8, b), jnp.float32)  # post-unwind prev state
+        side_tau = jnp.zeros((v8, b), jnp.float32)  # origin entry times
         if emit_eps_prev:
             # band code at every word-end row, captured pre-eps: the eps
             # winner's true path predecessor is end_row(u) - d_end(u),
@@ -269,11 +289,13 @@ def _kernel(nll_ref, expand_ref, band_ref, eps_ref, e_end_ref, e_start_ref,
                 w_live, w8 = uniform
                 view = cost.reshape(v8, w8, b)
                 end_vals = view[:, w_live - 1, :]  # [V8, B]
+                if emit_wordtrace:
+                    tau_ends = tau_b.reshape(v8, w8, b)[:, w_live - 1, :]
             else:
                 end_vals = dotf(e_end_ref[...], cost)  # [L8, B] select
             # build [R8, B] base/arg by concatenating the (ascending,
             # disjoint) eps-block runs — Mosaic has no scatter
-            pieces_b, pieces_a, pieces_p = [], [], []
+            pieces_b, pieces_a, pieces_p, pieces_t = [], [], [], []
             cursor = 0
             for ri, (v_lo, v_hi, u_lo, u_hi) in enumerate(topo.ranges):
                 if v_lo > cursor:
@@ -281,6 +303,7 @@ def _kernel(nll_ref, expand_ref, band_ref, eps_ref, e_end_ref, e_start_ref,
                         jnp.full((v_lo - cursor, b), POS_INF, jnp.float32))
                     pieces_a.append(jnp.zeros((v_lo - cursor, b), jnp.float32))
                     pieces_p.append(jnp.zeros((v_lo - cursor, b), jnp.float32))
+                    pieces_t.append(jnp.zeros((v_lo - cursor, b), jnp.float32))
                 span = u_hi - u_lo
                 rc = (ri < len(topo.rowconst) and topo.rowconst[ri]
                       and span > 2)
@@ -302,8 +325,13 @@ def _kernel(nll_ref, expand_ref, band_ref, eps_ref, e_end_ref, e_start_ref,
                     bb = eps_ref[v_lo:v_hi, u_lo : u_lo + 1] + m
                     aa = (arg_rel + u_lo).astype(jnp.float32) + zros
                     pp = jnp.zeros((v_hi - v_lo, b), jnp.float32)
-                    if emit_eps_prev:
+                    tt = pp
+                    if emit_eps_prev or emit_wordtrace:
                         onehot = (iota_u == arg_rel).astype(jnp.float32)
+                    if emit_wordtrace:
+                        tt = jnp.sum(tau_ends[u_lo:u_hi, :] * onehot,
+                                     axis=0, keepdims=True) + zros
+                    if emit_eps_prev:
                         if uniform:
                             er = ((iota_u + u_lo).astype(jnp.float32)
                                   * uniform[1] + (uniform[0] - 1))
@@ -319,12 +347,15 @@ def _kernel(nll_ref, expand_ref, band_ref, eps_ref, e_end_ref, e_start_ref,
                     bb = jnp.full((v_hi - v_lo, b), POS_INF, jnp.float32)
                     aa = jnp.zeros((v_hi - v_lo, b), jnp.float32)
                     pp = jnp.zeros((v_hi - v_lo, b), jnp.float32)
+                    tt = pp
                     for u in range(u_lo, u_hi):
                         cand_u = (eps_ref[v_lo:v_hi, u : u + 1]
                                   + end_vals[u : u + 1, :])
                         take = cand_u < bb  # strict: keep first minimum
                         bb = jnp.where(take, cand_u, bb)
                         aa = jnp.where(take, jnp.float32(u), aa)
+                        if emit_wordtrace:
+                            tt = jnp.where(take, tau_ends[u : u + 1, :], tt)
                         if emit_eps_prev:
                             if uniform:
                                 end_row = u * uniform[1] + uniform[0] - 1
@@ -336,15 +367,20 @@ def _kernel(nll_ref, expand_ref, band_ref, eps_ref, e_end_ref, e_start_ref,
                 pieces_b.append(bb)
                 pieces_a.append(aa)
                 pieces_p.append(pp)
+                pieces_t.append(tt)
                 cursor = v_hi
             if cursor < v8:
                 pieces_b.append(jnp.full((v8 - cursor, b), POS_INF, jnp.float32))
                 pieces_a.append(jnp.zeros((v8 - cursor, b), jnp.float32))
                 pieces_p.append(jnp.zeros((v8 - cursor, b), jnp.float32))
+                pieces_t.append(jnp.zeros((v8 - cursor, b), jnp.float32))
             arc_base = (jnp.concatenate(pieces_b, axis=0)
                         if len(pieces_b) > 1 else pieces_b[0])
             arc_arg = (jnp.concatenate(pieces_a, axis=0)
                        if len(pieces_a) > 1 else pieces_a[0])
+            if emit_wordtrace:
+                arc_tau = (jnp.concatenate(pieces_t, axis=0)
+                           if len(pieces_t) > 1 else pieces_t[0])
             if emit_eps_prev:
                 arc_prev = (jnp.concatenate(pieces_p, axis=0)
                             if len(pieces_p) > 1 else pieces_p[0])
@@ -377,7 +413,14 @@ def _kernel(nll_ref, expand_ref, band_ref, eps_ref, e_end_ref, e_start_ref,
                 cand_dense = dotf(p_start_ref[...], cand_arc)  # [S8, B]
                 better = dotf(p_start_ref[...], better_arc) > 0.0
             cost = jnp.where(better, cand_dense, cost)
-            bp = jnp.where(better, jnp.float32(_EPS), bp)
+            if emit_wordtrace:
+                t_abs_f = (t_abs * jnp.ones((), jnp.int32)).astype(
+                    jnp.float32)
+                tau_new = jnp.where(better, t_abs_f, tau_b)
+                side_tau = (side_tau * (1.0 - better_arc)
+                            + arc_tau * better_arc)
+            else:
+                bp = jnp.where(better, jnp.float32(_EPS), bp)
             side = side * (1.0 - better_arc) + arc_arg * better_arc
             if emit_eps_prev:
                 side_prev = (side_prev * (1.0 - better_arc)
@@ -385,8 +428,13 @@ def _kernel(nll_ref, expand_ref, band_ref, eps_ref, e_end_ref, e_start_ref,
 
         # --- variable-length masking + final capture (XLA semantics) ---
         cost = jnp.where(t_abs < nf_b, cost, prev)
-        bp_ref[k] = bp.astype(jnp.int8)
         epsu_ref[k] = side.astype(epsu_ref.dtype)
+        if emit_wordtrace:
+            tau = jnp.where(t_abs < nf_b, tau_new, tau_prev_f)
+            epst_ref[k] = side_tau.astype(jnp.int32)
+            ftau = jnp.where(t_abs == nf_b - 1, tau, ftau)
+        else:
+            bp_ref[k] = bp.astype(jnp.int8)
         if emit_eps_prev:
             epsp_ref[k] = side_prev.astype(jnp.int32)
         fin = jnp.where(t_abs == nf_b - 1, cost, fin)
@@ -394,6 +442,9 @@ def _kernel(nll_ref, expand_ref, band_ref, eps_ref, e_end_ref, e_start_ref,
 
     cost_ref[...] = prev
     final_ref[...] = fin
+    if emit_wordtrace:
+        tau_ref[...] = tau
+        ftau_ref[...] = ftau
 
 
 @functools.partial(jax.jit,
@@ -659,6 +710,213 @@ def viterbi_banded_tb_pallas(nll_tb, g: BandedGraph, n_frames,
         return (final, bp8, eps_u[:t_len, :r].astype(u_dtype),
                 eps_prev[:t_len, :r])
     return final, bp8, eps_u[:t_len, :r].astype(u_dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("topo", "interpret", "frames_per_step",
+                                    "fuse_emission", "input_ubt"))
+def viterbi_banded_wordtrace_pallas(nll_tb, g: BandedGraph, n_frames,
+                                    topo: BandedTopo,
+                                    interpret: bool = False,
+                                    frames_per_step: int = 4,
+                                    input_ubt: bool = False,
+                                    fuse_emission: bool = False,
+                                    bank_gemm=None):
+    """Backtrace-FREE connected decode forward pass (uniform composed
+    word graphs, eps_depth 1): the kernel carries an entry-time value
+    plane (the lattice kernels' tau carry) and each eps re-entry
+    records ``(origin word slot, origin entry time)`` into two small
+    ``[R, B]`` side planes — so word recovery is an O(#words) chain
+    walk (:func:`wordtrace_words_device`) instead of an O(T)
+    full-plane backtrace kernel, and the ``[T, S, B]`` backpointer
+    plane never exists.
+
+    Inputs as :func:`viterbi_banded_tb_pallas` (compact bank emissions,
+    or ``fuse_emission`` with the augmented feature block).  Returns
+    ``(final [S, B], eps_u [T, R, B], eps_tau [T, R, B] int32,
+    final_tau [S, B] int32)`` in original state numbering."""
+    if not topo.uniform_w:
+        raise ValueError("wordtrace needs a uniform composed word graph")
+    if set(topo.word_starts) & set(topo.word_ends):
+        raise ValueError("wordtrace needs disjoint word starts/ends")
+    if getattr(g, "cross_src", None) is not None:
+        raise NotImplementedError("wordtrace: cross-arc graphs run on the "
+                                  "lex lattice kernel")
+    if fuse_emission:
+        if bank_gemm is None:
+            raise ValueError("fuse_emission needs bank_gemm=(w, lw)")
+        if not input_ubt:
+            raise ValueError("fuse_emission expects the [A, T, B] layout")
+        a_in, t_len, b = nll_tb.shape
+        w_gm, lw_gm = bank_gemm
+        n_bank_g, n_mix, a_w = w_gm.shape
+        if a_w != a_in:
+            raise ValueError(f"augmented dim mismatch: {a_w} vs {a_in}")
+        s_in = n_bank_g
+    else:
+        if input_ubt:
+            s_in, t_len, b = nll_tb.shape
+        else:
+            t_len, s_in, b = nll_tb.shape
+    s = topo.n_states
+    n_bank = max(topo.bank_map) + 1 if topo.bank_map else 0
+    if not fuse_emission and s_in != n_bank:
+        raise ValueError("wordtrace takes compact bank emissions "
+                         f"({s_in} vs {n_bank})")
+    r = len(topo.word_starts)
+    l = len(topo.word_ends)
+    r8 = _ceil(r, 8)
+    l8 = _ceil(l, 8)
+    sb8 = _ceil(s_in, 8)
+
+    w_live = topo.uniform_w
+    w8 = _ceil(w_live, 8)
+    v8 = _ceil(r, 8)
+    s8 = v8 * w8
+    uniform = (w_live, w8)
+    orig_rows = np.arange(s)
+    pad_rows = (orig_rows // w_live) * w8 + orig_rows % w_live
+    in8 = _ceil(a_in, 8) if fuse_emission else sb8
+    per_k = 8 * in8 * b + 16 * r8 * b
+    k = max(1, min(frames_per_step,
+                   (12 * 2**20 - 4 * s8 * b) // max(per_k, 1)))
+    if input_ubt:
+        k = _ceil(k, 8)
+    t8 = _ceil(t_len, k)
+
+    e_end = np.zeros((l8, s8), np.float32)
+    e_end[np.arange(l), pad_rows[list(topo.word_ends)]] = 1.0
+    sel_sg = np.zeros((r8, s8), np.float32)
+    sel_sg[np.arange(r), pad_rows[list(topo.word_starts)]] = 1.0
+    p_start = np.zeros((s8, r8), np.float32)
+    p_start[pad_rows[list(topo.word_starts)], np.arange(r)] = 1.0
+    expand = np.zeros((s8, sb8), np.float32)
+    expand[pad_rows, list(topo.bank_map)] = 1.0
+    expand = np.concatenate([expand] * 3, axis=1)
+    e_start = np.zeros((r8, sb8), np.float32)
+    e_start[np.arange(r),
+            [topo.bank_map[ws] for ws in topo.word_starts]] = 1.0
+
+    pad_rows_j = jnp.asarray(pad_rows)
+    band_t = jnp.full((s8, 8), POS_INF, jnp.float32)
+    band_t = band_t.at[pad_rows_j, : MAX_BAND + 1].set(g.band.T)
+    eps_vals = jnp.full((r8, l8), POS_INF, jnp.float32)
+    eps_vals = eps_vals.at[:r, :l].set(g.eps_block)
+    init_col = jnp.full((s8, 1), POS_INF, jnp.float32)
+    init_col = init_col.at[pad_rows_j, 0].set(g.init_cost)
+    if fuse_emission:
+        if in8 != a_in or t8 != t_len:
+            nll_tb = jnp.pad(nll_tb, ((0, in8 - a_in), (0, t8 - t_len),
+                                      (0, 0)))
+        wg = jnp.zeros((n_mix * sb8, in8), jnp.float32)
+        lwr = jnp.zeros((n_mix * sb8, 1), jnp.float32)
+        for mi in range(n_mix):
+            wg = wg.at[mi * sb8 : mi * sb8 + n_bank_g, :a_in].set(
+                w_gm[:, mi, :].astype(jnp.float32))
+            lwr = lwr.at[mi * sb8 : mi * sb8 + n_bank_g, 0].set(
+                lw_gm[:, mi].astype(jnp.float32))
+    elif sb8 != s_in or t8 != t_len:
+        if input_ubt:
+            nll_tb = jnp.pad(nll_tb, ((0, sb8 - s_in), (0, t8 - t_len),
+                                      (0, 0)))
+        else:
+            nll_tb = jnp.pad(nll_tb, ((0, t8 - t_len), (0, sb8 - s_in),
+                                      (0, 0)))
+    nf_row = n_frames.astype(jnp.int32)[None, :]
+
+    kernel = functools.partial(
+        _kernel, topo=topo, eps_depth=1, frames_per_step=k, bank_mode=True,
+        uniform=uniform, ubt=input_ubt, emit_wordtrace=True,
+        fuse_emission=fuse_emission,
+        n_mix=n_mix if fuse_emission else 0,
+        u8_mix=sb8 if fuse_emission else 0)
+    const = lambda *_: (0, 0)
+    nll_spec = (pl.BlockSpec((in8, k, b), lambda t: (0, t, 0),
+                             memory_space=pltpu.VMEM)
+                if input_ubt else
+                pl.BlockSpec((k, sb8, b), lambda t: (t, 0, 0),
+                             memory_space=pltpu.VMEM))
+    fuse_specs = ([pl.BlockSpec((n_mix * sb8, in8), const,
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((n_mix * sb8, 1), const,
+                                memory_space=pltpu.VMEM)]
+                  if fuse_emission else [])
+    final, eps_u, eps_tau, ftau = pl.pallas_call(
+        kernel,
+        grid=(t8 // k,),
+        in_specs=[
+            nll_spec,
+            pl.BlockSpec(expand.shape, const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((s8, 8), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((r8, l8), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((l8, s8), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((r8, sb8), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((r8, s8), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((s8, r8), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((s8, 1), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b), const, memory_space=pltpu.VMEM),
+        ] + fuse_specs,
+        out_specs=[
+            pl.BlockSpec((s8, b), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, r8, b), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, r8, b), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((s8, b), const, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((s8, b), jnp.float32),
+            jax.ShapeDtypeStruct((t8, r8, b),
+                                 jnp.int8 if l <= 127 else jnp.int32),
+            jax.ShapeDtypeStruct((t8, r8, b), jnp.int32),
+            jax.ShapeDtypeStruct((s8, b), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((s8, b), jnp.float32),
+                        pltpu.VMEM((s8, b), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 2**20),
+        interpret=interpret,
+    )(nll_tb, jnp.asarray(expand, jnp.bfloat16), band_t, eps_vals,
+      jnp.asarray(e_end), jnp.asarray(e_start), jnp.asarray(sel_sg),
+      jnp.asarray(p_start), init_col, nf_row,
+      *((wg, lwr) if fuse_emission else ()))
+    return (final[pad_rows_j], eps_u[:t_len, :r], eps_tau[:t_len, :r],
+            ftau[pad_rows_j].astype(jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("max_words",))
+def wordtrace_words_device(eps_u, eps_tau, best_slot, entry_t, n_frames,
+                           max_words: int = 128):
+    """Device-side word recovery over the word-trace side planes.
+
+    Follows the eps chain ``(t, v) -> (eps_tau[t, v], eps_u[t, v])``
+    from each stream's final word for up to ``max_words`` steps —
+    O(#words) tiny gathers instead of an O(T) backtrace, and only the
+    ``[max_words, B]`` id plane crosses the host link.  Returns
+    ``(words_rev [max_words, B] int32 with -1 past the first word,
+    n_words [B])``; reverse per stream for the word sequence."""
+    t_len, r, b = eps_u.shape
+    flat_u = eps_u.reshape(-1, b).astype(jnp.int32)
+    flat_t = eps_tau.reshape(-1, b)
+    cols = jnp.arange(b)
+
+    def step(carry, _):
+        v, t, alive = carry
+        word = jnp.where(alive, v, -1)
+        idx = jnp.clip(t, 0, t_len - 1) * r + jnp.clip(v, 0, r - 1)
+        u = flat_u[idx, cols]
+        t2 = flat_t[idx, cols]
+        cont = alive & (t > 0)
+        return (jnp.where(cont, u, v), jnp.where(cont, t2, t),
+                cont), (word, cont)
+
+    alive0 = n_frames > 0
+    (_, _, _), (words_rev, conts) = jax.lax.scan(
+        step, (best_slot.astype(jnp.int32), entry_t.astype(jnp.int32),
+               alive0), None, length=max_words)
+    n_words = jnp.sum(words_rev >= 0, axis=0)
+    return words_rev, n_words
 
 
 def _backtrace_kernel(bp_ref, epsu_ref, end_oh_ref, p_we_ref, sel_sg_ref,

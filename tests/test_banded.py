@@ -510,3 +510,68 @@ def test_pallas_fused_emission_interpret_matches(rng):
             np.asarray(s_r)[: nfs[i], i], np.asarray(s_f)[: nfs[i], i])
         np.testing.assert_array_equal(
             np.asarray(f_r)[: nfs[i], i], np.asarray(f_f)[: nfs[i], i])
+
+
+def test_wordtrace_decode_matches_states_path(rng):
+    """Backtrace-free word-trace decode (tau carry + eps-event chain
+    walk, interpret mode) produces the same word sequences and costs as
+    the states-path decode on loop AND sausage graphs, with repeated
+    words and variable lengths."""
+    import jax.numpy as jnp
+
+    from speech_recognition_tpu.data.synthetic import random_gmm_hmm
+    from speech_recognition_tpu.decode.connected import (
+        _decode_banded_words,
+        connected_graph_arrays,
+        decode_connected,
+    )
+    from speech_recognition_tpu.models.graph import build_loop_graph
+    from speech_recognition_tpu.models.hmm import GMMHMM, HMMBank
+    from speech_recognition_tpu.ops.viterbi_banded_pallas import (
+        banded_topology,
+    )
+    from speech_recognition_tpu.utils.numerics import to_cost_matrix
+
+    nprng = np.random.default_rng(7)
+    models, params = [], []
+    for _ in range(4):
+        p = random_gmm_hmm(nprng, n_states=3, n_mix=1, dim=6, sep=6.0)
+        params.append(p)
+        models.append(GMMHMM(
+            means=jnp.asarray(p["means"], jnp.float32),
+            log_vars=jnp.log(jnp.asarray(p["variances"], jnp.float32)),
+            log_weights=jnp.log(jnp.asarray(p["weights"], jnp.float32)),
+            trans_cost=jnp.asarray(to_cost_matrix(p["trans"])),
+        ))
+    bank = HMMBank.stack(models)
+
+    # planted audio with a REPEATED word (eps re-entry to the same slot)
+    seqs = [[0, 1, 1, 2], [3, 0], [2, 2, 2]]
+    fs, nfs = [], []
+    for seq in seqs:
+        rows = []
+        for w in seq:
+            for s in range(3):
+                rows += [params[w]["means"][s, 0]
+                         + 0.1 * nprng.standard_normal(6)] * 3
+        fs.append(np.asarray(rows, np.float32))
+        nfs.append(len(rows))
+    T = max(nfs)
+    fb = np.zeros((len(seqs), T, 6), np.float32)
+    for i, x in enumerate(fs):
+        fb[i, : len(x)] = x
+    fb = jnp.asarray(fb)
+    nfs = jnp.asarray(np.asarray(nfs, np.int32))
+
+    for graph in (build_loop_graph([p["trans"] for p in params],
+                                   word_insertion_cost=0.2),
+                  connected_graph_arrays(bank, 4)):
+        bg = banded_arrays(graph)
+        topo = banded_topology(bg)
+        assert topo.uniform_w
+        ref_seqs, ref_costs = decode_connected(bank, graph, fb, nfs)
+        wt_seqs, wt_costs = _decode_banded_words(
+            bank, graph, bg, fb, nfs, topo, interpret=True)
+        assert wt_seqs == ref_seqs
+        np.testing.assert_allclose(np.asarray(wt_costs),
+                                   np.asarray(ref_costs), rtol=1e-5)
