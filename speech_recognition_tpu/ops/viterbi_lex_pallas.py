@@ -419,17 +419,24 @@ def lex_pallas_vmem_bytes(plan: "LexPlan", batch: int,
     """Scoped-VMEM estimate for one kernel invocation at ``batch``:
     resident constants (selectors, expansion, band/init/eps columns)
     plus the batch-scaled planes (prev scratch, final out, ~3.5 live
-    f32 transients, double-buffered int8 bp blocks)."""
+    f32 transients, double-buffered int8 bp blocks).
+
+    Batch rides the LANE axis in the state-major layout and Mosaic pads
+    lanes to 128, so a [S_soa, B] plane occupies S_soa * ceil128(B) * 4
+    bytes regardless of how small B is — at reference-dictionary scale
+    (~83k SoA states) that is 42 MB per plane at ANY batch, which is
+    exactly why the lane-major 'wide' layout exists."""
     topo = plan.topo
     s_soa = topo.su * topo.a_pad
+    bl = _ceil(batch, 128)  # Mosaic lane padding
     sel_bytes = sum(int(np.prod(s.shape)) * s.dtype.itemsize
                     for s in plan.sels)
     exp_bytes = int(np.prod(plan.expand.shape)) * plan.expand.dtype.itemsize
     const_bytes = (sel_bytes + exp_bytes + s_soa * (MAX_BAND + 1) * 4
                    + topo.a_pad * (plan.eps_exit.shape[1] + 2) * 4
                    + s_soa * 4)
-    plane = s_soa * batch * 4
-    per_b = int(5.5 * plane) + 2 * frames_per_step * s_soa * batch
+    plane = s_soa * bl * 4
+    per_b = int(5.5 * plane) + 2 * frames_per_step * s_soa * bl
     return const_bytes + per_b
 
 

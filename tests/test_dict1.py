@@ -66,7 +66,21 @@ def test_dict1_full_plan_fits(rng):
     sel_bytes = sum(int(np.prod(s.shape)) * s.dtype.itemsize
                     for s in plan.sels)
     assert sel_bytes < 16 * 2**20
-    assert lex_pallas_batch_chunk(plan, 64) >= 16
+    # the STATE-MAJOR layout does NOT fit at dict1 scale: batch rides
+    # the lane axis, Mosaic pads lanes to 128, so every live plane is
+    # 42 MB at any batch (round-4 fix: the round-3 byte model missed
+    # the lane padding and an on-chip run OOMed; the wide layout is
+    # the dict1 path)
+    assert lex_pallas_batch_chunk(plan, 64) == 0
+    from speech_recognition_tpu.ops.viterbi_lex_pallas import (
+        lex_pallas_lattice_batch_chunk,
+        lex_pallas_wide_batch_chunk,
+    )
+
+    wplan = lex_pallas_plan(lexg, layout="wide")
+    assert lex_pallas_wide_batch_chunk(wplan, 64) >= 16
+    assert lex_pallas_lattice_batch_chunk(wplan, 16) >= 8
+    assert lex_pallas_lattice_batch_chunk(plan, 16) == 0
 
 
 @pytest.mark.skipif(not os.path.exists(DICT1), reason="reference dict absent")
