@@ -54,7 +54,8 @@ from speech_recognition_tpu.ops.viterbi_banded import (
 from speech_recognition_tpu.utils.numerics import POS_INF
 
 __all__ = ["viterbi_lattice_tb", "lattice_rescore", "lattice_words",
-           "decode_lextree_bigram", "rescore_backoff"]
+           "lattice_words_device", "decode_lextree_bigram",
+           "rescore_backoff"]
 
 
 @functools.partial(jax.jit, static_argnames=("eps_ranges", "unroll"))
@@ -257,6 +258,41 @@ def lattice_rescore(ends_cost, ends_tau, leaf_word, bigram_cost, start_cost,
                          pred_w=p_all, ends_tau=ends_tau)
 
 
+@functools.partial(jax.jit, static_argnames=("max_words",))
+def lattice_words_device(pred_w, ends_tau, best_leaf, n_frames,
+                         max_words: int = 128):
+    """Device-side word backtrace through the rescore DP: follows the
+    (entry time, predecessor leaf) chain for up to ``max_words`` steps
+    with tiny flattened gathers, so only a ``[max_words, B]`` leaf-id
+    plane crosses the host link — fetching the full ``[T, L, B]``
+    ``pred_w``/``ends_tau`` planes costs ~400 MB at dictionary scale
+    (~10+ s over the axon tunnel; the round-4 wall-clock bug).
+
+    Returns ``(leaves_rev [max_words, B] int32, -1 past the first word,
+    n_words [B])``; reverse per stream and map through ``leaf_word``."""
+    t_len, l, b = pred_w.shape
+    flat_p = pred_w.reshape(-1, b)
+    flat_t = ends_tau.reshape(-1, b)
+    cols = jnp.arange(b)
+    t0 = jnp.clip(n_frames.astype(jnp.int32) - 1, 0, t_len - 1)
+
+    def step(carry, _):
+        leaf, t, alive = carry
+        out = jnp.where(alive, leaf, -1)
+        idx = jnp.clip(t, 0, t_len - 1) * l + jnp.clip(leaf, 0, l - 1)
+        tau = flat_t[idx, cols]
+        nxt = flat_p[jnp.clip(tau, 0, t_len - 1) * l
+                     + jnp.clip(leaf, 0, l - 1), cols]
+        cont = alive & (tau > 0)
+        return (jnp.where(cont, nxt, leaf), jnp.where(cont, tau, t),
+                cont), out
+
+    (_, _, _), leaves_rev = jax.lax.scan(
+        step, (best_leaf.astype(jnp.int32), t0, n_frames > 0), None,
+        length=max_words)
+    return leaves_rev, jnp.sum(leaves_rev >= 0, axis=0)
+
+
 def lattice_words(res: RescoreResult, leaf_word, n_frames) -> List[List[int]]:
     """Host word backtrace through the rescore DP: follow
     (entry time, predecessor leaf) chains from the best final leaf.
@@ -406,7 +442,16 @@ def decode_lextree_bigram(bank, lexg, lm, feats, n_frames,
         jnp.asarray(np.asarray(lm.end_cost, np.float32)),
         n_frames, max_dur=max_dur,
         backoff=rescore_backoff(lm, lexg.leaf_word))
-    seqs = lattice_words(res, lexg.leaf_word, n_frames)
+    # device chain walk: every unit dwells >= 1 frame, so a word takes
+    # at least su frames and the chain is bounded
+    su = lexg.n_states // lexg.n_arcs
+    leaves_rev, n_words = lattice_words_device(
+        res.pred_w, res.ends_tau, res.best_leaf, n_frames,
+        max_words=min(t, t // max(su, 1) + 1))
+    lw = np.asarray(lexg.leaf_word)
+    lr = np.asarray(leaves_rev)
+    nw = np.asarray(n_words)
+    seqs = [lw[lr[: nw[i], i][::-1]].tolist() for i in range(b)]
     return seqs, np.asarray(res.cost)
 
 

@@ -355,3 +355,26 @@ def test_backoff_identity_numpy(rng):
                       d[bo.pred_idx] + bo.pred_cost, 1e30).min(axis=1)
         np.testing.assert_allclose(np.minimum(m_all, sp), h_dense,
                                    rtol=1e-6)
+
+
+def test_lattice_words_device_matches_host(rng):
+    """The device chain walk (tiny flattened gathers, [W, B] fetch)
+    reproduces the host lattice_words exactly."""
+    from speech_recognition_tpu.langmodel.bigram import fit_bigram
+    from speech_recognition_tpu.ops.lattice import lattice_words_device
+
+    wic = 0.25
+    lexg, units, unit_ids, unit_trans = make_case(rng, wic=wic)
+    lm = fit_bigram([[0, 1, 2], [5, 3, 1], [4, 4, 6]], len(WORDS))
+    T, B = 31, 6
+    e = rng.uniform(0, 5, (T, len(units) * 3, B)).astype(np.float32)
+    nf = np.array([T, 17, T, 9, 25, 3], np.int32)
+    final, res, words = run_lattice(lexg, e, nf, lm, wic)
+    leaves_rev, n_words = lattice_words_device(
+        res.pred_w, res.ends_tau, res.best_leaf, jnp.asarray(nf),
+        max_words=T)
+    lw = np.asarray(lexg.leaf_word)
+    lr = np.asarray(leaves_rev)
+    nw = np.asarray(n_words)
+    got = [lw[lr[: nw[i], i][::-1]].tolist() for i in range(B)]
+    assert got == words
