@@ -169,7 +169,15 @@ def lattice_rescore(ends_cost, ends_tau, leaf_word, bigram_cost, start_cost,
     recombination collapses to one global backoff min + a [L, K]
     sparse min (exact for backoff-structured LMs; add-k smoothing
     always is).  Between exact-cost ties the recorded predecessor can
-    differ from the dense path."""
+    differ from the dense path.
+
+    Layout: the scan runs in [B, L] orientation — leaves on the LANE
+    axis, batch on sublanes — so small serving batches use the full
+    vector width (the round-3 [L, B] form padded B=16 lanes to 128 and
+    ran at 1/8 utilization), and every arg-selection is the min +
+    first-minimum iota-compare idiom (XLA's variadic argmin reduce
+    measured ~0.9 ms/frame at dictionary scale, 85% of the whole
+    rescorer)."""
     t_len, l, b = ends_cost.shape
     # reorder word-indexed LM arrays into leaf-slot order
     if backoff is None:
@@ -177,85 +185,93 @@ def lattice_rescore(ends_cost, ends_tau, leaf_word, bigram_cost, start_cost,
     start_l = start_cost[leaf_word]
     end_l = end_cost[leaf_word]
 
-    q = jnp.min(ends_cost, axis=1)  # [T, B]
+    ec_bl = jnp.transpose(ends_cost, (0, 2, 1))  # [T, B, L]
+    et_bl = jnp.transpose(ends_tau, (0, 2, 1))
+    q = jnp.min(ec_bl, axis=2)  # [T, B]
 
-    # Per (t, w) the scan records H[t, w]'s argmin predecessor slot;
-    # the word backtrace reads it back at each word's entry time.
+    # Per (t, w) the scan records H[t, w]'s first-minimum predecessor
+    # slot; the word backtrace reads it back at each word's entry time.
     # BOTH tau-indexed quantities ride RINGS over the last max_dur
-    # frames: H in [L, B, Dmax], the per-frame entry charge Q in
-    # [B, Dmax] (a take_along_axis of q over the full [T, L, B] tau
-    # plane outside the scan gathered 64M elements — dynamic gathers
-    # run ~150M elem/s on this TPU and that prologue alone cost ~0.4 s
-    # of the round-3 bigram bench's 0.68 s).  The ring gathers are one
-    # shared iota-compare mask + masked reduces over Dmax slots.
-    # Lattice arcs longer than max_dur frames are dropped (the
-    # classical per-word duration cap; raise ``max_dur`` for slow
-    # speech) — the H window already enforced this, the Q ring adds no
-    # new truncation.
+    # frames ([Dmax, B, L] / [Dmax, B]); the ring reads are one shared
+    # iota-compare mask + masked reduces over Dmax slots.  Lattice arcs
+    # longer than max_dur frames are dropped (the classical per-word
+    # duration cap; raise ``max_dur`` for slow speech) — callers warn
+    # via the truncation counter.
     dmax = min(max_dur, t_len)
-    iota_ring = jnp.arange(dmax)[None, None, :]  # [1, 1, Dmax]
+    iota_ring = jnp.arange(dmax)[:, None, None]  # [Dmax, 1, 1]
+    iota_l = jnp.arange(l, dtype=jnp.int32)[None, :]  # [1, L]
+    nf_last = jnp.clip(n_frames.astype(jnp.int32) - 1, 0, t_len - 1)
 
     def step(carry, inputs):
-        h_ring, q_ring = carry
-        t, s0, tau, q_t = inputs  # [L, B], [L, B] int32, [B]
+        h_ring, q_ring, d_fin = carry
+        t, s0, tau, q_t = inputs  # [B, L], [B, L] int32, [B]
         tau_c = jnp.clip(tau, 0, t_len - 1)
-        slot = (tau_c % dmax)[:, :, None]
-        sel = (iota_ring == slot).astype(h_ring.dtype)
-        hg = jnp.sum(h_ring * sel, axis=2)  # [L, B]
-        qg = jnp.sum(q_ring[None, :, :] * sel, axis=2)  # [L, B]
+        slot = (tau_c % dmax)[None, :, :]  # [1, B, L]
+        sel = (iota_ring == slot).astype(h_ring.dtype)  # [Dmax, B, L]
+        hg = jnp.sum(h_ring * sel, axis=0)  # [B, L]
+        qg = jnp.sum(q_ring[:, :, None] * sel, axis=0)  # [B, L]
         in_window = (t - tau_c) <= dmax
         hg = jnp.where(in_window, hg, POS_INF)
         is_start = tau <= 0
-        base = jnp.where(is_start, s0 + start_l[:, None], s0 - qg)
-        d = base + jnp.where(is_start, 0.0, hg)  # [L, B]
+        base = jnp.where(is_start, s0 + start_l[None, :], s0 - qg)
+        d = base + jnp.where(is_start, 0.0, hg)  # [B, L]
         if backoff is not None:
             base_l, pidx, pcost = backoff
             kk = pidx.shape[1]
-            db = d + base_l[:, None]
-            m_all = jnp.min(db, axis=0)  # [B] global backoff min
-            arg_all = jnp.argmin(db, axis=0).astype(jnp.int32)
-            sc = (d[pidx.reshape(-1)].reshape(l, kk, b)
-                  + pcost[:, :, None])  # [L, K, B] seen-pair candidates
-            h_sp = jnp.min(sc, axis=1)
-            a_sp = jnp.argmin(sc, axis=1)  # [L, B] in 0..K-1
-            p_sp = jnp.take_along_axis(
-                jnp.broadcast_to(pidx[:, :, None], (l, kk, b)),
-                a_sp[:, None, :], axis=1)[:, 0, :]
-            take_sp = h_sp < m_all[None, :]
-            h_new = jnp.minimum(jnp.where(take_sp, h_sp, m_all[None, :]),
-                                POS_INF)
-            p_new = jnp.where(take_sp, p_sp, arg_all[None, :]).astype(
-                jnp.int32)
+            db = d + base_l[None, :]
+            m_all = jnp.min(db, axis=1, keepdims=True)  # [B, 1]
+            arg_all = jnp.min(
+                jnp.where(db == m_all, iota_l, jnp.int32(l)), axis=1,
+                keepdims=True)  # [B, 1] first minimum
+            sc = (d[:, pidx.reshape(-1)].reshape(b, l, kk)
+                  + pcost[None, :, :])  # [B, L, K] seen-pair candidates
+            h_sp = jnp.min(sc, axis=2)  # [B, L]
+            # first-minimum k, then its pidx value via K onehot passes
+            iota_k = jnp.arange(kk, dtype=jnp.int32)[None, None, :]
+            k_sp = jnp.min(jnp.where(sc == h_sp[:, :, None], iota_k,
+                                     jnp.int32(kk)), axis=2)  # [B, L]
+            p_sp = jnp.zeros((b, l), jnp.int32)
+            for ki in range(kk):
+                p_sp = jnp.where(k_sp == ki, pidx[None, :, ki], p_sp)
+            take_sp = h_sp < m_all
+            h_new = jnp.minimum(jnp.where(take_sp, h_sp, m_all), POS_INF)
+            p_new = jnp.where(take_sp, p_sp, arg_all).astype(jnp.int32)
         else:
-            h_new = jnp.full((l, b), POS_INF, s0.dtype)
-            p_new = jnp.zeros((l, b), jnp.int32)
-            for j0 in range(0, l, block):  # bound the [L, lb, B] transient
+            h_cols, p_cols = [], []
+            for j0 in range(0, l, block):  # bound the [B, L, lb] transient
                 blk = big_ll[:, j0 : j0 + block]
-                sc = d[:, None, :] + blk[:, :, None]
-                h_new = h_new.at[j0 : j0 + block].set(
-                    jnp.minimum(jnp.min(sc, axis=0), POS_INF))
-                p_new = p_new.at[j0 : j0 + block].set(
-                    jnp.argmin(sc, axis=0).astype(jnp.int32))
+                sc = d[:, :, None] + blk[None, :, :]  # [B, L, lb]
+                m = jnp.min(sc, axis=1)  # [B, lb]
+                iota_src = jnp.arange(l, dtype=jnp.int32)[None, :, None]
+                a = jnp.min(jnp.where(sc == m[:, None, :], iota_src,
+                                      jnp.int32(l)), axis=1)
+                h_cols.append(jnp.minimum(m, POS_INF))
+                p_cols.append(a.astype(jnp.int32))
+            h_new = jnp.concatenate(h_cols, axis=1)
+            p_new = jnp.concatenate(p_cols, axis=1)
         h_ring = jax.lax.dynamic_update_slice(
-            h_ring, h_new[:, :, None], (0, 0, t % dmax))
+            h_ring, h_new[None], (t % dmax, 0, 0))
         q_ring = jax.lax.dynamic_update_slice(
-            q_ring, q_t[:, None], (0, t % dmax))
-        return (h_ring, q_ring), (d, p_new)
+            q_ring, q_t[None], (t % dmax, 0))
+        # capture D at each stream's last frame (saves stacking the
+        # full [T, B, L] d plane to HBM just to gather one row)
+        d_fin = jnp.where((t == nf_last)[:, None], d, d_fin)
+        return (h_ring, q_ring, d_fin), p_new
 
-    h0 = jnp.full((l, b, dmax), POS_INF, ends_cost.dtype)
-    q0 = jnp.full((b, dmax), POS_INF, ends_cost.dtype)
-    _, (d_all, p_all) = jax.lax.scan(
-        step, (h0, q0), (jnp.arange(t_len), ends_cost, ends_tau, q))
+    h0 = jnp.full((dmax, b, l), POS_INF, ends_cost.dtype)
+    q0 = jnp.full((dmax, b), POS_INF, ends_cost.dtype)
+    d0 = jnp.full((b, l), POS_INF, ends_cost.dtype)
+    (_, _, d_at_end), p_all = jax.lax.scan(
+        step, (h0, q0, d0), (jnp.arange(t_len), ec_bl, et_bl, q))
 
-    # best final leaf at each stream's last frame
-    d_at_end = jnp.take_along_axis(
-        d_all, jnp.clip(n_frames - 1, 0, t_len - 1)[None, None, :],
-        axis=0)[0]  # [L, B]
-    final_costs = d_at_end + end_l[:, None]
-    best_leaf = jnp.argmin(final_costs, axis=0)
-    cost = jnp.take_along_axis(final_costs, best_leaf[None, :], axis=0)[0]
+    final_costs = d_at_end + end_l[None, :]  # [B, L]
+    best_leaf = jnp.min(
+        jnp.where(final_costs == jnp.min(final_costs, axis=1, keepdims=True),
+                  iota_l, jnp.int32(l)), axis=1)
+    cost = jnp.min(final_costs, axis=1)
     return RescoreResult(cost=cost, best_leaf=best_leaf.astype(jnp.int32),
-                         pred_w=p_all, ends_tau=ends_tau)
+                         pred_w=jnp.transpose(p_all, (0, 2, 1)),
+                         ends_tau=ends_tau)
 
 
 @functools.partial(jax.jit, static_argnames=("max_words",))
