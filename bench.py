@@ -653,6 +653,78 @@ def bench_lextree(batch=64, frames=500, n_words=1000, frame_step_s=0.01,
     return audio_s / dt
 
 
+def bench_lextree_dict1_bigram(batch=16, frames=500, frame_step_s=0.01):
+    """Bigram LM x the reference's 6,250-word dictionary on ONE
+    production path (the round-3 north star): wide-layout Pallas
+    lattice kernel (entry-time carry, end-slice streaming) + the [B, L]
+    backoff rescorer, timed as one chained device body.  Exactness vs
+    the XLA lattice is asserted on-chip by
+    scripts/exp_dict1_bigram_chip.py and in the suite (interpret)."""
+    import jax
+    import jax.numpy as jnp
+
+    from speech_recognition_tpu.langmodel.bigram import fit_bigram
+    from speech_recognition_tpu.models.lexgraph import build_lex_graph
+    from speech_recognition_tpu.ops.lattice import (
+        lattice_rescore,
+        rescore_backoff,
+    )
+    from speech_recognition_tpu.ops.viterbi_lex_pallas import (
+        lex_pallas_plan,
+        viterbi_lex_pallas_wide_lattice,
+    )
+
+    rng = np.random.default_rng(7)
+    raw = [line.strip() for line in
+           open("/root/reference/tests/test_data/dict1.txt")][1:]
+    seen, words = set(), []
+    for w in raw:
+        if w and w not in seen:
+            seen.add(w)
+            words.append(w)
+    units = sorted(set("".join(words)))
+    unit_ids = {ch: i for i, ch in enumerate(units)}
+    su = 3
+    trans = []
+    for _ in units:
+        t = np.full((su, su), np.inf)
+        for i in range(su):
+            t[i, i] = rng.uniform(0.1, 1)
+            if i + 1 < su:
+                t[i + 1, i] = rng.uniform(0.1, 1)
+        trans.append(t)
+    lexg = build_lex_graph(words, trans, unit_ids, word_insertion_cost=0.5)
+    plan = lex_pallas_plan(lexg, layout="wide")
+    v = len(words)
+    lm = fit_bigram([[int(x) for x in rng.integers(0, v, 20)]
+                     for _ in range(400)], v)
+    bo = rescore_backoff(lm, lexg.leaf_word)
+    log(f"dict1 bigram: {v} words, {lexg.n_states} states, "
+        f"{'backoff K=' + str(int(bo[1].shape[1])) if bo else 'dense'} "
+        f"recombination")
+    lw = jnp.asarray(lexg.leaf_word)
+    cost_d = jnp.asarray(np.asarray(lm.cost, np.float32))
+    start_d = jnp.asarray(np.asarray(lm.start_cost, np.float32))
+    end_d = jnp.asarray(np.asarray(lm.end_cost, np.float32))
+    eb = jnp.asarray(rng.uniform(0, 5, (frames, len(units) * su, batch)),
+                     jnp.float32)
+    nfb = jnp.full((batch,), frames, jnp.int32)
+
+    def body(dep, eb, nfb):
+        nf2 = jnp.where(jnp.isnan(dep), nfb + 1, nfb)
+        ec, et = viterbi_lex_pallas_wide_lattice(eb, plan, nf2, plan.topo)
+        r = lattice_rescore(ec, et, lw, cost_d, start_d, end_d, nf2,
+                            backoff=bo)
+        return jnp.sum(r.cost) + jnp.sum(r.pred_w[-1].astype(jnp.float32))
+
+    dt = _timeit_device(body, args=(eb, nfb))
+    audio_s = batch * frames * frame_step_s
+    log(f"dict1 bigram decode (lattice kernel + rescore): {batch}x{frames} "
+        f"in {dt*1e3:.2f} ms device-time ({LAST_REGIME}) "
+        f"-> {audio_s/dt:.0f} audio-s/s")
+    return audio_s / dt
+
+
 def bench_lextree_bigram(batch=128, frames=500, n_words=1000,
                          frame_step_s=0.01):
     """Exact-bigram-over-lattice decode on a 1,000-word deep trie:
@@ -985,6 +1057,7 @@ def main():
                     choices=["headline", "frontend", "train", "soft_em",
                              "decode", "pipeline", "lextree", "lex_pipeline",
                              "lextree_dict1", "lextree_bigram",
+                             "lextree_dict1_bigram",
                              "streaming", "spellcheck"])
     ap.add_argument("--batch", type=int, default=0,
                     help="0 = per-benchmark default (headline pins 512 — "
@@ -1059,6 +1132,13 @@ def main():
         v = bench_lextree(args.batch or 32, args.frames, dict1=True,
                           pallas=(_jax.default_backend() == "tpu"))
         print(json.dumps({"metric": "lextree-dict1-6250-word-decode",
+                          "value": round(v, 1),
+                          "unit": "audio-seconds/s/chip", "vs_baseline": 0,
+                          "regime": LAST_REGIME}))
+        return
+    if args.what == "lextree_dict1_bigram":
+        v = bench_lextree_dict1_bigram(args.batch or 16, args.frames)
+        print(json.dumps({"metric": "lextree-dict1-bigram-decode",
                           "value": round(v, 1),
                           "unit": "audio-seconds/s/chip", "vs_baseline": 0,
                           "regime": LAST_REGIME}))
