@@ -146,10 +146,12 @@ class RescoreResult(NamedTuple):
     ends_tau: jnp.ndarray  # [T, L, B] int32 (pass-1 entry times, echoed)
 
 
-@functools.partial(jax.jit, static_argnames=("block", "max_dur"))
+@functools.partial(jax.jit, static_argnames=("block", "max_dur",
+                                             "block_frames"))
 def lattice_rescore(ends_cost, ends_tau, leaf_word, bigram_cost, start_cost,
                     end_cost, n_frames, block: int = 128,
-                    max_dur: int = 128, backoff=None):
+                    max_dur: int = 128, backoff=None,
+                    block_frames: int = 8):
     """Exact bigram Viterbi over the lattice planes (one lax.scan).
 
     ``ends_cost/ends_tau [T, L, B]`` from :func:`viterbi_lattice_tb`;
@@ -171,13 +173,21 @@ def lattice_rescore(ends_cost, ends_tau, leaf_word, bigram_cost, start_cost,
     always is).  Between exact-cost ties the recorded predecessor can
     differ from the dense path.
 
-    Layout: the scan runs in [B, L] orientation — leaves on the LANE
-    axis, batch on sublanes — so small serving batches use the full
-    vector width (the round-3 [L, B] form padded B=16 lanes to 128 and
-    ran at 1/8 utilization), and every arg-selection is the min +
-    first-minimum iota-compare idiom (XLA's variadic argmin reduce
-    measured ~0.9 ms/frame at dictionary scale, 85% of the whole
-    rescorer)."""
+    Layout and blocking (round-4 on-chip profiling at dictionary
+    scale): the scan runs in [B, L] orientation — leaves on lanes, so
+    small serving batches use the full vector width; every
+    arg-selection is the min + first-minimum iota-compare idiom (XLA's
+    variadic argmin reduce measured ~0.9 ms/frame, 85% of the whole
+    round-3 rescorer); the sparse gather is K separate lane takes with
+    an [L]-index vector each (~6 G elem/s vs ~1 M elem/s for one flat
+    [L*K] take); and the scan is BLOCKED over ``block_frames`` frames
+    so each sweep of the [Dmax, B, L] H-ring serves a whole block —
+    XLA will not keep the ring resident once the sparse machinery is
+    present, so the per-frame ring traffic (51 MB at dict1 dmax=128)
+    was the dominant cost.  Lookups into H rows computed WITHIN the
+    current block ride a small sequential inner loop (a lattice arc
+    spans at least one frame, so intra-block dependencies only reach
+    backward)."""
     t_len, l, b = ends_cost.shape
     # reorder word-indexed LM arrays into leaf-slot order
     if backoff is None:
@@ -185,36 +195,25 @@ def lattice_rescore(ends_cost, ends_tau, leaf_word, bigram_cost, start_cost,
     start_l = start_cost[leaf_word]
     end_l = end_cost[leaf_word]
 
+    f_blk = max(1, block_frames)
+    t_pad = (t_len + f_blk - 1) // f_blk * f_blk
     ec_bl = jnp.transpose(ends_cost, (0, 2, 1))  # [T, B, L]
     et_bl = jnp.transpose(ends_tau, (0, 2, 1))
-    q = jnp.min(ec_bl, axis=2)  # [T, B]
-
-    # Per (t, w) the scan records H[t, w]'s first-minimum predecessor
-    # slot; the word backtrace reads it back at each word's entry time.
-    # BOTH tau-indexed quantities ride RINGS over the last max_dur
-    # frames ([Dmax, B, L] / [Dmax, B]); the ring reads are one shared
-    # iota-compare mask + masked reduces over Dmax slots.  Lattice arcs
-    # longer than max_dur frames are dropped (the classical per-word
-    # duration cap; raise ``max_dur`` for slow speech) — callers warn
-    # via the truncation counter.
-    dmax = min(max_dur, t_len)
-    iota_ring = jnp.arange(dmax)[:, None, None]  # [Dmax, 1, 1]
+    if t_pad != t_len:
+        # pad frames are inert: s0 = POS_INF everywhere, tau = 0
+        ec_bl = jnp.pad(ec_bl, ((0, t_pad - t_len), (0, 0), (0, 0)),
+                        constant_values=POS_INF)
+        et_bl = jnp.pad(et_bl, ((0, t_pad - t_len), (0, 0), (0, 0)))
+    q = jnp.min(ec_bl, axis=2)  # [Tp, B]
+    # ring depth: a multiple of the frame block so each block's H rows
+    # land as ONE contiguous [F, B, L] slice
+    dmax = min(max_dur, t_pad)
+    dmax = (dmax + f_blk - 1) // f_blk * f_blk
     iota_l = jnp.arange(l, dtype=jnp.int32)[None, :]  # [1, L]
     nf_last = jnp.clip(n_frames.astype(jnp.int32) - 1, 0, t_len - 1)
 
-    def step(carry, inputs):
-        h_ring, q_ring, d_fin = carry
-        t, s0, tau, q_t = inputs  # [B, L], [B, L] int32, [B]
-        tau_c = jnp.clip(tau, 0, t_len - 1)
-        slot = (tau_c % dmax)[None, :, :]  # [1, B, L]
-        sel = (iota_ring == slot).astype(h_ring.dtype)  # [Dmax, B, L]
-        hg = jnp.sum(h_ring * sel, axis=0)  # [B, L]
-        qg = jnp.sum(q_ring[:, :, None] * sel, axis=0)  # [B, L]
-        in_window = (t - tau_c) <= dmax
-        hg = jnp.where(in_window, hg, POS_INF)
-        is_start = tau <= 0
-        base = jnp.where(is_start, s0 + start_l[None, :], s0 - qg)
-        d = base + jnp.where(is_start, 0.0, hg)  # [B, L]
+    def recombine(d):
+        """H row + first-min predecessor from one D row [B, L]."""
         if backoff is not None:
             base_l, pidx, pcost = backoff
             kk = pidx.shape[1]
@@ -223,16 +222,17 @@ def lattice_rescore(ends_cost, ends_tau, leaf_word, bigram_cost, start_cost,
             arg_all = jnp.min(
                 jnp.where(db == m_all, iota_l, jnp.int32(l)), axis=1,
                 keepdims=True)  # [B, 1] first minimum
-            sc = (d[:, pidx.reshape(-1)].reshape(b, l, kk)
-                  + pcost[None, :, :])  # [B, L, K] seen-pair candidates
-            h_sp = jnp.min(sc, axis=2)  # [B, L]
-            # first-minimum k, then its pidx value via K onehot passes
-            iota_k = jnp.arange(kk, dtype=jnp.int32)[None, None, :]
-            k_sp = jnp.min(jnp.where(sc == h_sp[:, :, None], iota_k,
-                                     jnp.int32(kk)), axis=2)  # [B, L]
+            # K separate lane takes (fast) + running first-min merge:
+            # ties resolve to the smallest k, matching the round-3
+            # argmin-over-k semantics
+            h_sp = jnp.full((b, l), POS_INF, d.dtype)
             p_sp = jnp.zeros((b, l), jnp.int32)
             for ki in range(kk):
-                p_sp = jnp.where(k_sp == ki, pidx[None, :, ki], p_sp)
+                cand = (jnp.take(d, pidx[:, ki], axis=1)
+                        + pcost[None, :, ki])
+                tk = cand < h_sp
+                h_sp = jnp.where(tk, cand, h_sp)
+                p_sp = jnp.where(tk, pidx[None, :, ki], p_sp)
             take_sp = h_sp < m_all
             h_new = jnp.minimum(jnp.where(take_sp, h_sp, m_all), POS_INF)
             p_new = jnp.where(take_sp, p_sp, arg_all).astype(jnp.int32)
@@ -249,20 +249,62 @@ def lattice_rescore(ends_cost, ends_tau, leaf_word, bigram_cost, start_cost,
                 p_cols.append(a.astype(jnp.int32))
             h_new = jnp.concatenate(h_cols, axis=1)
             p_new = jnp.concatenate(p_cols, axis=1)
+        return h_new, p_new
+
+    def step(carry, inputs):
+        h_ring, q_ring, d_fin = carry
+        t0, s0_f, tau_f, q_f = inputs  # [F, B, L], [F, B, L], [F, B]
+        tau_c = jnp.clip(tau_f, 0, t_pad - 1)
+        slot = tau_c % dmax  # [F, B, L]
+        ts = t0 + jnp.arange(f_blk)
+        # block-start boundary in ring-slot space: slots written by
+        # THIS block are [t0 % dmax, t0 % dmax + F) — lookups for
+        # tau >= t0 are served by the sequential inner loop instead
+        coarse = tau_c < t0
+        # ONE sweep over the ring serves every frame of the block
+        hg = jnp.full((f_blk, b, l), POS_INF, s0_f.dtype)
+        qg = jnp.zeros((f_blk, b, l), s0_f.dtype)
+        for dd in range(dmax):
+            m = (slot == dd) & coarse
+            hg = jnp.where(m, h_ring[dd][None], hg)
+            qg = jnp.where(m, q_ring[dd][None, :, None], qg)
+        in_window = (ts[:, None, None] - tau_c) <= dmax
+        hg = jnp.where(in_window, hg, POS_INF)
+
+        h_rows, p_rows = [], []
+        for f in range(f_blk):
+            hg_f = hg[f]
+            qg_f = qg[f]
+            # intra-block lookups: H rows computed earlier in this block
+            for ff in range(f):
+                m = tau_c[f] == t0 + ff
+                hg_f = jnp.where(m, h_rows[ff], hg_f)
+                qg_f = jnp.where(m, q_f[ff][:, None], qg_f)
+            is_start = tau_f[f] <= 0
+            base = jnp.where(is_start, s0_f[f] + start_l[None, :],
+                             s0_f[f] - qg_f)
+            d = base + jnp.where(is_start, 0.0, hg_f)  # [B, L]
+            h_new, p_new = recombine(d)
+            h_rows.append(h_new)
+            p_rows.append(p_new)
+            d_fin = jnp.where((ts[f] == nf_last)[:, None], d, d_fin)
         h_ring = jax.lax.dynamic_update_slice(
-            h_ring, h_new[None], (t % dmax, 0, 0))
+            h_ring, jnp.stack(h_rows), (t0 % dmax, 0, 0))
         q_ring = jax.lax.dynamic_update_slice(
-            q_ring, q_t[None], (t % dmax, 0))
-        # capture D at each stream's last frame (saves stacking the
-        # full [T, B, L] d plane to HBM just to gather one row)
-        d_fin = jnp.where((t == nf_last)[:, None], d, d_fin)
-        return (h_ring, q_ring, d_fin), p_new
+            q_ring, q_f, (t0 % dmax, 0))
+        return (h_ring, q_ring, d_fin), jnp.stack(p_rows)
 
     h0 = jnp.full((dmax, b, l), POS_INF, ends_cost.dtype)
     q0 = jnp.full((dmax, b), POS_INF, ends_cost.dtype)
     d0 = jnp.full((b, l), POS_INF, ends_cost.dtype)
+    n_blocks = t_pad // f_blk
     (_, _, d_at_end), p_all = jax.lax.scan(
-        step, (h0, q0, d0), (jnp.arange(t_len), ec_bl, et_bl, q))
+        step, (h0, q0, d0),
+        (jnp.arange(n_blocks) * f_blk,
+         ec_bl.reshape(n_blocks, f_blk, b, l),
+         et_bl.reshape(n_blocks, f_blk, b, l),
+         q.reshape(n_blocks, f_blk, b)))
+    p_all = p_all.reshape(t_pad, b, l)[:t_len]
 
     final_costs = d_at_end + end_l[None, :]  # [B, L]
     best_leaf = jnp.min(
