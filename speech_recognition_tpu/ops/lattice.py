@@ -251,55 +251,51 @@ def lattice_rescore(ends_cost, ends_tau, leaf_word, bigram_cost, start_cost,
             p_new = jnp.concatenate(p_cols, axis=1)
         return h_new, p_new
 
+    iota_d = jnp.arange(dmax, dtype=jnp.int32)[:, None, None, None]
+
     def step(carry, inputs):
-        h_ring, q_ring, d_fin = carry
+        hq_ring, d_fin = carry
         t0, s0_f, tau_f, q_f = inputs  # [F, B, L], [F, B, L], [F, B]
         tau_c = jnp.clip(tau_f, 0, t_pad - 1)
         slot = tau_c % dmax  # [F, B, L]
         ts = t0 + jnp.arange(f_blk)
-        # block-start boundary in ring-slot space: slots written by
-        # THIS block are [t0 % dmax, t0 % dmax + F) — lookups for
-        # tau >= t0 are served by the sequential inner loop instead
-        coarse = tau_c < t0
-        # ONE sweep over the ring serves every frame of the block
-        hg = jnp.full((f_blk, b, l), POS_INF, s0_f.dtype)
-        qg = jnp.zeros((f_blk, b, l), s0_f.dtype)
-        for dd in range(dmax):
-            m = (slot == dd) & coarse
-            hg = jnp.where(m, h_ring[dd][None], hg)
-            qg = jnp.where(m, q_ring[dd][None, :, None], qg)
-        in_window = (ts[:, None, None] - tau_c) <= dmax
-        hg = jnp.where(in_window, hg, POS_INF)
+        # block-start boundary: slots written by THIS block are
+        # [t0 % dmax, t0 % dmax + F) — lookups for tau >= t0 are served
+        # by the sequential inner loop instead.  H and Q are always
+        # consumed together as H[tau] - Q[tau], so ONE combined ring
+        # serves both (halves the select work).  The lookup is a single
+        # masked sum-reduce over the ring axis — XLA fuses the product
+        # into the reduction (the unrolled where-chain form
+        # materialized every step: ~0.6 ms/frame on-chip).
+        coarse = (tau_c < t0) & ((ts[:, None, None] - tau_c) <= dmax)
+        sel = ((iota_d == slot[None]) & coarse[None]).astype(s0_f.dtype)
+        hq = jnp.sum(hq_ring[:, None, :, :] * sel, axis=0)  # [F, B, L]
+        hq = jnp.where(coarse, hq, POS_INF)
 
         h_rows, p_rows = [], []
         for f in range(f_blk):
-            hg_f = hg[f]
-            qg_f = qg[f]
+            hq_f = hq[f]
             # intra-block lookups: H rows computed earlier in this block
             for ff in range(f):
                 m = tau_c[f] == t0 + ff
-                hg_f = jnp.where(m, h_rows[ff], hg_f)
-                qg_f = jnp.where(m, q_f[ff][:, None], qg_f)
+                hq_f = jnp.where(m, h_rows[ff] - q_f[ff][:, None], hq_f)
             is_start = tau_f[f] <= 0
-            base = jnp.where(is_start, s0_f[f] + start_l[None, :],
-                             s0_f[f] - qg_f)
-            d = base + jnp.where(is_start, 0.0, hg_f)  # [B, L]
+            d = jnp.where(is_start, s0_f[f] + start_l[None, :],
+                          s0_f[f] + hq_f)  # [B, L]
             h_new, p_new = recombine(d)
             h_rows.append(h_new)
             p_rows.append(p_new)
             d_fin = jnp.where((ts[f] == nf_last)[:, None], d, d_fin)
-        h_ring = jax.lax.dynamic_update_slice(
-            h_ring, jnp.stack(h_rows), (t0 % dmax, 0, 0))
-        q_ring = jax.lax.dynamic_update_slice(
-            q_ring, q_f, (t0 % dmax, 0))
-        return (h_ring, q_ring, d_fin), jnp.stack(p_rows)
+        hq_ring = jax.lax.dynamic_update_slice(
+            hq_ring,
+            jnp.stack(h_rows) - q_f[:, :, None], (t0 % dmax, 0, 0))
+        return (hq_ring, d_fin), jnp.stack(p_rows)
 
     h0 = jnp.full((dmax, b, l), POS_INF, ends_cost.dtype)
-    q0 = jnp.full((dmax, b), POS_INF, ends_cost.dtype)
     d0 = jnp.full((b, l), POS_INF, ends_cost.dtype)
     n_blocks = t_pad // f_blk
-    (_, _, d_at_end), p_all = jax.lax.scan(
-        step, (h0, q0, d0),
+    (_, d_at_end), p_all = jax.lax.scan(
+        step, (h0, d0),
         (jnp.arange(n_blocks) * f_blk,
          ec_bl.reshape(n_blocks, f_blk, b, l),
          et_bl.reshape(n_blocks, f_blk, b, l),
