@@ -146,12 +146,39 @@ class RescoreResult(NamedTuple):
     ends_tau: jnp.ndarray  # [T, L, B] int32 (pass-1 entry times, echoed)
 
 
+def _hq_sweep_pallas(hq_ring, slotm, dmax: int, interpret: bool = False):
+    """Blocked ring lookup as a Pallas kernel: the ring lives in VMEM
+    for the whole D-sweep, each step one compare+select over the
+    [F, B, Lp] block (XLA's masked sum-reduce form pays HBM-side
+    materialization per step).  ``slotm`` is the slot index where the
+    lookup is in-window, else ``dmax`` (a sentinel no loop step
+    matches, so those lanes keep POS_INF — the same out-of-window
+    masking the XLA form applies).  Bit-identical to the masked
+    sum-reduce: exactly one ring row is selected per element."""
+    from jax.experimental import pallas as pl
+
+    def kern(ring_ref, slotm_ref, out_ref):
+        acc = jnp.full(slotm_ref.shape, POS_INF, jnp.float32)
+
+        def body(d, acc):
+            row = ring_ref[d]  # [B, Lp]
+            return jnp.where(slotm_ref[...] == d, row[None], acc)
+
+        out_ref[...] = jax.lax.fori_loop(0, dmax, body, acc)
+
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct(slotm.shape, jnp.float32),
+        interpret=interpret,
+    )(hq_ring, slotm)
+
+
 @functools.partial(jax.jit, static_argnames=("block", "max_dur",
-                                             "block_frames"))
+                                             "block_frames", "ring_kernel"))
 def lattice_rescore(ends_cost, ends_tau, leaf_word, bigram_cost, start_cost,
                     end_cost, n_frames, block: int = 128,
                     max_dur: int = 128, backoff=None,
-                    block_frames: int = 8):
+                    block_frames: int = 8, ring_kernel: str = "auto"):
     """Exact bigram Viterbi over the lattice planes (one lax.scan).
 
     ``ends_cost/ends_tau [T, L, B]`` from :func:`viterbi_lattice_tb`;
@@ -197,18 +224,39 @@ def lattice_rescore(ends_cost, ends_tau, leaf_word, bigram_cost, start_cost,
 
     f_blk = max(1, block_frames)
     t_pad = (t_len + f_blk - 1) // f_blk * f_blk
-    ec_bl = jnp.transpose(ends_cost, (0, 2, 1))  # [T, B, L]
-    et_bl = jnp.transpose(ends_tau, (0, 2, 1))
-    if t_pad != t_len:
-        # pad frames are inert: s0 = POS_INF everywhere, tau = 0
-        ec_bl = jnp.pad(ec_bl, ((0, t_pad - t_len), (0, 0), (0, 0)),
-                        constant_values=POS_INF)
-        et_bl = jnp.pad(et_bl, ((0, t_pad - t_len), (0, 0), (0, 0)))
-    q = jnp.min(ec_bl, axis=2)  # [Tp, B]
     # ring depth: a multiple of the frame block so each block's H rows
     # land as ONE contiguous [F, B, L] slice
     dmax = min(max_dur, t_pad)
     dmax = (dmax + f_blk - 1) // f_blk * f_blk
+    if ring_kernel == "auto":
+        fits = (dmax + 2 * f_blk) * b * ((l + 127) // 128 * 128) * 4 < 95e6
+        ring_kernel = ("pallas" if jax.default_backend() == "tpu"
+                       and b % 8 == 0 and fits else "xla")
+    use_kern = ring_kernel.startswith("pallas")
+    kern_interp = ring_kernel.endswith("interpret")
+    lp = (l + 127) // 128 * 128 if use_kern else l
+    ec_bl = jnp.transpose(ends_cost, (0, 2, 1))  # [T, B, L]
+    et_bl = jnp.transpose(ends_tau, (0, 2, 1))
+    if t_pad != t_len or lp != l:
+        # pad frames/lanes are inert: s0 = POS_INF everywhere, tau = 0
+        ec_bl = jnp.pad(ec_bl, ((0, t_pad - t_len), (0, 0), (0, lp - l)),
+                        constant_values=POS_INF)
+        et_bl = jnp.pad(et_bl, ((0, t_pad - t_len), (0, 0), (0, lp - l)))
+    if lp != l:
+        start_l = jnp.pad(start_l, (0, lp - l), constant_values=POS_INF)
+        end_l = jnp.pad(end_l, (0, lp - l), constant_values=POS_INF)
+        if backoff is None:
+            big_ll = jnp.pad(big_ll, ((0, lp - l), (0, lp - l)),
+                             constant_values=POS_INF)
+        else:
+            base_p, pidx_p, pcost_p = backoff
+            backoff = (jnp.pad(base_p, (0, lp - l),
+                               constant_values=POS_INF),
+                       jnp.pad(pidx_p, ((0, lp - l), (0, 0))),
+                       jnp.pad(pcost_p, ((0, lp - l), (0, 0)),
+                               constant_values=POS_INF))
+    l_orig, l = l, lp
+    q = jnp.min(ec_bl, axis=2)  # [Tp, B]
     iota_l = jnp.arange(l, dtype=jnp.int32)[None, :]  # [1, L]
     nf_last = jnp.clip(n_frames.astype(jnp.int32) - 1, 0, t_len - 1)
 
@@ -268,9 +316,14 @@ def lattice_rescore(ends_cost, ends_tau, leaf_word, bigram_cost, start_cost,
         # into the reduction (the unrolled where-chain form
         # materialized every step: ~0.6 ms/frame on-chip).
         coarse = (tau_c < t0) & ((ts[:, None, None] - tau_c) <= dmax)
-        sel = ((iota_d == slot[None]) & coarse[None]).astype(s0_f.dtype)
-        hq = jnp.sum(hq_ring[:, None, :, :] * sel, axis=0)  # [F, B, L]
-        hq = jnp.where(coarse, hq, POS_INF)
+        if use_kern:
+            slotm = jnp.where(coarse, slot, jnp.int32(dmax))
+            hq = _hq_sweep_pallas(hq_ring, slotm, dmax,
+                                  interpret=kern_interp)
+        else:
+            sel = ((iota_d == slot[None]) & coarse[None]).astype(s0_f.dtype)
+            hq = jnp.sum(hq_ring[:, None, :, :] * sel, axis=0)  # [F, B, L]
+            hq = jnp.where(coarse, hq, POS_INF)
 
         h_rows, p_rows = [], []
         for f in range(f_blk):
@@ -300,12 +353,12 @@ def lattice_rescore(ends_cost, ends_tau, leaf_word, bigram_cost, start_cost,
          ec_bl.reshape(n_blocks, f_blk, b, l),
          et_bl.reshape(n_blocks, f_blk, b, l),
          q.reshape(n_blocks, f_blk, b)))
-    p_all = p_all.reshape(t_pad, b, l)[:t_len]
+    p_all = p_all.reshape(t_pad, b, l)[:t_len, :, :l_orig]
 
-    final_costs = d_at_end + end_l[None, :]  # [B, L]
+    final_costs = (d_at_end + end_l[None, :])[:, :l_orig]  # [B, L]
     best_leaf = jnp.min(
         jnp.where(final_costs == jnp.min(final_costs, axis=1, keepdims=True),
-                  iota_l, jnp.int32(l)), axis=1)
+                  iota_l[:, :l_orig], jnp.int32(l)), axis=1)
     cost = jnp.min(final_costs, axis=1)
     return RescoreResult(cost=cost, best_leaf=best_leaf.astype(jnp.int32),
                          pred_w=jnp.transpose(p_all, (0, 2, 1)),

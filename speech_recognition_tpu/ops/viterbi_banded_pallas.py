@@ -327,10 +327,16 @@ def _kernel(nll_ref, expand_ref, band_ref, eps_ref, e_end_ref, e_start_ref,
                     pp = jnp.zeros((v_hi - v_lo, b), jnp.float32)
                     tt = pp
                     if emit_eps_prev or emit_wordtrace:
-                        onehot = (iota_u == arg_rel).astype(jnp.float32)
+                        # MIN-form one-hot select: Mosaic rejects float
+                        # ADD reductions over sublane-OFFSET slices
+                        # (u_lo is rarely 8-aligned), but min-reduce on
+                        # the same layout lowers fine (line ~318)
+                        onehot = iota_u == arg_rel
                     if emit_wordtrace:
-                        tt = jnp.sum(tau_ends[u_lo:u_hi, :] * onehot,
-                                     axis=0, keepdims=True) + zros
+                        tt = jnp.min(
+                            jnp.where(onehot, tau_ends[u_lo:u_hi, :],
+                                      POS_INF),
+                            axis=0, keepdims=True) + zros
                     if emit_eps_prev:
                         if uniform:
                             er = ((iota_u + u_lo).astype(jnp.float32)
@@ -341,8 +347,9 @@ def _kernel(nll_ref, expand_ref, band_ref, eps_ref, e_end_ref, e_start_ref,
                                           for u in range(u_lo, u_hi)],
                                          np.float32)[:, None])
                         prev_plane = er - d_ends[u_lo:u_hi, :]
-                        pp = jnp.sum(prev_plane * onehot, axis=0,
-                                     keepdims=True) + zros
+                        pp = jnp.min(
+                            jnp.where(onehot, prev_plane, POS_INF),
+                            axis=0, keepdims=True) + zros
                 else:
                     bb = jnp.full((v_hi - v_lo, b), POS_INF, jnp.float32)
                     aa = jnp.zeros((v_hi - v_lo, b), jnp.float32)

@@ -329,6 +329,40 @@ def test_backoff_rescore_matches_dense(rng):
     assert w_d == w_s
 
 
+def test_ring_kernel_matches_xla(rng):
+    """The Pallas ring-sweep lookup (interpret mode) is bit-identical
+    to the XLA masked sum-reduce form — costs, predecessor planes, and
+    word sequences — on both the dense and backoff recombinations,
+    including the lane-padding path (L not a multiple of 128)."""
+    from speech_recognition_tpu.ops.lattice import rescore_backoff
+
+    lexg, units, unit_ids, unit_trans = make_case(rng, wic=0.3)
+    v = len(WORDS)
+    lm = fit_bigram([[int(x) for x in rng.integers(0, v, 6)]
+                     for _ in range(15)], v)
+    T, B = 25, 8
+    e = rng.uniform(0, 5, (T, len(units) * 3, B)).astype(np.float32)
+    nf = np.array([T, 13, T, 9, 17, 5, T, 11], np.int32)
+
+    g = lexg.banded
+    nll_tb = jnp.asarray(e)[:, np.asarray(g.bank_state), :]
+    _, ends_cost, ends_tau = viterbi_lattice_tb(nll_tb, g, jnp.asarray(nf))
+    args = (ends_cost, ends_tau, jnp.asarray(lexg.leaf_word),
+            jnp.asarray(lm.cost), jnp.asarray(lm.start_cost),
+            jnp.asarray(lm.end_cost), jnp.asarray(nf))
+    bo = rescore_backoff(lm, lexg.leaf_word)
+    for backoff in (None, bo):
+        ref = lattice_rescore(*args, backoff=backoff, ring_kernel="xla")
+        kern = lattice_rescore(*args, backoff=backoff,
+                               ring_kernel="pallas-interpret")
+        np.testing.assert_array_equal(np.asarray(kern.cost),
+                                      np.asarray(ref.cost))
+        np.testing.assert_array_equal(np.asarray(kern.best_leaf),
+                                      np.asarray(ref.best_leaf))
+        np.testing.assert_array_equal(np.asarray(kern.pred_w),
+                                      np.asarray(ref.pred_w))
+
+
 def test_backoff_detection_rejects_unstructured():
     """A generic (non-backoff) cost matrix yields None -> dense path."""
     from speech_recognition_tpu.langmodel.bigram import bigram_backoff
