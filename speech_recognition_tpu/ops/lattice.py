@@ -55,7 +55,7 @@ from speech_recognition_tpu.utils.numerics import POS_INF
 
 __all__ = ["viterbi_lattice_tb", "lattice_rescore", "lattice_words",
            "lattice_words_device", "decode_lextree_bigram",
-           "rescore_backoff"]
+           "rescore_backoff", "rescore_backoff_sliced"]
 
 
 @functools.partial(jax.jit, static_argnames=("eps_ranges", "unroll"))
@@ -142,8 +142,12 @@ def viterbi_lattice_tb(nll_tb, g: BandedGraph, n_frames, eps_ranges=None,
 class RescoreResult(NamedTuple):
     cost: jnp.ndarray  # [B] best rescored sentence cost
     best_leaf: jnp.ndarray  # [B] final leaf slot
-    pred_w: jnp.ndarray  # [T, L, B] int32 argmin predecessor word (-1 = <s>)
+    pred_w: jnp.ndarray  # [T, L, B] int32 argmin predecessor leaf (values
+    #   are original leaf slots; columns are PERMUTED when lane_invperm
+    #   is set — walkers index column lane_invperm[leaf])
     ends_tau: jnp.ndarray  # [T, L, B] int32 (pass-1 entry times, echoed)
+    lane_invperm: jnp.ndarray = None  # [L] int32, set by the sliced-
+    #   backoff path (see lattice_rescore backoff_counts)
 
 
 def _hq_sweep_pallas(hq_ring, slotm, dmax: int, interpret: bool = False):
@@ -166,19 +170,25 @@ def _hq_sweep_pallas(hq_ring, slotm, dmax: int, interpret: bool = False):
 
         out_ref[...] = jax.lax.fori_loop(0, dmax, body, acc)
 
+    from jax.experimental.pallas import tpu as pltpu
+
     return pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct(slotm.shape, jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2**20),
         interpret=interpret,
     )(hq_ring, slotm)
 
 
 @functools.partial(jax.jit, static_argnames=("block", "max_dur",
-                                             "block_frames", "ring_kernel"))
+                                             "block_frames", "ring_kernel",
+                                             "backoff_counts"))
 def lattice_rescore(ends_cost, ends_tau, leaf_word, bigram_cost, start_cost,
                     end_cost, n_frames, block: int = 128,
                     max_dur: int = 128, backoff=None,
-                    block_frames: int = 8, ring_kernel: str = "auto"):
+                    block_frames: int = 8, ring_kernel: str = "auto",
+                    backoff_counts=None):
     """Exact bigram Viterbi over the lattice planes (one lax.scan).
 
     ``ends_cost/ends_tau [T, L, B]`` from :func:`viterbi_lattice_tb`;
@@ -214,7 +224,23 @@ def lattice_rescore(ends_cost, ends_tau, leaf_word, bigram_cost, start_cost,
     was the dominant cost.  Lookups into H rows computed WITHIN the
     current block ride a small sequential inner loop (a lattice arc
     spans at least one frame, so intra-block dependencies only reach
-    backward)."""
+    backward).
+
+    ``backoff_counts`` (static tuple, from
+    :func:`rescore_backoff_sliced`): TPU lane gathers run at a fixed
+    ~10 G elem/s regardless of orientation (scripts/exp_take_micro.py)
+    and real bigrams average ~1.2 seen predecessors per word, so the
+    dense-K takes move ~6x more elements than the LM has pairs.  With
+    counts given, ``backoff`` is the sliced 5-tuple ``(base_l,
+    pidx_src, pcost, pidx_val, invperm)``: TARGET lanes sorted by
+    descending predecessor count (sources stay in original lane
+    space), so the k-th take covers only the ``counts[k]``-lane prefix
+    — exactly nnz gathered elements per frame — and the merged sparse
+    H row is un-permuted with one lane take.  The predecessor plane
+    stays in permuted columns (values are original leaf slots);
+    walkers map columns through ``RescoreResult.lane_invperm``.  Costs
+    are bit-identical to the dense-K form; recorded predecessors match
+    except between exact-cost ties."""
     t_len, l, b = ends_cost.shape
     # reorder word-indexed LM arrays into leaf-slot order
     if backoff is None:
@@ -248,6 +274,16 @@ def lattice_rescore(ends_cost, ends_tau, leaf_word, bigram_cost, start_cost,
         if backoff is None:
             big_ll = jnp.pad(big_ll, ((0, lp - l), (0, lp - l)),
                              constant_values=POS_INF)
+        elif backoff_counts is not None:
+            base_p, pidx_src, pcost_p, pidx_val, invperm = backoff
+            # pad lanes: inert in the global min (POS_INF base) and
+            # pointed at the POS_INF fill region of the permuted sparse
+            # row (any position >= counts[0] works; lp-1 always is)
+            backoff = (jnp.pad(base_p, (0, lp - l),
+                               constant_values=POS_INF),
+                       pidx_src, pcost_p, pidx_val,
+                       jnp.pad(invperm, (0, lp - l),
+                               constant_values=lp - 1))
         else:
             base_p, pidx_p, pcost_p = backoff
             backoff = (jnp.pad(base_p, (0, lp - l),
@@ -261,7 +297,56 @@ def lattice_rescore(ends_cost, ends_tau, leaf_word, bigram_cost, start_cost,
     nf_last = jnp.clip(n_frames.astype(jnp.int32) - 1, 0, t_len - 1)
 
     def recombine(d):
-        """H row + first-min predecessor from one D row [B, L]."""
+        """H row + first-min predecessor from one D row [B, L].
+
+        Returns ``(h_new [B, L] in ORIGINAL lane order, p_new [B, L])``;
+        under ``backoff_counts`` the p columns are in PERMUTED order
+        (values are original leaf slots either way)."""
+        if backoff_counts is not None:
+            base_l, pidx_src, pcost, pidx_val, invperm = backoff
+            db = d + base_l[None, :]
+            m_all = jnp.min(db, axis=1, keepdims=True)  # [B, 1]
+            arg_all = jnp.min(
+                jnp.where(db == m_all, iota_l, jnp.int32(l)), axis=1,
+                keepdims=True)  # [B, 1] first minimum (original order)
+            # sliced sparse chain: take k covers the counts[k]-lane
+            # prefix of the permuted target space; lanes [counts[k+1],
+            # counts[k]) are final after take k
+            h_cur = p_cur = None
+            pieces_h, pieces_p = [], []
+            prev_n = None
+            for ki, nk in enumerate(backoff_counts):
+                cand = (jnp.take(d, pidx_src[:nk, ki], axis=1)
+                        + pcost[None, :nk, ki])  # [B, nk]
+                pv = jnp.broadcast_to(pidx_val[None, :nk, ki], cand.shape)
+                if ki == 0:
+                    h_cur, p_cur = cand, pv
+                else:
+                    if nk < prev_n:
+                        pieces_h.append(h_cur[:, nk:prev_n])
+                        pieces_p.append(p_cur[:, nk:prev_n])
+                    hp, pp_ = h_cur[:, :nk], p_cur[:, :nk]
+                    tk = cand < hp
+                    h_cur = jnp.where(tk, cand, hp)
+                    p_cur = jnp.where(tk, pv, pp_)
+                prev_n = nk
+            n1 = backoff_counts[0] if backoff_counts else 0
+            fill_h = jnp.full((b, l - n1), POS_INF, d.dtype)
+            fill_p = jnp.zeros((b, l - n1), jnp.int32)
+            h_ext = jnp.concatenate(
+                ([h_cur] if h_cur is not None else []) + pieces_h[::-1]
+                + [fill_h], axis=1)  # [B, L] permuted columns
+            p_ext = jnp.concatenate(
+                ([p_cur] if p_cur is not None else []) + pieces_p[::-1]
+                + [fill_p], axis=1)
+            # H row back in original lane order (ONE lane take); the
+            # predecessor plane stays permuted — walkers remap columns
+            h_sp = jnp.take(h_ext, invperm, axis=1)
+            take_h = h_sp < m_all
+            h_new = jnp.minimum(jnp.where(take_h, h_sp, m_all), POS_INF)
+            take_p = h_ext < m_all
+            p_new = jnp.where(take_p, p_ext, arg_all).astype(jnp.int32)
+            return h_new, p_new
         if backoff is not None:
             base_l, pidx, pcost = backoff
             kk = pidx.shape[1]
@@ -360,14 +445,15 @@ def lattice_rescore(ends_cost, ends_tau, leaf_word, bigram_cost, start_cost,
         jnp.where(final_costs == jnp.min(final_costs, axis=1, keepdims=True),
                   iota_l[:, :l_orig], jnp.int32(l)), axis=1)
     cost = jnp.min(final_costs, axis=1)
+    inv_out = (backoff[4][:l_orig] if backoff_counts is not None else None)
     return RescoreResult(cost=cost, best_leaf=best_leaf.astype(jnp.int32),
                          pred_w=jnp.transpose(p_all, (0, 2, 1)),
-                         ends_tau=ends_tau)
+                         ends_tau=ends_tau, lane_invperm=inv_out)
 
 
 @functools.partial(jax.jit, static_argnames=("max_words",))
 def lattice_words_device(pred_w, ends_tau, best_leaf, n_frames,
-                         max_words: int = 128):
+                         max_words: int = 128, lane_invperm=None):
     """Device-side word backtrace through the rescore DP: follows the
     (entry time, predecessor leaf) chain for up to ``max_words`` steps
     with tiny flattened gathers, so only a ``[max_words, B]`` leaf-id
@@ -386,10 +472,12 @@ def lattice_words_device(pred_w, ends_tau, best_leaf, n_frames,
     def step(carry, _):
         leaf, t, alive = carry
         out = jnp.where(alive, leaf, -1)
-        idx = jnp.clip(t, 0, t_len - 1) * l + jnp.clip(leaf, 0, l - 1)
+        lc = jnp.clip(leaf, 0, l - 1)
+        idx = jnp.clip(t, 0, t_len - 1) * l + lc
         tau = flat_t[idx, cols]
-        nxt = flat_p[jnp.clip(tau, 0, t_len - 1) * l
-                     + jnp.clip(leaf, 0, l - 1), cols]
+        # sliced-backoff rescores store pred columns in permuted order
+        col = lc if lane_invperm is None else lane_invperm[lc]
+        nxt = flat_p[jnp.clip(tau, 0, t_len - 1) * l + col, cols]
         cont = alive & (tau > 0)
         return (jnp.where(cont, nxt, leaf), jnp.where(cont, tau, t),
                 cont), out
@@ -409,6 +497,8 @@ def lattice_words(res: RescoreResult, leaf_word, n_frames) -> List[List[int]]:
     leaf_word = np.asarray(leaf_word)
     best = np.asarray(res.best_leaf)
     nfs = np.asarray(n_frames)
+    inv = (np.asarray(res.lane_invperm)
+           if res.lane_invperm is not None else None)
     out: List[List[int]] = []
     t_len = pred.shape[0]
     for i in range(pred.shape[2]):
@@ -421,8 +511,10 @@ def lattice_words(res: RescoreResult, leaf_word, n_frames) -> List[List[int]]:
             if tau <= 0:
                 break
             # predecessor word of THIS word = argmin recorded for
-            # H[tau, leaf]: stored at frame tau, column leaf
-            leaf = int(pred[tau, leaf, i])
+            # H[tau, leaf]: stored at frame tau, column leaf (permuted
+            # column under the sliced-backoff layout)
+            col = leaf if inv is None else int(inv[leaf])
+            leaf = int(pred[tau, col, i])
             t = tau
         out.append(words[::-1])
     return out
@@ -542,19 +634,25 @@ def decode_lextree_bigram(bank, lexg, lm, feats, n_frames,
             f"than max_dur={max_dur} frames and were dropped from the "
             "lattice; raise max_dur for slow speech / long words",
             RuntimeWarning, stacklevel=2)
+    sliced = rescore_backoff_sliced(lm, lexg.leaf_word)
+    if sliced is not None:
+        bo_arrays, bo_counts = sliced
+    else:  # no seen pairs / no backoff: legacy dense-K (or dense-LL) form
+        bo_arrays, bo_counts = rescore_backoff(lm, lexg.leaf_word), None
     res = lattice_rescore(
         ends_cost, ends_tau, jnp.asarray(lexg.leaf_word),
         jnp.asarray(np.asarray(lm.cost, np.float32)),
         jnp.asarray(np.asarray(lm.start_cost, np.float32)),
         jnp.asarray(np.asarray(lm.end_cost, np.float32)),
-        n_frames, max_dur=max_dur,
-        backoff=rescore_backoff(lm, lexg.leaf_word))
+        n_frames, max_dur=max_dur, backoff=bo_arrays,
+        backoff_counts=bo_counts)
     # device chain walk: every unit dwells >= 1 frame, so a word takes
     # at least su frames and the chain is bounded
     su = lexg.n_states // lexg.n_arcs
     leaves_rev, n_words = lattice_words_device(
         res.pred_w, res.ends_tau, res.best_leaf, n_frames,
-        max_words=min(t, t // max(su, 1) + 1))
+        max_words=min(t, t // max(su, 1) + 1),
+        lane_invperm=res.lane_invperm)
     lw = np.asarray(lexg.leaf_word)
     lr = np.asarray(leaves_rev)
     nw = np.asarray(n_words)
@@ -575,3 +673,43 @@ def rescore_backoff(lm, leaf_word):
         return None
     return (jnp.asarray(bo.base), jnp.asarray(bo.pred_idx),
             jnp.asarray(bo.pred_cost))
+
+
+def rescore_backoff_sliced(lm, leaf_word):
+    """Sliced-take backoff for :func:`lattice_rescore`: ``(arrays,
+    counts)`` with target lanes sorted by descending seen-predecessor
+    count, or None when the LM has no backoff structure.
+
+    ``arrays = (base_l [L], pidx_src [L, K] int32, pcost [L, K],
+    pidx_val [L, K] int32, invperm [L] int32)``: row j of the pidx
+    arrays describes the j-th MOST-connected leaf; ``pidx_src`` holds
+    gather sources in ORIGINAL lane space, ``pidx_val`` the same
+    predecessors as original leaf slots (the values stored in the pred
+    plane).  ``counts[k]`` (static ints) = number of lanes with more
+    than k seen predecessors, so per-frame take k covers exactly the
+    ``counts[k]`` prefix and the gather volume is the LM's true nnz
+    (avg ~1.2/word on real bigrams) instead of L*K."""
+    bo = rescore_backoff(lm, leaf_word)
+    if bo is None:
+        return None
+    base_l, pidx, pcost = (np.asarray(x) for x in bo)
+    finite = pcost < POS_INF / 2
+    # pack finite entries first within each row (stable), then sort
+    # rows by descending count so per-k finite sets are prefixes
+    order = np.argsort(~finite, axis=1, kind="stable")
+    pidx = np.take_along_axis(pidx, order, axis=1)
+    pcost = np.take_along_axis(pcost, order, axis=1)
+    nnz = finite.sum(axis=1)
+    perm = np.argsort(-nnz, kind="stable")
+    invperm = np.argsort(perm)
+    counts = tuple(int((nnz >= k + 1).sum()) for k in range(pidx.shape[1]))
+    while counts and counts[-1] == 0:
+        counts = counts[:-1]
+    if not counts:
+        return None  # no seen pairs: plain global backoff == dense K=0
+    pidx_p = pidx[perm]
+    arrays = (jnp.asarray(base_l), jnp.asarray(pidx_p, jnp.int32),
+              jnp.asarray(pcost[perm], jnp.float32),
+              jnp.asarray(pidx_p, jnp.int32),
+              jnp.asarray(invperm, jnp.int32))
+    return arrays, counts

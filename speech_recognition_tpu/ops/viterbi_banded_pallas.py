@@ -136,7 +136,8 @@ def _kernel(nll_ref, expand_ref, band_ref, eps_ref, e_end_ref, e_start_ref,
             frames_per_step: int, bank_mode: bool,
             uniform: Tuple[int, int] = (), ubt: bool = False,
             emit_eps_prev: bool = False, fuse_emission: bool = False,
-            n_mix: int = 0, u8_mix: int = 0, emit_wordtrace: bool = False):
+            n_mix: int = 0, u8_mix: int = 0, emit_wordtrace: bool = False,
+            num_steps: int = 0):
     if fuse_emission:
         wg_ref, lw_ref = rest[0], rest[1]
         rest = rest[2:]
@@ -209,10 +210,8 @@ def _kernel(nll_ref, expand_ref, band_ref, eps_ref, e_end_ref, e_start_ref,
     # write): Mosaic cannot relayout i1 masks between the f32 (8,128)
     # and int8 (32,128) tilings.
     prev = cost_ref[...]  # garbage at ti == 0 (discarded by selects below)
-    fin = final_ref[...]
     tau = tau_ref[...] if emit_wordtrace else None
-    ftau = ftau_ref[...] if emit_wordtrace else None
-    nf_b = nf_ref[...] + jnp.zeros((s8, b), jnp.int32)  # broadcast [1,B]
+    nf_row = nf_ref[...]  # [1, B]; selects broadcast it over states
     inf = jnp.full((s8, b), POS_INF, jnp.float32)
 
     for k in range(frames_per_step):
@@ -242,7 +241,10 @@ def _kernel(nll_ref, expand_ref, band_ref, eps_ref, e_end_ref, e_start_ref,
         dsel = jnp.zeros((s8, b), jnp.float32)
         for d in range(1, MAX_BAND + 1):
             dsel = jnp.where(best == cands[d], jnp.float32(d), dsel)
-        base = jnp.minimum(best, POS_INF)
+        # no clamp here: the post-emission min below clamps, and
+        # min(x + e, POS_INF) == min(min(x, POS_INF) + e, POS_INF)
+        # bitwise for |e| << ulp(POS_INF)
+        base = best
         if emit_wordtrace:
             # entry-time carry follows the band decision (wrapped rows
             # only matter where the cost is POS_INF — harmless garbage)
@@ -258,11 +260,9 @@ def _kernel(nll_ref, expand_ref, band_ref, eps_ref, e_end_ref, e_start_ref,
             base = jnp.where(is0, init_b, base)
             dsel = jnp.where(is0, jnp.float32(0), dsel)
             prev = jnp.where(is0, inf, prev)
-            fin = jnp.where(is0, inf, fin)
             if emit_wordtrace:
                 tau_b = jnp.where(is0, jnp.float32(0), tau_b)
                 tau_prev_f = jnp.where(is0, jnp.float32(0), tau_prev_f)
-                ftau = jnp.where(is0, jnp.float32(0), ftau)
 
         cost = jnp.minimum(base + emis, POS_INF)
         bp = dsel
@@ -402,10 +402,17 @@ def _kernel(nll_ref, expand_ref, band_ref, eps_ref, e_end_ref, e_start_ref,
                     return jnp.broadcast_to(
                         a[:, None, :], (v8, w8, b)).reshape(s8, b)
 
-                start_mask = (jax.lax.broadcasted_iota(
-                    jnp.int32, (s8, 1), 0) % w8 == 0).astype(jnp.float32)
-                better = (up(better_arc) * start_mask) > 0.0
-                cand_dense = up(cand_arc)
+                # dense eps candidate: broadcast the arc row and push
+                # non-start rows out of range with a per-row POS_INF
+                # offset (|cand_arc| << ulp(POS_INF), so the offset sum
+                # rounds to >= POS_INF >= any live cost) — one fewer
+                # full-plane pass than the mask-multiply form, same
+                # strict-improvement semantics at start rows
+                start_off = jnp.where(
+                    jax.lax.broadcasted_iota(jnp.int32, (s8, 1), 0)
+                    % w8 == 0, jnp.float32(0), POS_INF)
+                cand_dense = up(cand_arc) + start_off
+                better = cand_dense < cost
             else:
                 # in bank mode e_start_ref is (E_start @ G): select start
                 # emissions straight from the compact block
@@ -433,25 +440,33 @@ def _kernel(nll_ref, expand_ref, band_ref, eps_ref, e_end_ref, e_start_ref,
                 side_prev = (side_prev * (1.0 - better_arc)
                              + arc_prev * better_arc)
 
-        # --- variable-length masking + final capture (XLA semantics) ---
-        cost = jnp.where(t_abs < nf_b, cost, prev)
+        # --- variable-length masking (XLA semantics).  The mask freezes
+        # cost (and tau) at their frame nf-1 values for every later
+        # frame, so the end-of-grid carry IS the final plane — no
+        # per-frame final-capture selects; final_ref is written once on
+        # the last grid step below.  The compare runs on the [1, B] row
+        # and broadcasts through the select. ---
+        active = t_abs < nf_row  # [1, B]
+        cost = jnp.where(active, cost, prev)
         epsu_ref[k] = side.astype(epsu_ref.dtype)
         if emit_wordtrace:
-            tau = jnp.where(t_abs < nf_b, tau_new, tau_prev_f)
+            tau = jnp.where(active, tau_new, tau_prev_f)
             epst_ref[k] = side_tau.astype(jnp.int32)
-            ftau = jnp.where(t_abs == nf_b - 1, tau, ftau)
         else:
             bp_ref[k] = bp.astype(jnp.int8)
         if emit_eps_prev:
             epsp_ref[k] = side_prev.astype(jnp.int32)
-        fin = jnp.where(t_abs == nf_b - 1, cost, fin)
         prev = cost
 
     cost_ref[...] = prev
-    final_ref[...] = fin
     if emit_wordtrace:
         tau_ref[...] = tau
-        ftau_ref[...] = ftau
+
+    @pl.when(ti == num_steps - 1)
+    def _write_final():
+        final_ref[...] = prev
+        if emit_wordtrace:
+            ftau_ref[...] = tau
 
 
 @functools.partial(jax.jit,
@@ -640,7 +655,8 @@ def viterbi_banded_tb_pallas(nll_tb, g: BandedGraph, n_frames,
                                emit_eps_prev=emit_eps_prev,
                                fuse_emission=fuse_emission,
                                n_mix=n_mix if fuse_emission else 0,
-                               u8_mix=sb8 if fuse_emission else 0)
+                               u8_mix=sb8 if fuse_emission else 0,
+                               num_steps=t8 // k)
     const = lambda *_: (0, 0)
     nll_spec = (pl.BlockSpec((in8, k, b), lambda t: (0, t, 0),
                              memory_space=pltpu.VMEM)
@@ -836,7 +852,7 @@ def viterbi_banded_wordtrace_pallas(nll_tb, g: BandedGraph, n_frames,
         uniform=uniform, ubt=input_ubt, emit_wordtrace=True,
         fuse_emission=fuse_emission,
         n_mix=n_mix if fuse_emission else 0,
-        u8_mix=sb8 if fuse_emission else 0)
+        u8_mix=sb8 if fuse_emission else 0, num_steps=t8 // k)
     const = lambda *_: (0, 0)
     nll_spec = (pl.BlockSpec((in8, k, b), lambda t: (0, t, 0),
                              memory_space=pltpu.VMEM)

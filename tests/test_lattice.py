@@ -329,6 +329,53 @@ def test_backoff_rescore_matches_dense(rng):
     assert w_d == w_s
 
 
+def test_sliced_backoff_matches_dense_k(rng):
+    """The sliced-take backoff (lanes sorted by predecessor count,
+    per-k prefix gathers, permuted pred plane) == the dense-K backoff
+    AND the dense O(V^2) path: same costs, same word sequences, host
+    and device walks (tie caveat as the dense-K form)."""
+    from speech_recognition_tpu.ops.lattice import (
+        lattice_words_device,
+        rescore_backoff,
+        rescore_backoff_sliced,
+    )
+
+    lexg, units, unit_ids, unit_trans = make_case(rng, wic=0.3)
+    v = len(WORDS)
+    lm = fit_bigram([[int(x) for x in rng.integers(0, v, 6)]
+                     for _ in range(15)], v)
+    T, B = 25, 6
+    e = rng.uniform(0, 5, (T, len(units) * 3, B)).astype(np.float32)
+    nf = np.array([T, 13, T, 9, 17, 5], np.int32)
+
+    g = lexg.banded
+    nll_tb = jnp.asarray(e)[:, np.asarray(g.bank_state), :]
+    _, ends_cost, ends_tau = viterbi_lattice_tb(nll_tb, g, jnp.asarray(nf))
+    args = (ends_cost, ends_tau, jnp.asarray(lexg.leaf_word),
+            jnp.asarray(lm.cost), jnp.asarray(lm.start_cost),
+            jnp.asarray(lm.end_cost), jnp.asarray(nf))
+    bo = rescore_backoff(lm, lexg.leaf_word)
+    dense_k = lattice_rescore(*args, backoff=bo)
+    arrays, counts = rescore_backoff_sliced(lm, lexg.leaf_word)
+    assert counts[0] <= len(lexg.leaf_word)
+    sliced = lattice_rescore(*args, backoff=arrays, backoff_counts=counts)
+    np.testing.assert_array_equal(np.asarray(sliced.cost),
+                                  np.asarray(dense_k.cost))
+    np.testing.assert_array_equal(np.asarray(sliced.best_leaf),
+                                  np.asarray(dense_k.best_leaf))
+    w_k = lattice_words(dense_k, lexg.leaf_word, nf)
+    w_s = lattice_words(sliced, lexg.leaf_word, nf)
+    assert w_k == w_s
+    lr, nw = lattice_words_device(sliced.pred_w, sliced.ends_tau,
+                                  sliced.best_leaf, jnp.asarray(nf),
+                                  max_words=T,
+                                  lane_invperm=sliced.lane_invperm)
+    lw = np.asarray(lexg.leaf_word)
+    lr, nw = np.asarray(lr), np.asarray(nw)
+    w_dev = [lw[lr[: nw[i], i][::-1]].tolist() for i in range(B)]
+    assert w_dev == w_s
+
+
 def test_ring_kernel_matches_xla(rng):
     """The Pallas ring-sweep lookup (interpret mode) is bit-identical
     to the XLA masked sum-reduce form — costs, predecessor planes, and
