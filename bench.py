@@ -668,6 +668,7 @@ def bench_lextree_dict1_bigram(batch=16, frames=500, frame_step_s=0.01):
     from speech_recognition_tpu.ops.lattice import (
         lattice_rescore,
         rescore_backoff,
+        rescore_backoff_sliced,
     )
     from speech_recognition_tpu.ops.viterbi_lex_pallas import (
         lex_pallas_plan,
@@ -698,10 +699,17 @@ def bench_lextree_dict1_bigram(batch=16, frames=500, frame_step_s=0.01):
     v = len(words)
     lm = fit_bigram([[int(x) for x in rng.integers(0, v, 20)]
                      for _ in range(400)], v)
-    bo = rescore_backoff(lm, lexg.leaf_word)
-    log(f"dict1 bigram: {v} words, {lexg.n_states} states, "
-        f"{'backoff K=' + str(int(bo[1].shape[1])) if bo else 'dense'} "
-        f"recombination")
+    sliced = rescore_backoff_sliced(lm, lexg.leaf_word)
+    if sliced is not None:
+        bo, bo_counts = sliced
+        nnz = sum(bo_counts)
+        log(f"dict1 bigram: {v} words, {lexg.n_states} states, sliced "
+            f"backoff recombination ({nnz} pairs, counts {bo_counts})")
+    else:
+        bo, bo_counts = rescore_backoff(lm, lexg.leaf_word), None
+        log(f"dict1 bigram: {v} words, {lexg.n_states} states, "
+            f"{'backoff K=' + str(int(bo[1].shape[1])) if bo else 'dense'} "
+            f"recombination")
     lw = jnp.asarray(lexg.leaf_word)
     cost_d = jnp.asarray(np.asarray(lm.cost, np.float32))
     start_d = jnp.asarray(np.asarray(lm.start_cost, np.float32))
@@ -714,7 +722,7 @@ def bench_lextree_dict1_bigram(batch=16, frames=500, frame_step_s=0.01):
         nf2 = jnp.where(jnp.isnan(dep), nfb + 1, nfb)
         ec, et = viterbi_lex_pallas_wide_lattice(eb, plan, nf2, plan.topo)
         r = lattice_rescore(ec, et, lw, cost_d, start_d, end_d, nf2,
-                            backoff=bo)
+                            backoff=bo, backoff_counts=bo_counts)
         return jnp.sum(r.cost) + jnp.sum(r.pred_w[-1].astype(jnp.float32))
 
     dt = _timeit_device(body, args=(eb, nfb))

@@ -27,9 +27,12 @@ def main():
     base = FrontendConfig()
     L = padded_length(base, cap)
     variants = {
-        "fft": dataclasses.replace(base, dft_as_gemm=False),
-        "fft+high": dataclasses.replace(base, dft_as_gemm=False,
-                                        spectral_precision="high"),
+        "staged:highest": dataclasses.replace(base, dft_stage="staged",
+                                              dft_precision="highest"),
+        "staged:high": dataclasses.replace(base, dft_stage="staged"),
+        "staged:default": dataclasses.replace(base, dft_stage="staged",
+                                              dft_precision="default"),
+        "ndft:high (prod)": base,
     }
     for name, cfg in variants.items():
         errs = []

@@ -65,7 +65,17 @@ class FrontendConfig:
     variant: str = "psf"  # 'psf' (production) | 'scratch'
     # Use the GEMM-native DFT (two matmuls onto the MXU) instead of
     # jnp.fft.rfft.  Identical results; much better TPU mapping.
+    # (XLA's TPU rfft measured 5x SLOWER than the NDFT GEMM on v5e:
+    # 12.7 ms vs 2.38 ms at batch 256 x 5 s — scripts/exp_frontend_fft.py.)
     dft_as_gemm: bool = True
+    # GEMM DFT factorization: 'ndft' = one dense [frame_len, 2*bins]
+    # basis GEMM; 'staged' = radix-(n_fft/4 x 4) Cooley-Tukey with the
+    # real-input half-spectrum trick — stage 1 is a single 128-deep MXU
+    # GEMM with ~3x fewer MACs than the NDFT (and a shallower
+    # accumulation chain, so each precision tier is also ~3x more
+    # accurate), stage 2 an elementwise twiddle, stage 3 an exact
+    # radix-4 butterfly (twiddles +-1/+-i, pure adds).
+    dft_stage: str = "ndft"
     # TPU matmul pass count for the spectral chain (DFT/mel/DCT GEMMs):
     # 'highest' = 6 bf16 passes (exact f32: 1.6e-4 vs the float64
     # oracle; 'high' = 3 passes = 1.0e-2; 'default' = 1 pass = 1.0

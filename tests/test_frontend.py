@@ -86,6 +86,27 @@ def test_dft_gemm_equals_fft(rng):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-9, atol=1e-9)
 
 
+def test_staged_fft_matches_ndft(rng):
+    """The decimation-in-frequency staged GEMM FFT (dft_stage='staged')
+    agrees with the dense NDFT and jnp.fft.rfft to f32 reassociation
+    tolerance, on both frontend variants."""
+    import dataclasses
+
+    sig = synth_signal(rng, 9000)
+    for variant in ("psf", "scratch"):
+        base = dataclasses.replace(PSF, variant=variant)
+        buf, length = _run_padded(base, sig, 9000)
+        a, _ = mfcc(buf, length, base)
+        b, _ = mfcc(buf, length, dataclasses.replace(base,
+                                                     dft_stage="staged"))
+        c, _ = mfcc(buf, length, dataclasses.replace(base,
+                                                     dft_as_gemm=False))
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=2e-3)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(c),
+                                   rtol=1e-4, atol=2e-3)
+
+
 def test_padding_invariance(rng):
     """Extra zero padding beyond padded_length must not change features."""
     sig = synth_signal(rng, 7000)
