@@ -544,7 +544,8 @@ def lex_pallas_batch_chunk(plan: "LexPlan", batch: int,
 def _lex_kernel(nll_ref, expand_ref, band_ref, cc_ref, eps_ref, rows_ref,
                 lid_ref, init_ref, nf_ref, *rest, topo: LexTopo,
                 n_levels: int, frames_per_step: int,
-                emit_eps_prev: bool = False, emit_lattice: bool = False):
+                emit_eps_prev: bool = False, emit_lattice: bool = False,
+                num_steps: int = 0):
     sel_refs = rest[:n_levels]
     epsp_ref = bp_ref = epsu_ref = endc_ref = endt_ref = tau_ref = None
     if emit_lattice:
@@ -579,7 +580,6 @@ def _lex_kernel(nll_ref, expand_ref, band_ref, cc_ref, eps_ref, rows_ref,
         return jnp.concatenate([v0, v1, v2], axis=0)
 
     prev = cost_ref[...]
-    fin = final_ref[...]
     tau = tau_ref[...] if emit_lattice else None
     nf_b = nf_ref[...]  # [1, B]; where() broadcasts over sublanes
     inf_sb = jnp.full((s8, b), POS_INF, jnp.float32)
@@ -653,7 +653,9 @@ def _lex_kernel(nll_ref, expand_ref, band_ref, cc_ref, eps_ref, rows_ref,
         dsel = jnp.where(best == c2, jnp.float32(2),
                          jnp.where(best == c1, jnp.float32(1),
                                    jnp.float32(0)))
-        base = jnp.minimum(best, POS_INF)
+        # no clamp: the post-emission min clamps, and min(x + e, POS_INF)
+        # == min(min(x, POS_INF) + e, POS_INF) bitwise for real costs
+        base = best
 
         # cross edges: level-blocked one-hot gathers of the previous
         # frontier's arc-end slice (reads PREV, like the XLA kernel).
@@ -696,7 +698,6 @@ def _lex_kernel(nll_ref, expand_ref, band_ref, cc_ref, eps_ref, rows_ref,
             base = jnp.where(is0, init_b, base)
             dsel = jnp.where(is0, jnp.float32(0), dsel)
             prev = jnp.where(is0, inf_sb, prev)
-            fin = jnp.where(is0, inf_sb, fin)
             if emit_lattice:
                 tau_b = jnp.where(is0, jnp.float32(0), tau_b)
                 tau_prev_f = jnp.where(is0, jnp.float32(0), tau_prev_f)
@@ -771,6 +772,9 @@ def _lex_kernel(nll_ref, expand_ref, band_ref, cc_ref, eps_ref, rows_ref,
                 [jnp.where(better, t_abs_f, tau_b[:r8, :]),
                  tau_b[r8:, :]], axis=0)
 
+        # the length mask freezes cost/tau at their frame nf-1 values,
+        # so the end-of-grid carry IS the final plane — written once on
+        # the last grid step instead of a per-frame capture select
         cost = jnp.where(t_abs < nf_b, cost, prev)
         if emit_lattice:
             tau = jnp.where(t_abs < nf_b, tau_new, tau_prev_f)
@@ -779,13 +783,15 @@ def _lex_kernel(nll_ref, expand_ref, band_ref, cc_ref, eps_ref, rows_ref,
         else:
             bp_ref[k] = bp.astype(jnp.int8)
             epsu_ref[k] = side.astype(jnp.int32)
-        fin = jnp.where(t_abs == nf_b - 1, cost, fin)
         prev = cost
 
     cost_ref[...] = prev
-    final_ref[...] = fin
     if emit_lattice:
         tau_ref[...] = tau
+
+    @pl.when(ti == num_steps - 1)
+    def _write_final():
+        final_ref[...] = prev
 
 
 @functools.partial(jax.jit, static_argnames=("topo", "interpret",
@@ -845,7 +851,8 @@ def viterbi_lex_pallas(nll_tub, plan: LexPlan, n_frames, topo: LexTopo,
 
     kernel = functools.partial(_lex_kernel, topo=topo, n_levels=n_levels,
                                frames_per_step=k,
-                               emit_eps_prev=emit_eps_prev)
+                               emit_eps_prev=emit_eps_prev,
+                               num_steps=t8 // k)
     const = lambda *_: (0, 0)
     sel_specs = [pl.BlockSpec(s.shape, const, memory_space=pltpu.VMEM)
                  for s in plan.sels]
@@ -996,7 +1003,8 @@ def viterbi_lex_pallas_lattice(nll_tub, plan: LexPlan, n_frames,
     nf_row = n_frames.astype(jnp.int32)[None, :]
 
     kernel = functools.partial(_lex_kernel, topo=topo, n_levels=n_levels,
-                               frames_per_step=k, emit_lattice=True)
+                               frames_per_step=k, emit_lattice=True,
+                               num_steps=t8 // k)
     const = lambda *_: (0, 0)
     sel_specs = [pl.BlockSpec(s.shape, const, memory_space=pltpu.VMEM)
                  for s in plan.sels]
@@ -1045,7 +1053,7 @@ def viterbi_lex_pallas_lattice(nll_tub, plan: LexPlan, n_frames,
 def _lex_kernel_wide(nll_ref, expand_ref, band_ref, cc_ref, eps_ref,
                      rows_ref, lid_ref, init_ref, nf_ref, *rest,
                      topo: LexTopo, frames_per_step: int,
-                     emit_lattice: bool = False):
+                     emit_lattice: bool = False, num_steps: int = 0):
     """Lane-major ([B, S_soa]) twin of :func:`_lex_kernel` for
     reference-dictionary-scale graphs: states ride the LANE axis so a
     live frontier plane costs B * S_soa * 4 bytes instead of the
@@ -1103,19 +1111,28 @@ def _lex_kernel_wide(nll_ref, expand_ref, band_ref, cc_ref, eps_ref,
         return jnp.concatenate(
             [jnp.full((b, d), fill, jnp.float32), x[:, :-d]], axis=1)
 
-    def gather_ends_wide(src, fill0):
-        """Block-banded staircase gather of a [B, A] end-slice plane to
-        child-start lanes (the cross-edge parent map) — shared by the
-        cost relaxation and the lattice entry-time carry."""
+    def gather_ends_wide(src, fill0, fill1=None):
+        """Block-banded staircase gather of a [B, A] (or, with two fill
+        values, a row-stacked [2B, A]) end-slice plane to child-start
+        lanes (the cross-edge parent map).  The lattice kernel stacks
+        the cost AND entry-time planes on the row axis so ONE staircase
+        pass (3 bf16 dots per block) serves both carries — the selector
+        is one-hot, so the tau select through split3 stays exact."""
         w = topo.sel_w
-        pieces = [jnp.full((b, lv0), fill0, jnp.float32)]
+        nrow = src.shape[0]
+        if fill1 is None:
+            pieces = [jnp.full((nrow, lv0), fill0, jnp.float32)]
+        else:
+            pieces = [jnp.concatenate(
+                [jnp.full((nrow // 2, lv0), fill0, jnp.float32),
+                 jnp.full((nrow - nrow // 2, lv0), fill1, jnp.float32)],
+                axis=0)]
         for (row0, nr, w0) in topo.sel_blocks:
             selb = sel_ref[row0 : row0 + nr, :].astype(jnp.bfloat16)
             pieces.append(gather3(src[:, w0 : w0 + w], selb))
-        return jnp.concatenate(pieces, axis=1)  # [B, A]
+        return jnp.concatenate(pieces, axis=1)  # [nrow, A]
 
     prev = cost_ref[...]  # [B, S]
-    fin = final_ref[...]
     tau = tau_ref[...] if emit_lattice else None
     nf_c = nf_ref[...]  # [B, 1]
     inf_bs = jnp.full((b, s_w), POS_INF, jnp.float32)
@@ -1125,11 +1142,18 @@ def _lex_kernel_wide(nll_ref, expand_ref, band_ref, cc_ref, eps_ref,
 
     for k in range(frames_per_step):
         t_abs = ti * frames_per_step + k
-        # factored emission: [B, U128] per offset j -> [B, a_pad]
+        # factored emission: [B, U128] per offset j -> [B, a_pad].  The
+        # su offset planes stack on the ROW axis so ONE gather3 serves
+        # all of them — MXU dots are row-starved at serving batches
+        # (B=16 of 128 systolic rows), so su x more rows per dot is
+        # su x better MXU utilization at identical MACs.
         nll_k = nll_ref[k]  # [su, B, U128]
-        pieces_e = [gather3(nll_k[j], expand_bf) for j in range(su)]
-        emis = (jnp.concatenate(pieces_e, axis=1)
-                if su > 1 else pieces_e[0])
+        if su > 1:
+            stacked = gather3(nll_k.reshape(su * b, u128), expand_bf)
+            emis = jnp.concatenate([stacked[j * b : (j + 1) * b]
+                                    for j in range(su)], axis=1)
+        else:
+            emis = gather3(nll_k[0], expand_bf)
 
         # band relaxation: lane shifts by whole 128-multiples
         c0 = band_ref[0:1, :] + prev
@@ -1139,7 +1163,9 @@ def _lex_kernel_wide(nll_ref, expand_ref, band_ref, cc_ref, eps_ref,
         dsel = jnp.where(best == c2, jnp.float32(2),
                          jnp.where(best == c1, jnp.float32(1),
                                    jnp.float32(0)))
-        base = jnp.minimum(best, POS_INF)
+        # no clamp: the post-emission min clamps, and min(x + e, POS_INF)
+        # == min(min(x, POS_INF) + e, POS_INF) bitwise for real costs
+        base = best
         if emit_lattice:
             # entry-time carry follows the band decision (0-filled
             # wrap lanes only matter where the cost is POS_INF)
@@ -1149,9 +1175,20 @@ def _lex_kernel_wide(nll_ref, expand_ref, band_ref, cc_ref, eps_ref,
             tau_b = jnp.where(dsel == jnp.float32(2),
                               shift_lanes(tau, 2 * a_pad, 0.0), tau_b)
 
-        # cross edges: block-banded staircase gathers of the end slice
+        # cross edges: block-banded staircase gathers of the end slice.
+        # In lattice mode the cost AND entry-time planes stack on the
+        # row axis so ONE staircase pass serves both carries — the
+        # tau gather was doubling the kernel's dominant (row-starved)
+        # MXU term.
         ends_prev = prev[:, end_lo:]  # [B, A]
-        if topo.sel_blocks:
+        tau_gA = None
+        if topo.sel_blocks and emit_lattice:
+            both = gather_ends_wide(
+                jnp.concatenate([ends_prev, tau[:, end_lo:]], axis=0),
+                POS_INF, 0.0)  # [2B, A]
+            gath, tau_gA = both[:b], both[b:]
+            cand_start = jnp.minimum(gath + cc_ref[...], POS_INF)
+        elif topo.sel_blocks:
             gath = gather_ends_wide(ends_prev, POS_INF)
             cand_start = jnp.minimum(gath + cc_ref[...], POS_INF)
         else:  # flat vocabulary: no cross edges at all
@@ -1166,10 +1203,8 @@ def _lex_kernel_wide(nll_ref, expand_ref, band_ref, cc_ref, eps_ref,
         base = jnp.where(take, cand_cross, base)
         dsel = jnp.where(take, jnp.float32(_CROSS), dsel)
         if emit_lattice:
-            if topo.sel_blocks:
-                tau_g = gather_ends_wide(tau[:, end_lo:], 0.0)
-            else:
-                tau_g = jnp.zeros((b, a_pad), jnp.float32)
+            tau_g = (tau_gA if tau_gA is not None
+                     else jnp.zeros((b, a_pad), jnp.float32))
             if su > 1:
                 tau_g = jnp.concatenate(
                     [tau_g, jnp.zeros((b, end_lo), jnp.float32)], axis=1)
@@ -1181,7 +1216,6 @@ def _lex_kernel_wide(nll_ref, expand_ref, band_ref, cc_ref, eps_ref,
             base = jnp.where(is0, init_b, base)
             dsel = jnp.where(is0, jnp.float32(0), dsel)
             prev = jnp.where(is0, inf_bs, prev)
-            fin = jnp.where(is0, inf_bs, fin)
             if emit_lattice:
                 tau_b = jnp.where(is0, jnp.float32(0), tau_b)
                 tau_prev_f = jnp.where(is0, jnp.float32(0), tau_prev_f)
@@ -1249,6 +1283,8 @@ def _lex_kernel_wide(nll_ref, expand_ref, band_ref, cc_ref, eps_ref,
             side = jnp.where(better, eps_arg, jnp.float32(0))
             side_prev = jnp.where(better, eps_prev, jnp.float32(0))
 
+        # freeze-trick final (see _lex_kernel): the end-of-grid carry
+        # IS the final plane; written once on the last grid step
         cost = jnp.where(t_abs < nf_c, cost, prev)
         if emit_lattice:
             tau = jnp.where(t_abs < nf_c, tau_new, tau_prev_f)
@@ -1258,13 +1294,15 @@ def _lex_kernel_wide(nll_ref, expand_ref, band_ref, cc_ref, eps_ref,
             bp_ref[k] = bp.astype(jnp.int8)
             epsu_ref[k] = side.astype(jnp.int32)
             epsp_ref[k] = side_prev.astype(jnp.int32)
-        fin = jnp.where(t_abs == nf_c - 1, cost, fin)
         prev = cost
 
     cost_ref[...] = prev
-    final_ref[...] = fin
     if emit_lattice:
         tau_ref[...] = tau
+
+    @pl.when(ti == num_steps - 1)
+    def _write_final():
+        final_ref[...] = prev
 
 
 @functools.partial(jax.jit, static_argnames=("topo", "interpret",
@@ -1299,7 +1337,7 @@ def viterbi_lex_pallas_wide(nll_tub, plan: LexPlan, n_frames, topo: LexTopo,
     nf_col = n_frames.astype(jnp.int32)[:, None]
 
     kernel = functools.partial(_lex_kernel_wide, topo=topo,
-                               frames_per_step=k)
+                               frames_per_step=k, num_steps=t8 // k)
     const = lambda *_: (0, 0)
     sel_specs = [pl.BlockSpec(s.shape, const, memory_space=pltpu.VMEM)
                  for s in plan.sels]
@@ -1379,7 +1417,8 @@ def viterbi_lex_pallas_wide_lattice(nll_tub, plan: LexPlan, n_frames,
     nf_col = n_frames.astype(jnp.int32)[:, None]
 
     kernel = functools.partial(_lex_kernel_wide, topo=topo,
-                               frames_per_step=k, emit_lattice=True)
+                               frames_per_step=k, emit_lattice=True,
+                               num_steps=t8 // k)
     const = lambda *_: (0, 0)
     sel_specs = [pl.BlockSpec(s.shape, const, memory_space=pltpu.VMEM)
                  for s in plan.sels]
