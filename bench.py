@@ -646,7 +646,10 @@ def bench_lextree(batch=64, frames=500, n_words=1000, frame_step_s=0.01,
 
         bound = lex_viterbi(batch, frames, plan.topo.a_pad, plan.topo.su,
                             len(units) * su, plan.topo.level_sizes,
-                            plan.topo.n_roots)
+                            plan.topo.n_roots,
+                            sel_blocks=plan.topo.sel_blocks,
+                            sel_w=plan.topo.sel_w,
+                            n_units_pad=plan.topo.n_units_pad)
         log(report({"lex-viterbi": bound}, dt))
     log(f"lextree {tag}: {batch}x{frames} in {dt*1e3:.2f} ms device-time "
         f"({LAST_REGIME}) -> {audio_s/dt:.0f} audio-s/s")

@@ -465,10 +465,11 @@ def lex_pallas_wide_vmem_bytes(plan: "LexPlan", batch: int,
                    + plan.eps_exit.shape[0] * topo.a_pad * 4
                    + 4 * 8 * s_w)
     plane = s_w * batch * 4
-    # 9.5 live planes: calibrated against a measured Mosaic stack OOM
-    # (127.67 MB at dict1 scale, B=32 — the round-3 7.5-plane estimate
-    # under-counted the kernel's transients by ~25%)
-    per_b = int(9.5 * plane) + 2 * frames_per_step * s_w * batch
+    # 5.5 live planes: recalibrated on-chip after the round-4 trims
+    # (freeze-trick final capture + row-stacked gathers removed live
+    # [B, S] planes) — dict1 B=32 compiles and runs (22.58 ms), the
+    # round-3 9.5-plane model had clamped it to 16
+    per_b = int(5.5 * plane) + 2 * frames_per_step * s_w * batch
     return const_bytes + per_b
 
 
@@ -497,6 +498,11 @@ def lex_pallas_lattice_vmem_bytes(plan: "LexPlan", batch: int,
     s = topo.su * topo.a_pad
     extra = 3 * s * batch * 4 + 2 * frames_per_step * topo.a_pad * batch * 8
     if topo.lane_major:
+        # wide lattice carries tau + the stacked [2B, A] gather
+        # transients on top of the base kernel: ~4.5 extra live planes
+        # (on-chip: dict1 B=16 compiles, B=24 OOMs)
+        extra = int(4.5 * s * batch * 4) + (
+            2 * frames_per_step * topo.a_pad * batch * 8)
         return lex_pallas_wide_vmem_bytes(plan, batch, frames_per_step) + extra
     return lex_pallas_vmem_bytes(plan, batch, frames_per_step) + extra
 

@@ -121,7 +121,8 @@ def banded_backtrace(batch, frames, n_graph_states, n_starts, n_ends,
 
 
 def lex_viterbi(batch, frames, n_arcs_pad, su, n_bank_states,
-                level_sizes, n_roots) -> Dict:
+                level_sizes, n_roots, sel_blocks=(), sel_w=0,
+                n_units_pad=0, lattice=False) -> Dict:
     """Per-frame work of the Pallas lexical-tree kernel
     (``ops/viterbi_lex_pallas.py``, SoA [su*A, B] layout):
 
@@ -136,10 +137,27 @@ def lex_viterbi(batch, frames, n_arcs_pad, su, n_bank_states,
     u8 = _ceil8(n_bank_states)
     b = batch
     # both selector formats move 3 bf16 value planes through the MXU
-    # (tripled contraction or three separate dots) — same MAC count
-    cross_macs = 3.0 * sum(a * c for a, c in zip(level_sizes[:-1],
-                                                 level_sizes[1:]))
-    per_frame_mxu = 2.0 * b * (s8 * 3 * u8 + cross_macs)  # single bf16 pass
+    # (tripled contraction or three separate dots) — same MAC count.
+    # Banded-staircase plans (dictionary scale) do sum(nr_i * sel_w)
+    # MACs instead of the level-dense sum(n_d * n_{d+1}) — pass
+    # (sel_blocks, sel_w) so the bound prices the plan actually run.
+    if sel_blocks:
+        cross_macs = 3.0 * sum(nr for (_, nr, _) in sel_blocks) * sel_w
+    else:
+        cross_macs = 3.0 * sum(a * c for a, c in zip(level_sizes[:-1],
+                                                     level_sizes[1:]))
+    if lattice:
+        cross_macs *= 2.0  # the entry-time carry rides the same gathers
+    if n_units_pad:
+        # factored expansion: per-offset unit one-hots on [A, U128]
+        expand_macs = 3.0 * s8 * n_units_pad
+    else:
+        expand_macs = s8 * 3 * u8
+    per_frame_mxu = 2.0 * b * (expand_macs + cross_macs)  # one bf16 pass
+    # NOTE: this MAC bound assumes full 128-row MXU occupancy; at
+    # serving batches the dots are row-starved (B or su*B rows), so
+    # measured/bound gaps here are utilization, addressable by batching
+    # — see the row-stacking notes in ops/viterbi_lex_pallas.py.
     per_frame_vpu = b * (24.0 * s8  # band chain
                          + 10.0 * n_arcs_pad  # eps min/argmin + cross merge
                          + 12.0 * n_arcs_pad)  # splits/concats (3 planes)
