@@ -461,7 +461,8 @@ def pad_graphs_banded(graphs: List[WordGraph]):
 #: the banded pass's gather/segment-lse machinery costs ~4x at S ~ 30,
 #: the round-3 soft-EM regression), above it the O(3S)/frame banded pass
 #: wins (the dense plane is O(S^2)).  Measured on-chip at 32 x 300
-#: (see RESULTS.md round-4 soft-EM table).
+#: (transcript graphs, S ~ 36): dense 39,506 utts/s vs banded-forced
+#: 9,065 — RESULTS.md round-5 table, scripts/exp_r5_measure1.py.
 BANDED_FB_MIN_STATES = 256
 
 
