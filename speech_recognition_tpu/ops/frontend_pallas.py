@@ -189,49 +189,52 @@ def fused_frontend_constants(cfg: FrontendConfig):
 
 def _mfcc39_kernel(len_ref, sig_ref, r0_ref, r2_ref, r13_ref, wmel_ref,
                    wmel_hl_ref, dct_ref, dct_hl_ref, win_ref, out_ref,
-                   e_ref, *, cfg: FrontendConfig, f_pad: int, norm: str,
-                   mel_prec: str, dct_prec: str):
+                   prev_ref, raw_ref, *, cfg: FrontendConfig, f_pad: int,
+                   norm: str, mel_prec: str, dct_prec: str,
+                   debug_stages: str = "full"):
     bi = pl.program_id(0)
     fl, fs, nfft = cfg.frame_len, cfg.frame_step, cfg.n_fft
     n2 = nfft // 4
     nslice = _ceil(fl, fs)
     length = len_ref[bi]
 
-    sref = sig_ref.at[0]  # [NB, fs]
-    s = sref[...]
+    s = sig_ref[0]  # [NB, fs]
     nb = s.shape[0]
+    # Mosaic data-movement rules on this chip
+    # (scripts/exp_r5_mosaic_probe.py): tpu.concatenate rejects inputs
+    # whose layout carries a nonzero offset on a non-concat dim, and
+    # layout inference FOLDS row-shifted slices/rolls into such offsets
+    # — so no concatenate here ever sees a shifted operand.  What does
+    # lower: pltpu.roll feeding elementwise ops, and vector STORES to
+    # non-128-aligned lane slices of scratch refs.  All shifted
+    # assembly below is rolls + stores.
     # ---- pre-emphasis at block level ------------------------------------
-    # prev[r, c] = sample (r*fs + c - 1); the zero row spliced in at the
-    # top makes emph[0] = s[0] exactly (psf _preemphasis boundary,
-    # /root/reference/sr/core.py:40 semantics).  All shifted pieces are
-    # REF loads: Mosaic's concatenate requires inputs at canonical
-    # offsets on non-concat dims, which value-slices of computed vectors
-    # don't provide (layout inference folds the shift into a vector
-    # offset) — loads from VMEM refs do.
-    # the cross-row column (sample r*fs - 1 = S[r-1, fs-1]) is extracted
-    # with a masked lane reduce — a width-1 load at lane fs-1 carries a
-    # nonzero lane offset that tpu.concatenate rejects on the sublane
-    # concat below
-    lane1 = jax.lax.broadcasted_iota(jnp.int32, (nb - 1, fs), 1)
-    last_col = jnp.sum(jnp.where(lane1 == fs - 1, sref[0:nb - 1, :], 0.0),
-                       axis=1, keepdims=True)
-    pcol = jnp.concatenate(
-        [jnp.zeros((1, 1), jnp.float32), last_col], axis=0)
-    prev = jnp.concatenate([pcol, sref[:, 0:fs - 1]], axis=1)
-    e = s - cfg.effective_preemph * prev
+    # prev[r, c] = sample (r*fs + c - 1); prev[0, 0] = 0 makes
+    # emph[0] = s[0] exactly (psf _preemphasis boundary,
+    # /root/reference/sr/core.py:40 semantics).
+    row1 = jax.lax.broadcasted_iota(jnp.int32, (nb, fs), 0)
+    lane1 = jax.lax.broadcasted_iota(jnp.int32, (nb, fs), 1)
+    prev_ref[:, 1:fs] = s[:, 0:fs - 1]
+    down = pltpu.roll(s, 1, 0)  # down[r] = s[r-1] (row 0 wrap: masked)
+    last_col = jnp.sum(
+        jnp.where((lane1 == fs - 1) & (row1 > 0), down, 0.0),
+        axis=1, keepdims=True)
+    prev_ref[:, 0:1] = last_col
+    e = s - cfg.effective_preemph * prev_ref[...]
     # zero everything at/after `length` (masked variable length; padded
     # samples must be exact zeros so trailing frames are exact zeros)
-    row = jax.lax.broadcasted_iota(jnp.int32, (nb, fs), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (nb, fs), 1)
-    e = jnp.where(row * fs + col < length, e, 0.0)
-    e_ref[...] = e  # stage through VMEM scratch for offset-0 reloads
+    e = jnp.where(row1 * fs + lane1 < length, e, 0.0)
 
-    # ---- framing: frame f = rows f..f+nslice-1, lane-concatenated ------
-    parts = [e_ref[j:j + f_pad, :] for j in range(nslice)]
+    # ---- framing: frame f = rows f..f+nslice-1 of the block stream, ----
+    # assembled by storing rolled copies into column bands of a scratch
+    # (rows >= nb - j hold roll wrap — never read: f_pad + nslice <= nb)
+    for j in range(nslice):
+        raw_ref[:, j * fs:(j + 1) * fs] = (
+            pltpu.roll(e, nb - j, 0) if j else e)
     if nslice * fs < nfft:
-        parts.append(jnp.zeros((f_pad, nfft - nslice * fs), jnp.float32))
-    raw = jnp.concatenate(parts, axis=1)  # [f_pad, nfft]
-    g = raw * win_ref[0][None, :]  # window zeroes cols >= fl
+        raw_ref[:, nslice * fs:nfft] = jnp.zeros(
+            (nb, nfft - nslice * fs), jnp.float32)
+    g = raw_ref[0:f_pad, :] * win_ref[...]  # window zeroes cols >= fl
 
     # ---- exact radix-4 DIF butterfly (128-aligned lane slices) ---------
     g0, g1 = g[:, 0 * n2:1 * n2], g[:, 1 * n2:2 * n2]
@@ -265,12 +268,25 @@ def _mfcc39_kernel(len_ref, sig_ref, r0_ref, r2_ref, r13_ref, wmel_ref,
     y2 = dot(u2, r2_ref[...], hi)    # [f_pad, N2]
     y13 = dot(bd, r13_ref[...], hi)  # [f_pad, 2*N2]
 
+    if debug_stages == "dftonly":  # measurement-only stage accounting
+        y = y0 + y2 + y13[:, :n2] + y13[:, n2:]
+        out_ref[0, 0] = y[:, :cfg.n_ceps]
+        out_ref[0, 1] = y[:, :cfg.n_ceps]
+        out_ref[0, 2] = y[:, :cfg.n_ceps]
+        return
+
     # ---- power fold -> mel -> log -> DCT+lifter ------------------------
     z = jnp.concatenate([y0 * y0, y2 * y2, y13 * y13], axis=1)
     mel = dot_p(z, wmel_ref, wmel_hl_ref, mel_prec)  # pair-sum folded in
     eps = np.float32(np.finfo(np.float64).eps)
     mel = jnp.where(mel <= 0.0, eps, mel)
     ceps = dot_p(jnp.log(mel), dct_ref, dct_hl_ref, dct_prec)
+
+    if debug_stages == "notail":  # measurement-only stage accounting
+        out_ref[0, 0] = ceps
+        out_ref[0, 1] = ceps
+        out_ref[0, 2] = ceps
+        return
 
     # ---- frame mask, deltas, standardize (all VMEM) --------------------
     extra = jnp.maximum(length - fl, 0)
@@ -281,9 +297,14 @@ def _mfcc39_kernel(len_ref, sig_ref, r0_ref, r2_ref, r13_ref, wmel_ref,
 
     def delta(x):
         # /root/reference/sr/core.py:13-22 semantics (see
-        # ops.frontend.delta_feature)
-        fwd = jnp.concatenate([x[1:], x[-1:]], axis=0)
-        bwd = jnp.concatenate([x[:1], x[:-1]], axis=0)
+        # ops.frontend.delta_feature), shift-by-roll form: fwd wraps at
+        # row f_pad-1 (only read when nf == f_pad, where the nf-1
+        # branch overrides it) and bwd wraps at row 0 (clamped to x[0]
+        # like the XLA path, which also makes the nf == 1 single-frame
+        # delta exactly 0).
+        fwd = pltpu.roll(x, f_pad - 1, 0)  # fwd[i] = x[i+1 mod f_pad]
+        bwd = pltpu.roll(x, 1, 0)          # bwd[i] = x[i-1 mod f_pad]
+        bwd = jnp.where(fi == 0, x, bwd)
         d = jnp.where(fi == nf - 1, x - bwd, fwd - bwd)
         return jnp.where(fi < nf, d, 0.0)
 
@@ -307,12 +328,13 @@ def _mfcc39_kernel(len_ref, sig_ref, r0_ref, r2_ref, r13_ref, wmel_ref,
 
 @functools.partial(jax.jit, static_argnames=("cfg", "n_frames_cap", "norm",
                                              "mel_precision", "dct_precision",
-                                             "interpret"))
+                                             "interpret", "debug_stages"))
 def mfcc39_pallas_batch(signals, lengths, cfg: FrontendConfig = FrontendConfig(),
                         n_frames_cap: int = None, norm: str = "utterance",
                         mel_precision: str = "high",
                         dct_precision: str = "high",
-                        interpret: bool = False) -> Tuple[jax.Array, jax.Array]:
+                        interpret: bool = False,
+                        debug_stages: str = "full") -> Tuple[jax.Array, jax.Array]:
     """Batched fused frontend: ``[B, L] -> ([B, F, 3*n_ceps], [B])``.
 
     Drop-in for :func:`ops.frontend.mfcc39_batch` (psf variant).  The
@@ -343,7 +365,8 @@ def mfcc39_pallas_batch(signals, lengths, cfg: FrontendConfig = FrontendConfig()
     n2 = cfg.n_fft // 4
     kern = functools.partial(
         _mfcc39_kernel, cfg=cfg, f_pad=f_pad, norm=norm,
-        mel_prec=mel_precision, dct_prec=dct_precision)
+        mel_prec=mel_precision, dct_prec=dct_precision,
+        debug_stages=debug_stages)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -371,7 +394,8 @@ def mfcc39_pallas_batch(signals, lengths, cfg: FrontendConfig = FrontendConfig()
         out_specs=pl.BlockSpec((1, 3, f_pad, cfg.n_ceps),
                                lambda i, ln: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((nb, fs), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((nb, fs), jnp.float32),
+                        pltpu.VMEM((nb, cfg.n_fft), jnp.float32)],
     )
 
     out = pl.pallas_call(
