@@ -154,23 +154,37 @@ def bench_connected_decode(batch=64, frames=500, n_slots=7, frame_step_s=0.01):
     feats = jnp.asarray(rng.standard_normal((batch, frames, 39)), jnp.float32)
     n_frames = jnp.full((batch,), frames, jnp.int32)
 
+    from speech_recognition_tpu.decode.connected import states_to_words_device
+
+    slot_arr = jnp.asarray(np.asarray(graph.slot, np.int32))
+    label_arr = jnp.asarray(np.asarray(graph.slot_label[graph.slot], np.int32))
+    counts = np.bincount(np.asarray(graph.slot))
+    max_words = min(frames, frames // max(1, int(counts[counts > 0].min())) + 1)
+
     def body(dep):
+        # PRODUCTION path: the full wav-side chain to word ids on device
+        # (emission GEMM + Pallas banded Viterbi + backtrace + the
+        # states_to_words_device compaction); only [B, W] ids would
+        # cross the host boundary
         nf = jnp.where(jnp.isnan(dep), n_frames + 1, n_frames)
         states, eps_flags, costs = _decode_banded_batch(
             bank, feats, nf, bg, eps_depth=graph.eps_depth, pallas_topo=topo
         )
-        return jnp.sum(costs) + jnp.sum(states[:, 0].astype(jnp.float32))
+        words, n_words = states_to_words_device(
+            slot_arr, label_arr, states, eps_flags, nf, max_words=max_words)
+        return jnp.sum(costs) + jnp.sum(words[:, 0].astype(jnp.float32))
 
     dt = _timeit_device(body)
     audio_s = batch * frames * frame_step_s
     thr = audio_s / dt
-    log(f"connected decode (states path): {batch}x{frames} frames in "
+    log(f"connected decode (production, wav->word-ids on device): "
+        f"{batch}x{frames} frames in "
         f"{dt*1e3:.2f} ms device-time ({LAST_REGIME}) -> {thr:.0f} audio-s/s")
 
-    # production word-trace path: NO backpointer plane, NO backtrace
-    # kernel — the forward kernel carries entry times, eps events record
-    # (origin word, entry time), and words come off an O(#words) device
-    # chain walk (decode/connected._decode_banded_words)
+    # alternate word-trace path: NO backpointer plane, NO backtrace
+    # kernel — kept for its bounded-memory property; measured ~2x the
+    # production path (RESULTS round 4/5), so it does NOT take the
+    # headline
     if topo is not None and topo.uniform_w:
         def body_wt(dep):
             nf = jnp.where(jnp.isnan(dep), n_frames + 1, n_frames)
@@ -208,11 +222,9 @@ def bench_connected_decode(batch=64, frames=500, n_slots=7, frame_step_s=0.01):
 
         dt_wt = _timeit_device(body_wt)
         thr_wt = audio_s / dt_wt
-        log(f"connected decode (word-trace, production): {batch}x{frames} "
-            f"in {dt_wt*1e3:.2f} ms device-time ({LAST_REGIME}) "
-            f"-> {thr_wt:.0f} audio-s/s")
-        if thr_wt > thr:
-            dt, thr = dt_wt, thr_wt
+        log(f"connected decode (word-trace, alternate bounded-memory "
+            f"path): {batch}x{frames} in {dt_wt*1e3:.2f} ms device-time "
+            f"({LAST_REGIME}) -> {thr_wt:.0f} audio-s/s")
 
     from speech_recognition_tpu.ops.viterbi_banded import eps_ranges
     from speech_recognition_tpu.utils import roofline as rl
@@ -231,6 +243,11 @@ def bench_connected_decode(batch=64, frames=500, n_slots=7, frame_step_s=0.01):
                                          int(bg.word_starts.shape[0]),
                                          int(bg.word_ends.shape[0]),
                                          uniform_w=uw),
+        # device words-out compaction: two table takes + cumsum + the
+        # [B, T, W] iota-compare masked reduce
+        "words": rl.stage_bound(
+            vpu_ops=batch * frames * (max_words + 8.0),
+            hbm_bytes=batch * frames * 2 * 4.0),
     }
     log(rl.report(stages, dt))
     return thr

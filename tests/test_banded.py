@@ -575,3 +575,58 @@ def test_wordtrace_decode_matches_states_path(rng):
         assert wt_seqs == ref_seqs
         np.testing.assert_allclose(np.asarray(wt_costs),
                                    np.asarray(ref_costs), rtol=1e-5)
+
+
+def test_states_to_words_device_matches_host(rng):
+    """The device words-out compaction (states_to_words_device — the
+    production wav->word-ids tail) equals the host per-frame loop on a
+    LOOP graph with repeated words, where the epsilon-boundary flag is
+    what separates consecutive repeats."""
+    from speech_recognition_tpu.data.synthetic import random_gmm_hmm
+    from speech_recognition_tpu.decode.connected import (
+        _decode_banded_batch,
+        states_to_words,
+        states_to_words_device,
+    )
+    from speech_recognition_tpu.models.graph import build_loop_graph
+    from speech_recognition_tpu.models.hmm import GMMHMM, HMMBank
+    from speech_recognition_tpu.utils.numerics import to_cost_matrix
+
+    n_words, S, M, D = 4, 3, 1, 5
+    params = [random_gmm_hmm(rng, S, M, D, sep=5.0) for _ in range(n_words)]
+    bank = HMMBank.stack(
+        [GMMHMM(
+            means=jnp.asarray(p["means"], jnp.float32),
+            log_vars=jnp.log(jnp.asarray(p["variances"], jnp.float32)),
+            log_weights=jnp.log(jnp.asarray(p["weights"], jnp.float32)),
+            trans_cost=jnp.asarray(to_cost_matrix(p["trans"])),
+        ) for p in params])
+    g = build_loop_graph([p["trans"] for p in params])
+    bg = banded_arrays(g)
+    # emissions that force repeated words: word 2's means twice in a row
+    means = np.asarray(bank.means)[:, :, 0, :]  # [N, S, D]
+    rows = []
+    for w in (2, 2, 0, 3, 3):
+        for st in range(S):
+            rows.extend([means[w, st]] * 3)
+    feats = np.asarray(rows, np.float32)[None, :, :]
+    feats = np.repeat(feats, 2, axis=0)
+    feats = feats + 0.05 * rng.standard_normal(feats.shape).astype(np.float32)
+    nf = np.asarray([feats.shape[1], feats.shape[1] - 7], np.int32)
+
+    states, eps_flags, costs = _decode_banded_batch(
+        bank, jnp.asarray(feats), jnp.asarray(nf), bg,
+        eps_depth=g.eps_depth)
+    states_np = np.asarray(states)
+    eps_np = np.asarray(eps_flags)
+    host = [states_to_words(g, states_np[i], int(nf[i]), eps_np[i])
+            for i in range(2)]
+    words, n_words_ = states_to_words_device(
+        jnp.asarray(np.asarray(g.slot, np.int32)),
+        jnp.asarray(np.asarray(g.slot_label[g.slot], np.int32)),
+        states, eps_flags, jnp.asarray(nf),
+        max_words=feats.shape[1])
+    words = np.asarray(words)
+    dev = [words[i, : int(n_words_[i])].tolist() for i in range(2)]
+    assert dev == host
+    assert 2 in host[0] and host[0].count(2) >= 2  # repeats actually occur
