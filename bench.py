@@ -321,21 +321,25 @@ def bench_frontend(batch=64, samples=80000):
     import jax.numpy as jnp
 
     from speech_recognition_tpu.config import FrontendConfig
-    from speech_recognition_tpu.ops.frontend import mfcc39, padded_length
+    from speech_recognition_tpu.ops.frontend import mfcc39_auto, padded_length
 
     cfg = FrontendConfig()
-    L = padded_length(cfg, samples)
+    # pad to the fused kernel's copy-free launch size (a multiple of the
+    # frame step covering ceil8(F) + 3 blocks); the XLA path ignores the
+    # extra tail
+    L = ((padded_length(cfg, samples) + 159) // 160 + 8) * 160
     rng = np.random.default_rng(0)
     sig = jnp.asarray(rng.standard_normal((batch, L)), jnp.float32)
     lens = jnp.full((batch,), samples, jnp.int32)
 
     def body(dep):
         l2 = jnp.where(jnp.isnan(dep), lens - 1, lens)
-        return jnp.sum(jax.vmap(lambda a, b: mfcc39(a, b, cfg)[0])(sig, l2))
+        return jnp.sum(mfcc39_auto(sig, l2, cfg)[0])
 
     dt = _timeit_device(body)
     audio_s = batch * samples / cfg.sample_rate
-    log(f"frontend: {audio_s:.0f} audio-s in {dt*1e3:.2f} ms device-time "
+    log(f"frontend ({'fused-pallas' if jax.default_backend() == 'tpu' else 'xla'}): "
+        f"{audio_s:.0f} audio-s in {dt*1e3:.2f} ms device-time "
         f"-> {audio_s/dt:.0f} audio-s/s")
     return audio_s / dt
 
@@ -378,14 +382,14 @@ def bench_pipeline(batch=256, samples=80000, n_slots=7):
         _decode_banded_batch,
         connected_graph_arrays,
     )
-    from speech_recognition_tpu.ops.frontend import mfcc39_batch, padded_length
+    from speech_recognition_tpu.ops.frontend import mfcc39_auto, padded_length
     from speech_recognition_tpu.ops.viterbi_banded import banded_arrays
 
     cfg = FrontendConfig()
     bank = _bank()
     graph = connected_graph_arrays(bank, n_slots)
     bg = banded_arrays(graph)
-    L = padded_length(cfg, samples)
+    L = ((padded_length(cfg, samples) + 159) // 160 + 8) * 160
     rng = np.random.default_rng(0)
     sig = jnp.asarray(rng.standard_normal((batch, L)) * 3000, jnp.float32)
     lens = jnp.full((batch,), samples, jnp.int32)
@@ -396,7 +400,7 @@ def bench_pipeline(batch=256, samples=80000, n_slots=7):
 
     def body(dep):
         l2 = jnp.where(jnp.isnan(dep), lens - 1, lens)
-        feats, nf = mfcc39_batch(sig, l2, cfg)
+        feats, nf = mfcc39_auto(sig, l2, cfg)
         states, _, costs = _decode_banded_batch(bank, feats, nf, bg,
                                                 eps_depth=graph.eps_depth,
                                                 pallas_topo=topo)
@@ -420,7 +424,7 @@ def bench_lex_pipeline(batch=128, samples=80000, n_words=1000):
     from speech_recognition_tpu.data.synthetic import random_gmm_hmm
     from speech_recognition_tpu.models.hmm import GMMHMM, HMMBank, bank_nll
     from speech_recognition_tpu.models.lexgraph import build_lex_graph
-    from speech_recognition_tpu.ops.frontend import mfcc39_batch, padded_length
+    from speech_recognition_tpu.ops.frontend import mfcc39_auto, padded_length
     from speech_recognition_tpu.ops.viterbi_lex_pallas import (
         lex_backtrace_soa_pallas,
         lex_pallas_plan,
@@ -451,13 +455,13 @@ def bench_lex_pipeline(batch=128, samples=80000, n_words=1000):
                            word_insertion_cost=0.5)
     plan = lex_pallas_plan(lexg)
 
-    L = padded_length(cfg, samples)
+    L = ((padded_length(cfg, samples) + 159) // 160 + 8) * 160
     sig = jnp.asarray(rng.standard_normal((batch, L)) * 3000, jnp.float32)
     lens = jnp.full((batch,), samples, jnp.int32)
 
     def body(dep):
         l2 = jnp.where(jnp.isnan(dep), lens - 1, lens)
-        feats, nf = mfcc39_batch(sig, l2, cfg)
+        feats, nf = mfcc39_auto(sig, l2, cfg)
         t = feats.shape[1]
 
         def emis(x, n):
@@ -484,7 +488,7 @@ def bench_lex_pipeline(batch=128, samples=80000, n_words=1000):
     # axon tunnel (production hosts pay PCIe instead)
     from speech_recognition_tpu.models.lexgraph import lex_words_from_path_batch
 
-    feats, nf = mfcc39_batch(sig, lens, cfg)
+    feats, nf = mfcc39_auto(sig, lens, cfg)
     t = feats.shape[1]
     nll_tub = jnp.transpose(
         jax.vmap(lambda x, n: bank_nll(bank, x, jnp.arange(t) < n))(feats, nf),

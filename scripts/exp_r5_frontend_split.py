@@ -36,14 +36,17 @@ def main():
     blen = jnp.full((b,), samples, jnp.int32)
     audio_s = b * samples / cfg.sample_rate
 
-    for stage in ("dftonly", "notail", "full"):
-        def body(dep, stage=stage):
-            ln = jnp.where(jnp.isnan(dep), blen + 1, blen)
-            f, _ = mfcc39_pallas_batch(big, ln, cfg, debug_stages=stage)
-            return jnp.sum(f)
+    for ustep in (1, 2, 4, 8):
+        for stage in ("dftonly", "full"):
+            def body(dep, stage=stage, ustep=ustep):
+                ln = jnp.where(jnp.isnan(dep), blen + 1, blen)
+                f, _ = mfcc39_pallas_batch(big, ln, cfg, debug_stages=stage,
+                                           utts_per_step=ustep)
+                return jnp.sum(f)
 
-        dt = _timeit_device(body)
-        log(f"fused[{stage}]: {dt*1e3:.2f} ms -> {audio_s/dt:.0f} audio-s/s")
+            dt = _timeit_device(body)
+            log(f"fused[U={ustep}, {stage}]: {dt*1e3:.2f} ms "
+                f"-> {audio_s/dt:.0f} audio-s/s")
 
 
 if __name__ == "__main__":

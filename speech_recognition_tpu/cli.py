@@ -44,7 +44,7 @@ def _featurize_files(paths, cfg: FrontendConfig, cap_samples: int,
 
     import jax.numpy as jnp
 
-    from speech_recognition_tpu.ops.frontend import apply_cmvn, mfcc39_batch, padded_length
+    from speech_recognition_tpu.ops.frontend import apply_cmvn, mfcc39_auto, padded_length
     from speech_recognition_tpu.runtime.loader import (
         PrefetchWavBatches,
         load_wav_batch,
@@ -78,7 +78,7 @@ def _featurize_loaded(samples, lengths, rates, cfg, cap_samples, norm, cmvn):
 
     import jax.numpy as jnp
 
-    from speech_recognition_tpu.ops.frontend import apply_cmvn, mfcc39_batch, padded_length
+    from speech_recognition_tpu.ops.frontend import apply_cmvn, mfcc39_auto, padded_length
     b = samples.shape[0]
     rate = int(rates[0]) if len(rates) else cfg.sample_rate
     if np.any(rates[:b] != rate):
@@ -92,7 +92,7 @@ def _featurize_loaded(samples, lengths, rates, cfg, cap_samples, norm, cmvn):
         samples = samples[:, :L]
 
     mode = "utterance" if norm == "utterance" else "none"
-    fb, nfb = mfcc39_batch(
+    fb, nfb = mfcc39_auto(
         jnp.asarray(samples), jnp.asarray(np.minimum(lengths, cap_samples), np.int32),
         cfg, None, mode,
     )
@@ -108,7 +108,7 @@ def _featurize_arrays(sample_arrays, cfg: FrontendConfig, cap_samples: int,
     """Like :func:`_featurize_files` but for in-memory sample arrays."""
     import jax.numpy as jnp
 
-    from speech_recognition_tpu.ops.frontend import apply_cmvn, mfcc39_batch, padded_length
+    from speech_recognition_tpu.ops.frontend import apply_cmvn, mfcc39_auto, padded_length
 
     L = padded_length(cfg, cap_samples)
     b = len(sample_arrays)
@@ -119,7 +119,7 @@ def _featurize_arrays(sample_arrays, cfg: FrontendConfig, cap_samples: int,
         buf[i, :n] = seg[:n]
         lens[i] = n
     mode = "utterance" if norm == "utterance" else "none"
-    fb, nfb = mfcc39_batch(jnp.asarray(buf), jnp.asarray(lens), cfg, None, mode)
+    fb, nfb = mfcc39_auto(jnp.asarray(buf), jnp.asarray(lens), cfg, None, mode)
     if norm == "cmvn" and cmvn is not None:
         fb = apply_cmvn(fb, nfb, jnp.asarray(cmvn[0]), jnp.asarray(cmvn[1]))
     fb = np.asarray(fb)

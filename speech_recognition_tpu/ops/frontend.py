@@ -69,6 +69,7 @@ __all__ = [
     "mfcc",
     "mfcc39",
     "mfcc39_batch",
+    "mfcc39_auto",
     "delta_feature",
     "standardize",
     "cmvn_stats",
@@ -507,3 +508,30 @@ def mfcc39_batch(signals, lengths, cfg: FrontendConfig = FrontendConfig(),
                  n_frames_cap: int = None, norm: str = "utterance"):
     """Batched ``mfcc39``: ``[B, L] -> ([B, F, 3*n_ceps], [B])``."""
     return jax.vmap(lambda s, l: mfcc39(s, l, cfg, n_frames_cap, norm))(signals, lengths)
+
+
+def mfcc39_auto(signals, lengths, cfg: FrontendConfig = FrontendConfig(),
+                n_frames_cap: int = None, norm: str = "utterance"):
+    """Production batched frontend dispatcher: the fused Pallas
+    spectral-chain kernel (``ops.frontend_pallas``) on TPU — 2.00 ms vs
+    3.83 ms at 256 x 5 s AND ~10x more accurate (4.3e-4 vs 4.0e-3
+    against the float64 oracle; RESULTS.md round 5) — falling back to
+    the XLA pipeline on CPU, for the 'scratch' variant, and for configs
+    whose Nyquist bin carries mel weight (the fused packing drops it)."""
+    import jax as _jax
+
+    if (_jax.default_backend() == "tpu" and cfg.variant == "psf"
+            and cfg.n_fft % 8 == 0 and norm in ("utterance", "none")):
+        try:
+            from speech_recognition_tpu.ops.frontend_pallas import (
+                fused_frontend_constants,
+                mfcc39_pallas_batch,
+            )
+
+            fused_frontend_constants(cfg)  # raises if config unsupported
+        except AssertionError:
+            pass
+        else:
+            return mfcc39_pallas_batch(signals, lengths, cfg, n_frames_cap,
+                                       norm)
+    return mfcc39_batch(signals, lengths, cfg, n_frames_cap, norm)

@@ -196,10 +196,10 @@ def _mfcc39_kernel(len_ref, sig_ref, r0_ref, r2_ref, r13_ref, wmel_ref,
     fl, fs, nfft = cfg.frame_len, cfg.frame_step, cfg.n_fft
     n2 = nfft // 4
     nslice = _ceil(fl, fs)
-    length = len_ref[bi]
+    u_step = sig_ref.shape[0]  # utterances per grid step
+    nb = sig_ref.shape[1]
+    lengths = [len_ref[bi * u_step + u] for u in range(u_step)]
 
-    s = sig_ref[0]  # [NB, fs]
-    nb = s.shape[0]
     # Mosaic data-movement rules on this chip
     # (scripts/exp_r5_mosaic_probe.py): tpu.concatenate rejects inputs
     # whose layout carries a nonzero offset on a non-concat dim, and
@@ -208,40 +208,50 @@ def _mfcc39_kernel(len_ref, sig_ref, r0_ref, r2_ref, r13_ref, wmel_ref,
     # lower: pltpu.roll feeding elementwise ops, and vector STORES to
     # non-128-aligned lane slices of scratch refs.  All shifted
     # assembly below is rolls + stores.
-    # ---- pre-emphasis at block level ------------------------------------
-    # prev[r, c] = sample (r*fs + c - 1); prev[0, 0] = 0 makes
-    # emph[0] = s[0] exactly (psf _preemphasis boundary,
-    # /root/reference/sr/core.py:40 semantics).
+    #
+    # The u_step utterances are stacked on the ROW axis of one shared
+    # raw-frame scratch ([U*nb, nfft]) so every GEMM in the chain runs
+    # once with U*nb rows — at U=1 the 504-row dots leave the MXU
+    # pipeline ~35% idle (fill/drain per pass), the dominant gap in the
+    # round-5 stage split.  Rows [u*nb + f_pad, (u+1)*nb) carry roll
+    # wrap-around; they flow through the GEMMs and are masked at the
+    # per-utterance tail.
     row1 = jax.lax.broadcasted_iota(jnp.int32, (nb, fs), 0)
     lane1 = jax.lax.broadcasted_iota(jnp.int32, (nb, fs), 1)
-    prev_ref[:, 1:fs] = s[:, 0:fs - 1]
-    down = pltpu.roll(s, 1, 0)  # down[r] = s[r-1] (row 0 wrap: masked)
-    last_col = jnp.sum(
-        jnp.where((lane1 == fs - 1) & (row1 > 0), down, 0.0),
-        axis=1, keepdims=True)
-    prev_ref[:, 0:1] = last_col
-    e = s - cfg.effective_preemph * prev_ref[...]
-    # zero everything at/after `length` (masked variable length; padded
-    # samples must be exact zeros so trailing frames are exact zeros)
-    e = jnp.where(row1 * fs + lane1 < length, e, 0.0)
+    for u in range(u_step):
+        # ---- pre-emphasis at block level --------------------------------
+        # prev[r, c] = sample (r*fs + c - 1); prev[0, 0] = 0 makes
+        # emph[0] = s[0] exactly (psf _preemphasis boundary,
+        # /root/reference/sr/core.py:40 semantics).
+        s = sig_ref[u]  # [nb, fs]
+        prev_ref[:, 1:fs] = s[:, 0:fs - 1]
+        down = pltpu.roll(s, 1, 0)  # down[r] = s[r-1] (row 0 wrap: masked)
+        last_col = jnp.sum(
+            jnp.where((lane1 == fs - 1) & (row1 > 0), down, 0.0),
+            axis=1, keepdims=True)
+        prev_ref[:, 0:1] = last_col
+        e = s - cfg.effective_preemph * prev_ref[...]
+        # zero at/after `length` (masked variable length; padded samples
+        # must be exact zeros so trailing frames are exact zeros)
+        e = jnp.where(row1 * fs + lane1 < lengths[u], e, 0.0)
 
-    # ---- framing: frame f = rows f..f+nslice-1 of the block stream, ----
-    # assembled by storing rolled copies into column bands of a scratch
-    # (rows >= nb - j hold roll wrap — never read: f_pad + nslice <= nb)
-    for j in range(nslice):
-        raw_ref[:, j * fs:(j + 1) * fs] = (
-            pltpu.roll(e, nb - j, 0) if j else e)
+        # ---- framing: frame f = rows f..f+nslice-1 of the block ----
+        # stream, assembled by storing rolled copies into column bands
+        # (rows >= nb - j hold roll wrap — never read: f_pad + nslice <= nb)
+        for j in range(nslice):
+            raw_ref[u * nb:(u + 1) * nb, j * fs:(j + 1) * fs] = (
+                pltpu.roll(e, nb - j, 0) if j else e)
     if nslice * fs < nfft:
         raw_ref[:, nslice * fs:nfft] = jnp.zeros(
-            (nb, nfft - nslice * fs), jnp.float32)
-    g = raw_ref[0:f_pad, :] * win_ref[...]  # window zeroes cols >= fl
+            (u_step * nb, nfft - nslice * fs), jnp.float32)
+    g = raw_ref[...] * win_ref[...]  # window zeroes cols >= fl
 
     # ---- exact radix-4 DIF butterfly (128-aligned lane slices) ---------
     g0, g1 = g[:, 0 * n2:1 * n2], g[:, 1 * n2:2 * n2]
     g2, g3 = g[:, 2 * n2:3 * n2], g[:, 3 * n2:4 * n2]
     a_, c_ = g0 + g2, g1 + g3
     u0, u2 = a_ + c_, a_ - c_
-    bd = jnp.concatenate([g0 - g2, g1 - g3], axis=1)  # [f_pad, 2*N2]
+    bd = jnp.concatenate([g0 - g2, g1 - g3], axis=1)  # [U*nb, 2*N2]
 
     hi = jax.lax.Precision.HIGHEST
 
@@ -264,15 +274,16 @@ def _mfcc39_kernel(len_ref, sig_ref, r0_ref, r2_ref, r13_ref, wmel_ref,
         mh, ml = hl_ref[0], hl_ref[1]
         return dot(xh, mh) + dot(xh, ml) + dot(xl, mh)
 
-    y0 = dot(u0, r0_ref[...], hi)    # [f_pad, N2]
-    y2 = dot(u2, r2_ref[...], hi)    # [f_pad, N2]
-    y13 = dot(bd, r13_ref[...], hi)  # [f_pad, 2*N2]
+    y0 = dot(u0, r0_ref[...], hi)    # [U*nb, N2]
+    y2 = dot(u2, r2_ref[...], hi)    # [U*nb, N2]
+    y13 = dot(bd, r13_ref[...], hi)  # [U*nb, 2*N2]
 
     if debug_stages == "dftonly":  # measurement-only stage accounting
         y = y0 + y2 + y13[:, :n2] + y13[:, n2:]
-        out_ref[0, 0] = y[:, :cfg.n_ceps]
-        out_ref[0, 1] = y[:, :cfg.n_ceps]
-        out_ref[0, 2] = y[:, :cfg.n_ceps]
+        for u in range(u_step):
+            yu = y[u * nb:u * nb + f_pad, :cfg.n_ceps]
+            for k in range(3):
+                out_ref[u, k] = yu
         return
 
     # ---- power fold -> mel -> log -> DCT+lifter ------------------------
@@ -280,61 +291,66 @@ def _mfcc39_kernel(len_ref, sig_ref, r0_ref, r2_ref, r13_ref, wmel_ref,
     mel = dot_p(z, wmel_ref, wmel_hl_ref, mel_prec)  # pair-sum folded in
     eps = np.float32(np.finfo(np.float64).eps)
     mel = jnp.where(mel <= 0.0, eps, mel)
-    ceps = dot_p(jnp.log(mel), dct_ref, dct_hl_ref, dct_prec)
+    ceps_all = dot_p(jnp.log(mel), dct_ref, dct_hl_ref, dct_prec)
 
     if debug_stages == "notail":  # measurement-only stage accounting
-        out_ref[0, 0] = ceps
-        out_ref[0, 1] = ceps
-        out_ref[0, 2] = ceps
+        for u in range(u_step):
+            cu = ceps_all[u * nb:u * nb + f_pad, :]
+            for k in range(3):
+                out_ref[u, k] = cu
         return
 
-    # ---- frame mask, deltas, standardize (all VMEM) --------------------
-    extra = jnp.maximum(length - fl, 0)
-    nf = jnp.where(length <= fl, 1, 1 + (extra + fs - 1) // fs)
-    nf = jnp.minimum(nf, f_pad).astype(jnp.int32)
-    fi = jax.lax.broadcasted_iota(jnp.int32, (f_pad, ceps.shape[1]), 0)
-    ceps = jnp.where(fi < nf, ceps, 0.0)
+    # ---- per-utterance tail: frame mask, deltas, standardize -----------
+    fi = jax.lax.broadcasted_iota(jnp.int32, (f_pad, cfg.n_ceps), 0)
+    for u in range(u_step):
+        length = lengths[u]
+        extra = jnp.maximum(length - fl, 0)
+        nf = jnp.where(length <= fl, 1, 1 + (extra + fs - 1) // fs)
+        nf = jnp.minimum(nf, f_pad).astype(jnp.int32)
+        ceps = jnp.where(fi < nf, ceps_all[u * nb:u * nb + f_pad, :], 0.0)
 
-    def delta(x):
-        # /root/reference/sr/core.py:13-22 semantics (see
-        # ops.frontend.delta_feature), shift-by-roll form: fwd wraps at
-        # row f_pad-1 (only read when nf == f_pad, where the nf-1
-        # branch overrides it) and bwd wraps at row 0 (clamped to x[0]
-        # like the XLA path, which also makes the nf == 1 single-frame
-        # delta exactly 0).
-        fwd = pltpu.roll(x, f_pad - 1, 0)  # fwd[i] = x[i+1 mod f_pad]
-        bwd = pltpu.roll(x, 1, 0)          # bwd[i] = x[i-1 mod f_pad]
-        bwd = jnp.where(fi == 0, x, bwd)
-        d = jnp.where(fi == nf - 1, x - bwd, fwd - bwd)
-        return jnp.where(fi < nf, d, 0.0)
+        def delta(x, nf=nf):
+            # /root/reference/sr/core.py:13-22 semantics (see
+            # ops.frontend.delta_feature), shift-by-roll form: fwd wraps
+            # at row f_pad-1 (only read when nf == f_pad, where the nf-1
+            # branch overrides it) and bwd wraps at row 0 (clamped to
+            # x[0] like the XLA path, which also makes the nf == 1
+            # single-frame delta exactly 0).
+            fwd = pltpu.roll(x, f_pad - 1, 0)  # fwd[i] = x[i+1 mod f_pad]
+            bwd = pltpu.roll(x, 1, 0)          # bwd[i] = x[i-1 mod f_pad]
+            bwd = jnp.where(fi == 0, x, bwd)
+            d = jnp.where(fi == nf - 1, x - bwd, fwd - bwd)
+            return jnp.where(fi < nf, d, 0.0)
 
-    d1 = delta(ceps)
-    d2 = delta(d1)
+        d1 = delta(ceps)
+        d2 = delta(d1)
 
-    nf_f = nf.astype(jnp.float32)
+        nf_f = nf.astype(jnp.float32)
 
-    def std(x):
-        if norm != "utterance":
-            return x
-        mean = jnp.sum(x, axis=0, keepdims=True) / nf_f  # masked rows are 0
-        cen = jnp.where(fi < nf, x - mean, 0.0)
-        var = jnp.sum(cen * cen, axis=0, keepdims=True) / nf_f
-        return cen * jax.lax.rsqrt(jnp.maximum(var, 1e-20))
+        def std(x, nf=nf, nf_f=nf_f):
+            if norm != "utterance":
+                return x
+            mean = jnp.sum(x, axis=0, keepdims=True) / nf_f  # masked: 0
+            cen = jnp.where(fi < nf, x - mean, 0.0)
+            var = jnp.sum(cen * cen, axis=0, keepdims=True) / nf_f
+            return cen * jax.lax.rsqrt(jnp.maximum(var, 1e-20))
 
-    out_ref[0, 0] = std(ceps)
-    out_ref[0, 1] = std(d1)
-    out_ref[0, 2] = std(d2)
+        out_ref[u, 0] = std(ceps)
+        out_ref[u, 1] = std(d1)
+        out_ref[u, 2] = std(d2)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "n_frames_cap", "norm",
                                              "mel_precision", "dct_precision",
-                                             "interpret", "debug_stages"))
+                                             "interpret", "debug_stages",
+                                             "utts_per_step"))
 def mfcc39_pallas_batch(signals, lengths, cfg: FrontendConfig = FrontendConfig(),
                         n_frames_cap: int = None, norm: str = "utterance",
                         mel_precision: str = "high",
                         dct_precision: str = "high",
                         interpret: bool = False,
-                        debug_stages: str = "full") -> Tuple[jax.Array, jax.Array]:
+                        debug_stages: str = "full",
+                        utts_per_step: int = 4) -> Tuple[jax.Array, jax.Array]:
     """Batched fused frontend: ``[B, L] -> ([B, F, 3*n_ceps], [B])``.
 
     Drop-in for :func:`ops.frontend.mfcc39_batch` (psf variant).  The
@@ -359,8 +375,14 @@ def mfcc39_pallas_batch(signals, lengths, cfg: FrontendConfig = FrontendConfig()
     signals = signals.astype(jnp.float32)
     if L < need:
         signals = jnp.pad(signals, ((0, 0), (0, need - L)))
-    sig_blocks = signals[:, :need].reshape(b, nb, fs)
     lengths = jnp.minimum(jnp.asarray(lengths, jnp.int32), L)
+    # pad the batch to a u_step multiple (filler rows are dropped below)
+    u_step = max(1, min(utts_per_step, b))
+    b_pad = _ceil(b, u_step) * u_step
+    if b_pad != b:
+        signals = jnp.pad(signals[:, :need], ((0, b_pad - b), (0, 0)))
+        lengths = jnp.pad(lengths, (0, b_pad - b))
+    sig_blocks = signals[:, :need].reshape(b_pad, nb, fs)
 
     n2 = cfg.n_fft // 4
     kern = functools.partial(
@@ -370,9 +392,9 @@ def mfcc39_pallas_batch(signals, lengths, cfg: FrontendConfig = FrontendConfig()
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(b,),
+        grid=(b_pad // u_step,),
         in_specs=[
-            pl.BlockSpec((1, nb, fs), lambda i, ln: (i, 0, 0),
+            pl.BlockSpec((u_step, nb, fs), lambda i, ln: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n2, n2), lambda i, ln: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -391,19 +413,22 @@ def mfcc39_pallas_batch(signals, lengths, cfg: FrontendConfig = FrontendConfig()
             pl.BlockSpec((1, cfg.n_fft), lambda i, ln: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 3, f_pad, cfg.n_ceps),
+        out_specs=pl.BlockSpec((u_step, 3, f_pad, cfg.n_ceps),
                                lambda i, ln: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((nb, fs), jnp.float32),
-                        pltpu.VMEM((nb, cfg.n_fft), jnp.float32)],
+                        pltpu.VMEM((u_step * nb, cfg.n_fft), jnp.float32)],
     )
 
     out = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, 3, f_pad, cfg.n_ceps),
+        out_shape=jax.ShapeDtypeStruct((b_pad, 3, f_pad, cfg.n_ceps),
                                        jnp.float32),
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=127 * 2**20),
     )(lengths,
       sig_blocks,
       jnp.asarray(consts["fftd_r0"]),
@@ -415,6 +440,6 @@ def mfcc39_pallas_batch(signals, lengths, cfg: FrontendConfig = FrontendConfig()
       jnp.asarray(consts["dct_hilo"]),
       jnp.asarray(consts["window"])[None, :])
 
-    feats = out.transpose(0, 2, 1, 3).reshape(b, f_pad, 3 * cfg.n_ceps)
-    nf = jnp.minimum(_num_frames(cfg, lengths), F)
+    feats = out[:b].transpose(0, 2, 1, 3).reshape(b, f_pad, 3 * cfg.n_ceps)
+    nf = jnp.minimum(_num_frames(cfg, lengths[:b]), F)
     return feats[:, :F], nf
