@@ -978,25 +978,92 @@ def bench_streaming(batch=64, chunk=256, n_chunks=20, frame_step_s=0.01):
             sig_feats[:, i * chunk : (i + 1) * chunk], jnp.float32))
         for i in range(n_chunks)]
 
-    dec_i = SD(bank, loop_g, chunk_frames=chunk, batch=batch,
-               emit_incremental=True, window_chunks=8)
-    n_early = 0
-    max_buf = 0
+    for fe in (2, 4):
+        dec_i = SD(bank, loop_g, chunk_frames=chunk, batch=batch,
+                   emit_incremental=True, window_chunks=8, flush_every=fe)
+        n_early = 0
+        max_buf = 0
+        for trial in range(2):
+            dec_i.reset()
+            n_early = 0
+            t0 = time.perf_counter()
+            for x_dev in chunks_sp:
+                new = dec_i.push(x_dev)
+                n_early += sum(len(w) for w in new)
+                max_buf = max(max_buf, len(dec_i._bp_chunks))
+            res = dec_i.finish()
+            wall_i = time.perf_counter() - t0
+        n_total = sum(len(r[0]) for r in res)
+        log(f"streaming e2e (incremental, window 8, flush_every {fe}): "
+            f"{total_audio:.0f} audio-s in {wall_i:.2f} s wall -> "
+            f"{total_audio/wall_i:.0f} audio-s/s; "
+            f"{n_early}/{n_total} words emitted mid-stream, plane buffer "
+            f"peak {max_buf} chunks (memory O(window) for unbounded audio)")
+
+    # (d) incremental over a LEXGRAPH (big-vocabulary unbounded-audio
+    # serving): 1,000-word trie, speech-like audio spelling random
+    # words, bounded-memory word emission mid-stream
+    from speech_recognition_tpu.models.hmm import GMMHMM, HMMBank
+    from speech_recognition_tpu.models.lexgraph import build_lex_graph
+    from speech_recognition_tpu.data.synthetic import random_gmm_hmm
+    from speech_recognition_tpu.utils.numerics import to_cost_matrix
+
+    nprng = np.random.default_rng(3)
+    units = list("abcdefgh")
+    unit_ids = {ch: i for i, ch in enumerate(units)}
+    vocab = set()
+    while len(vocab) < 1000:
+        vocab.add("".join(nprng.choice(units, int(nprng.integers(3, 8)))))
+    words_v = sorted(vocab)
+    su, dim = 3, 10
+    models, unit_trans, umeans = [], [], []
+    for _ in units:
+        p = random_gmm_hmm(nprng, n_states=su, n_mix=1, dim=dim, sep=4.0)
+        models.append(GMMHMM(
+            means=jnp.asarray(p["means"], jnp.float32),
+            log_vars=jnp.log(jnp.asarray(p["variances"], jnp.float32)),
+            log_weights=jnp.log(jnp.asarray(p["weights"], jnp.float32)),
+            trans_cost=jnp.asarray(to_cost_matrix(p["trans"])),
+        ))
+        unit_trans.append(p["trans"])
+        umeans.append(p["means"][:, 0, :])
+    lbank = HMMBank.stack(models)
+    lexg = build_lex_graph(words_v, unit_trans, unit_ids,
+                           word_insertion_cost=0.5)
+    bl, n_ch = 16, 8
+    t_tot = chunk * n_ch
+    lf = np.zeros((bl, t_tot, dim), np.float32)
+    for bi in range(bl):
+        t = 0
+        while t < t_tot:
+            w = words_v[int(nprng.integers(0, len(words_v)))]
+            for ch in w:
+                for j in range(su):
+                    for _ in range(3):
+                        if t < t_tot:
+                            lf[bi, t] = (umeans[unit_ids[ch]][j]
+                                         + 0.4 * nprng.standard_normal(dim))
+                            t += 1
+    chunks_lex = [jax.block_until_ready(jnp.asarray(
+        lf[:, i * chunk:(i + 1) * chunk], jnp.float32))
+        for i in range(n_ch)]
+    dec_l = SD(lbank, lexg, chunk_frames=chunk, batch=bl,
+               emit_incremental=True, window_chunks=4, flush_every=2)
+    lex_audio = bl * t_tot * frame_step_s
     for trial in range(2):
-        dec_i.reset()
+        dec_l.reset()
         n_early = 0
         t0 = time.perf_counter()
-        for x_dev in chunks_sp:
-            new = dec_i.push(x_dev)
+        for x_dev in chunks_lex:
+            new = dec_l.push(x_dev)
             n_early += sum(len(w) for w in new)
-            max_buf = max(max_buf, len(dec_i._bp_chunks))
-        res = dec_i.finish()
-        wall_i = time.perf_counter() - t0
+        res = dec_l.finish()
+        wall_l = time.perf_counter() - t0
     n_total = sum(len(r[0]) for r in res)
-    log(f"streaming e2e (incremental, window 8): {total_audio:.0f} audio-s "
-        f"in {wall_i:.2f} s wall -> {total_audio/wall_i:.0f} audio-s/s; "
-        f"{n_early}/{n_total} words emitted mid-stream, plane buffer "
-        f"peak {max_buf} chunks (memory O(window) for unbounded audio)")
+    log(f"streaming e2e (incremental LEXGRAPH, 1k words): "
+        f"{lex_audio:.0f} audio-s in {wall_l:.2f} s wall -> "
+        f"{lex_audio/wall_l:.0f} audio-s/s; {n_early}/{n_total} words "
+        f"emitted mid-stream")
     return e2e
 
 

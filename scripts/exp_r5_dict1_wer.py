@@ -113,22 +113,22 @@ def main():
         # envelope); decode_lextree_bigram also self-chunks, but the
         # pass-1 API takes the same chunks for a fair split
         bs = 16
-        hyp1, hyp2 = [], {1.0: [], 2.0: []}
+        hyp1, hyp2 = [], {1.0: [], 2.0: [], 4.0: []}
         t0 = time.perf_counter()
         for i in range(0, n_test, bs):
             h, _ = decode_lextree(bank, lexg, x[i:i + bs], nfs[i:i + bs])
             hyp1.extend(h)
         t1 = time.perf_counter()
-        for sc in (1.0, 2.0):
+        for sc in (1.0, 2.0, 4.0):
             for i in range(0, n_test, bs):
                 h, _ = decode_lextree_bigram(bank, lexg, scale(lm, sc),
                                              x[i:i + bs], nfs[i:i + bs])
                 hyp2[sc].extend(h)
         t2 = time.perf_counter()
         line = [f"noise {noise}: pass1 WER {wer(hyp1, refs):.3f}"]
-        for sc in (1.0, 2.0):
+        for sc in (1.0, 2.0, 4.0):
             line.append(f"bigram x{sc:g} {wer(hyp2[sc], refs):.3f}")
-        line.append(f"(pass1 {t1-t0:.1f}s, bigram {(t2-t1)/2:.1f}s/scale "
+        line.append(f"(pass1 {t1-t0:.1f}s, bigram {(t2-t1)/3:.1f}s/scale "
                     f"wall incl. compile)")
         log("  ".join(line))
 

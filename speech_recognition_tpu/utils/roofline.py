@@ -183,6 +183,70 @@ def mfcc_frontend(batch, samples, n_fft=512, n_frames=None, n_mel=40,
     return stage_bound(flops, hbm, vpu)
 
 
+def lex_wide_kernel(batch, frames, n_arcs_pad, su, n_units_pad,
+                    sel_blocks, sel_w, lv0, lattice=False) -> Dict:
+    """Per-frame work of the lane-major ("wide") lexical-tree kernel
+    (``ops/viterbi_lex_pallas._lex_kernel_wide``), the dict1-scale
+    production path.  Counted off the kernel body:
+
+    * ~17 full-plane [B, S] VPU passes for the band chain / dsel /
+      cross-take / emission add / freeze (plus ~6 more with the
+      lattice tau carry), and ~8 [B, A] passes for the eps head;
+    * MXU: factored emission expansion (3 bf16 passes over
+      [su*B, U128] x [A, U128]) + the block-banded staircase cross
+      gathers (3 passes, x2 rows when the lattice stacks cost+tau);
+    * HBM: the compact [su, B, U128] emission block in; int8 bp +
+      int32 side planes out (plain), or the f32+i32 end-slice
+      cost/tau streams (lattice).
+
+    NOTE: this kernel is VPU-bound and every counted term scales
+    linearly in B — batch growth past the VMEM envelope (chunking)
+    cannot change audio-s/s by more than the per-chunk fixed costs,
+    which is why the dict1 bar is "within x of this bound", not a
+    batch-scaling multiple (round-5 finding)."""
+    s = su * n_arcs_pad
+    full_passes = 17.0 + (6.0 if lattice else 0.0)
+    vpu = frames * batch * (full_passes * s + 8.0 * n_arcs_pad)
+    expand_macs = 3.0 * su * batch * n_units_pad * n_arcs_pad
+    rows = 2 * batch if lattice else batch
+    cross_macs = 3.0 * rows * sum(nr for (_, nr, _) in sel_blocks) * sel_w
+    mxu = frames * 2.0 * (expand_macs + cross_macs)
+    if lattice:
+        out_bytes = 2.0 * n_arcs_pad * 4.0  # f32 end costs + i32 taus
+    else:
+        out_bytes = s * 1.0 + lv0 * 8.0  # int8 bp + two i32 side planes
+    hbm = frames * batch * (su * n_units_pad * 4.0 + out_bytes)
+    return stage_bound(mxu, hbm, vpu)
+
+
+#: measured lane-gather throughput on this v5e (elements/s) — round-4
+#: exp_take_micro: ~10 G elem/s in either orientation, independent of
+#: transposes; the sliced-backoff takes are priced at this rate.
+GATHER_ELEMS = 10e9
+
+
+def lattice_rescore_stage(batch, frames, n_leaves_pad, nnz, dmax=128,
+                          f_blk=8) -> Dict:
+    """Per-frame work of the exact bigram lattice rescorer
+    (``ops/lattice.lattice_rescore``, combined H-Q ring + sliced
+    backoff):
+
+    * ring lookup: ONE masked sum-reduce over the [dmax, B, L] ring per
+      f_blk-frame block — streams the ring at HBM rate (round-4
+      ring-lookup micro: 10.4 us/frame at [128, 16, 6272], exactly the
+      ring-bytes/819 GB/s line);
+    * sliced backoff: per frame the lane takes cover exactly the LM's
+      nnz seen pairs, priced at the measured ~10 G elem/s gather rate
+      (folded into the VPU term at the VPU-op equivalent);
+    * ~22 [B, L] VPU passes for recombine/min/select/ring-write.
+    """
+    ring_bytes = dmax * batch * n_leaves_pad * 4.0 / f_blk
+    stream_bytes = batch * n_leaves_pad * (4.0 + 4.0)  # s0 + tau in
+    vpu = frames * (batch * n_leaves_pad * 22.0
+                    + batch * nnz * (VPU / GATHER_ELEMS))
+    return stage_bound(0.0, frames * (ring_bytes + stream_bytes), vpu)
+
+
 def mfcc_fused(batch, samples, n_fft=512, n_frames=None, n_mel=40,
                n_ceps=13, mel_passes=3, dct_passes=3) -> Dict:
     """Fused Pallas spectral chain (``ops/frontend_pallas.py``), priced
