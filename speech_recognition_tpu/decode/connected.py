@@ -396,8 +396,18 @@ def states_to_words_device(slot_of_state, label_of_state, states, eps_flags,
     """
     states = jnp.asarray(states)
     b, t = states.shape
-    slot_t = jnp.take(slot_of_state, states, axis=0)  # [B, T]
-    label_t = jnp.take(label_of_state, states, axis=0)
+
+    def lut(table):
+        # leading-axis jnp.take of a small table by a [B, T] index plane
+        # lowered as a real gather costs ~4.5 ms at 512x500 (the round-4
+        # take_along_axis trap); the iota-compare masked reduce streams
+        # the virtual [B, T, S] compare at full bandwidth instead
+        s = table.shape[0]
+        eq = states[:, :, None] == jnp.arange(s, dtype=states.dtype)[None, None, :]
+        return jnp.sum(jnp.where(eq, table[None, None, :], 0), axis=2)
+
+    slot_t = lut(slot_of_state)   # [B, T]
+    label_t = lut(label_of_state)
     prev = jnp.concatenate(
         [jnp.full((b, 1), -1, slot_t.dtype), slot_t[:, :-1]], axis=1)
     ti = jnp.arange(t)[None, :]
