@@ -157,7 +157,14 @@ def bench_connected_decode(batch=64, frames=500, n_slots=7, frame_step_s=0.01):
     from speech_recognition_tpu.decode.connected import states_to_words_device
 
     slot_arr = jnp.asarray(np.asarray(graph.slot, np.int32))
-    label_arr = jnp.asarray(np.asarray(graph.slot_label[graph.slot], np.int32))
+    uw = 0
+    if topo is not None and topo.uniform_w and np.array_equal(
+            np.asarray(graph.slot),
+            np.arange(graph.n_states) // topo.uniform_w):
+        uw = int(topo.uniform_w)
+    label_arr = jnp.asarray(
+        np.asarray(graph.slot_label, np.int32) if uw
+        else np.asarray(graph.slot_label[graph.slot], np.int32))
     counts = np.bincount(np.asarray(graph.slot))
     max_words = min(frames, frames // max(1, int(counts[counts > 0].min())) + 1)
 
@@ -171,7 +178,8 @@ def bench_connected_decode(batch=64, frames=500, n_slots=7, frame_step_s=0.01):
             bank, feats, nf, bg, eps_depth=graph.eps_depth, pallas_topo=topo
         )
         words, n_words = states_to_words_device(
-            slot_arr, label_arr, states, eps_flags, nf, max_words=max_words)
+            slot_arr, label_arr, states, eps_flags, nf, max_words=max_words,
+            uniform_w=uw)
         return jnp.sum(costs) + jnp.sum(words[:, 0].astype(jnp.float32))
 
     dt = _timeit_device(body)

@@ -314,12 +314,20 @@ def decode_connected(
                 t_cap = states.shape[1]
                 counts = np.bincount(np.asarray(graph.slot))
                 min_dwell = max(1, int(counts[counts > 0].min()))
+                uw = 0
+                if topo is not None and topo.uniform_w and np.array_equal(
+                        np.asarray(graph.slot),
+                        np.arange(graph.n_states) // topo.uniform_w):
+                    uw = int(topo.uniform_w)
+                label_tbl = (np.asarray(graph.slot_label, np.int32) if uw
+                             else np.asarray(
+                                 graph.slot_label[graph.slot], np.int32))
                 words, n_words = states_to_words_device(
                     jnp.asarray(np.asarray(graph.slot, np.int32)),
-                    jnp.asarray(np.asarray(
-                        graph.slot_label[graph.slot], np.int32)),
+                    jnp.asarray(label_tbl),
                     states, eps_flags, jnp.asarray(n_frames),
-                    max_words=min(t_cap, t_cap // min_dwell + 1))
+                    max_words=min(t_cap, t_cap // min_dwell + 1),
+                    uniform_w=uw)
                 words = np.asarray(words)
                 n_words = np.asarray(n_words)
                 seqs = [words[i, : n_words[i]].tolist()
@@ -371,9 +379,9 @@ def _warn_no_path(costs):
         )
 
 
-@functools.partial(jax.jit, static_argnames=("max_words",))
+@functools.partial(jax.jit, static_argnames=("max_words", "uniform_w"))
 def states_to_words_device(slot_of_state, label_of_state, states, eps_flags,
-                           n_frames, max_words: int):
+                           n_frames, max_words: int, uniform_w: int = 0):
     """Device-resident :func:`states_to_words` for a whole batch: the
     per-frame host Python loop (the round-4 VERDICT's "true wav->word-
     ids story" gap) becomes two small table takes + a cumsum + one
@@ -397,17 +405,26 @@ def states_to_words_device(slot_of_state, label_of_state, states, eps_flags,
     states = jnp.asarray(states)
     b, t = states.shape
 
-    def lut(table):
+    def lut(idx, table):
         # leading-axis jnp.take of a small table by a [B, T] index plane
         # lowered as a real gather costs ~4.5 ms at 512x500 (the round-4
         # take_along_axis trap); the iota-compare masked reduce streams
         # the virtual [B, T, S] compare at full bandwidth instead
         s = table.shape[0]
-        eq = states[:, :, None] == jnp.arange(s, dtype=states.dtype)[None, None, :]
+        eq = idx[:, :, None] == jnp.arange(s, dtype=idx.dtype)[None, None, :]
         return jnp.sum(jnp.where(eq, table[None, None, :], 0), axis=2)
 
-    slot_t = lut(slot_of_state)   # [B, T]
-    label_t = lut(label_of_state)
+    if uniform_w:
+        # composed word graphs: slot = state // uniform_w (pure
+        # arithmetic) and the label table indexes by SLOT — the reduce
+        # contracts over n_slots instead of n_states (~5x cheaper);
+        # callers must pass label_of_state in slot space and verify the
+        # layout (see decode_connected / bench)
+        slot_t = states // uniform_w
+        label_t = lut(slot_t, label_of_state)
+    else:
+        slot_t = lut(states, slot_of_state)   # [B, T]
+        label_t = lut(states, label_of_state)
     prev = jnp.concatenate(
         [jnp.full((b, 1), -1, slot_t.dtype), slot_t[:, :-1]], axis=1)
     ti = jnp.arange(t)[None, :]

@@ -231,19 +231,23 @@ def lattice_rescore_stage(batch, frames, n_leaves_pad, nnz, dmax=128,
     (``ops/lattice.lattice_rescore``, combined H-Q ring + sliced
     backoff):
 
-    * ring lookup: ONE masked sum-reduce over the [dmax, B, L] ring per
-      f_blk-frame block — streams the ring at HBM rate (round-4
-      ring-lookup micro: 10.4 us/frame at [128, 16, 6272], exactly the
-      ring-bytes/819 GB/s line);
+    * ring lookup (the dominant term): each element needs ring[slot]
+      at a per-element dynamic index along the D axis, which no TPU
+      unit gathers — the in-VMEM Pallas compare-sweep costs
+      dmax x (cmp + select) over every [B, L] output element per frame
+      (2*dmax*B*L VPU ops; the XLA masked-sum form trades this for
+      HBM-side ring materialization and loses in-scan, round-4
+      finding).  Priced as VPU ops; the ring-bytes HBM term is kept
+      (the XLA form's floor) but the VPU term binds at dict1 shapes.
     * sliced backoff: per frame the lane takes cover exactly the LM's
-      nnz seen pairs, priced at the measured ~10 G elem/s gather rate
-      (folded into the VPU term at the VPU-op equivalent);
+      nnz seen pairs + one [B, L] un-permute take, priced at the
+      measured ~10 G elem/s gather rate (folded into the VPU term);
     * ~22 [B, L] VPU passes for recombine/min/select/ring-write.
     """
     ring_bytes = dmax * batch * n_leaves_pad * 4.0 / f_blk
     stream_bytes = batch * n_leaves_pad * (4.0 + 4.0)  # s0 + tau in
-    vpu = frames * (batch * n_leaves_pad * 22.0
-                    + batch * nnz * (VPU / GATHER_ELEMS))
+    vpu = frames * (batch * n_leaves_pad * (22.0 + 2.0 * dmax)
+                    + batch * (nnz + n_leaves_pad) * (VPU / GATHER_ELEMS))
     return stage_bound(0.0, frames * (ring_bytes + stream_bytes), vpu)
 
 
