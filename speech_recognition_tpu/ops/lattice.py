@@ -162,13 +162,32 @@ def _hq_sweep_pallas(hq_ring, slotm, dmax: int, interpret: bool = False):
     from jax.experimental import pallas as pl
 
     def kern(ring_ref, slotm_ref, out_ref):
-        acc = jnp.full(slotm_ref.shape, POS_INF, jnp.float32)
+        # FOUR independent select accumulators (d = 4k + lane), merged
+        # by minimum at the end: the plain fori_loop where-chain is a
+        # dmax-long SERIAL dependence per vreg (measured ~27 us/frame
+        # at D=128 — round-5 rescorer profile); exactly one ring row
+        # matches each element, every unmatched accumulator stays
+        # POS_INF, so the min-merge is bit-exact while the four chains
+        # issue independently.
+        n_acc = 4
+        slotm = slotm_ref[...]
+        accs = [jnp.full(slotm.shape, POS_INF, jnp.float32)
+                for _ in range(n_acc)]
 
-        def body(d, acc):
-            row = ring_ref[d]  # [B, Lp]
-            return jnp.where(slotm_ref[...] == d, row[None], acc)
+        def body(k, accs):
+            out = []
+            for j in range(n_acc):
+                d = k * n_acc + j
+                row = ring_ref[d]  # [B, Lp]
+                out.append(jnp.where(slotm == d, row[None], accs[j]))
+            return tuple(out)
 
-        out_ref[...] = jax.lax.fori_loop(0, dmax, body, acc)
+        accs = jax.lax.fori_loop(0, dmax // n_acc, body, tuple(accs))
+        res = jnp.minimum(jnp.minimum(accs[0], accs[1]),
+                          jnp.minimum(accs[2], accs[3]))
+        for d in range(dmax // n_acc * n_acc, dmax):  # dmax % 4 tail
+            res = jnp.where(slotm == d, ring_ref[d][None], res)
+        out_ref[...] = res
 
     from jax.experimental.pallas import tpu as pltpu
 

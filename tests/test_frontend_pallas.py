@@ -52,7 +52,8 @@ def test_fused_matches_oracle_varlen(rng):
     # (length 400 = single frame is covered separately: the reference's
     # delta crashes on 1-frame utterances, so the 39-dim oracle can't
     # produce it — quirk noted at /root/reference/sr/core.py:13-22)
-    lens = [16000, 7321, 7000, 12345]
+    lens = [16000, 7321, 7000, 12345, 9000]  # b=5 also exercises
+    # the utts_per_step batch-pad path (pads to 8 with filler streams)
     sigs, lengths, raw = _batch(rng, lens, 16000)
     feats, nf = mfcc39_pallas_batch(sigs, lengths, PSF, interpret=True)
     feats = np.asarray(feats)
@@ -107,3 +108,14 @@ def test_fused_short_signal_single_frame(rng):
     ref_raw = mfcc_psf_oracle(raw[0])
     np.testing.assert_allclose(np.asarray(feats_raw)[0, :1, :13], ref_raw,
                                rtol=1e-4, atol=1e-4)
+
+
+def test_mfcc39_auto_cpu_dispatch(rng):
+    """mfcc39_auto falls back to the XLA pipeline off-TPU (bit-equal)."""
+    from speech_recognition_tpu.ops.frontend import mfcc39_auto, mfcc39_batch
+
+    sigs, lengths, _ = _batch(rng, [8000, 6000], 8000)
+    fa, na = mfcc39_auto(sigs.astype(np.float32), lengths, PSF)
+    fb, nb = mfcc39_batch(sigs.astype(np.float32), lengths, PSF)
+    np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
+    np.testing.assert_array_equal(np.asarray(na), np.asarray(nb))
