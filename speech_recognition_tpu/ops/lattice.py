@@ -169,7 +169,10 @@ def _hq_sweep_pallas(hq_ring, slotm, dmax: int, interpret: bool = False):
         # matches each element, every unmatched accumulator stays
         # POS_INF, so the min-merge is bit-exact while the four chains
         # issue independently.
-        n_acc = 4
+        # accumulator count scales down for big frame blocks: each acc
+        # is a live [F, B, Lp] plane, and 4 of them at block_frames=16
+        # overflow the scoped-VMEM budget next to the ring
+        n_acc = 4 if slotm_ref.shape[0] <= 8 else 2
         slotm = slotm_ref[...]
         accs = [jnp.full(slotm.shape, POS_INF, jnp.float32)
                 for _ in range(n_acc)]
@@ -183,8 +186,9 @@ def _hq_sweep_pallas(hq_ring, slotm, dmax: int, interpret: bool = False):
             return tuple(out)
 
         accs = jax.lax.fori_loop(0, dmax // n_acc, body, tuple(accs))
-        res = jnp.minimum(jnp.minimum(accs[0], accs[1]),
-                          jnp.minimum(accs[2], accs[3]))
+        res = accs[0]
+        for j in range(1, n_acc):
+            res = jnp.minimum(res, accs[j])
         for d in range(dmax // n_acc * n_acc, dmax):  # dmax % 4 tail
             res = jnp.where(slotm == d, ring_ref[d][None], res)
         out_ref[...] = res
