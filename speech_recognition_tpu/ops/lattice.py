@@ -150,7 +150,8 @@ class RescoreResult(NamedTuple):
     #   backoff path (see lattice_rescore backoff_counts)
 
 
-def _hq_sweep_pallas(hq_ring, slotm, dmax: int, interpret: bool = False):
+def _hq_sweep_pallas(hq_ring, slotm, dmax: int, interpret: bool = False,
+                     n_acc: int = 0):
     """Blocked ring lookup as a Pallas kernel: the ring lives in VMEM
     for the whole D-sweep, each step one compare+select over the
     [F, B, Lp] block (XLA's masked sum-reduce form pays HBM-side
@@ -172,24 +173,24 @@ def _hq_sweep_pallas(hq_ring, slotm, dmax: int, interpret: bool = False):
         # accumulator count scales down for big frame blocks: each acc
         # is a live [F, B, Lp] plane, and 4 of them at block_frames=16
         # overflow the scoped-VMEM budget next to the ring
-        n_acc = 4 if slotm_ref.shape[0] <= 8 else 2
+        na = n_acc or (4 if slotm_ref.shape[0] <= 8 else 2)
         slotm = slotm_ref[...]
         accs = [jnp.full(slotm.shape, POS_INF, jnp.float32)
-                for _ in range(n_acc)]
+                for _ in range(na)]
 
         def body(k, accs):
             out = []
-            for j in range(n_acc):
-                d = k * n_acc + j
+            for j in range(na):
+                d = k * na + j
                 row = ring_ref[d]  # [B, Lp]
                 out.append(jnp.where(slotm == d, row[None], accs[j]))
             return tuple(out)
 
-        accs = jax.lax.fori_loop(0, dmax // n_acc, body, tuple(accs))
+        accs = jax.lax.fori_loop(0, dmax // na, body, tuple(accs))
         res = accs[0]
-        for j in range(1, n_acc):
+        for j in range(1, na):
             res = jnp.minimum(res, accs[j])
-        for d in range(dmax // n_acc * n_acc, dmax):  # dmax % 4 tail
+        for d in range(dmax // na * na, dmax):  # dmax % na tail
             res = jnp.where(slotm == d, ring_ref[d][None], res)
         out_ref[...] = res
 

@@ -1323,7 +1323,16 @@ def viterbi_lex_pallas_wide(nll_tub, plan: LexPlan, n_frames, topo: LexTopo,
     :func:`lex_backtrace_wide`."""
     if not topo.lane_major:
         raise ValueError("plan was not built with layout='wide'")
-    t_len, u_in, b = nll_tub.shape
+    t_len, u_in, b_in = nll_tub.shape
+    # the kernel's row-stacked emission gather slices rows at multiples
+    # of b, which Mosaic's concatenate requires 8-aligned (round-5
+    # finding; a b=4 call compiled fine before the round-4 row-stacking
+    # landed) — pad small batches to 8 with inert length-1 streams
+    b = (b_in + 7) // 8 * 8
+    if b != b_in:
+        nll_tub = jnp.pad(nll_tub, ((0, 0), (0, 0), (0, b - b_in)))
+        n_frames = jnp.pad(jnp.asarray(n_frames), (0, b - b_in),
+                           constant_values=1)
     su, a_pad = topo.su, topo.a_pad
     s_w = su * a_pad
     lv0 = topo.level_sizes[0]
@@ -1386,7 +1395,8 @@ def viterbi_lex_pallas_wide(nll_tub, plan: LexPlan, n_frames, topo: LexTopo,
     )(nll_u, plan.expand, plan.band_soa, plan.cross_cost, plan.eps_exit,
       plan.eps_rows, plan.leaf_id, plan.init_soa, nf_col, *plan.sels)
     final, bp8, eps_u, eps_prev = outs
-    return final, bp8[:t_len], eps_u[:t_len], eps_prev[:t_len]
+    return (final[:b_in], bp8[:t_len, :b_in], eps_u[:t_len, :b_in],
+            eps_prev[:t_len, :b_in])
 
 
 @functools.partial(jax.jit, static_argnames=("topo", "interpret",
@@ -1405,7 +1415,15 @@ def viterbi_lex_pallas_wide_lattice(nll_tub, plan: LexPlan, n_frames,
     ``/root/reference/tests/test_data/dict1.txt``)."""
     if not topo.lane_major:
         raise ValueError("plan was not built with layout='wide'")
-    t_len, u_in, b = nll_tub.shape
+    t_len, u_in, b_in = nll_tub.shape
+    # pad small batches to a sublane multiple (see
+    # viterbi_lex_pallas_wide: the row-stacked emission gather needs
+    # 8-aligned row slices)
+    b = (b_in + 7) // 8 * 8
+    if b != b_in:
+        nll_tub = jnp.pad(nll_tub, ((0, 0), (0, 0), (0, b - b_in)))
+        n_frames = jnp.pad(jnp.asarray(n_frames), (0, b - b_in),
+                           constant_values=1)
     su, a_pad = topo.su, topo.a_pad
     s_w = su * a_pad
     u128 = topo.n_units_pad
@@ -1468,8 +1486,8 @@ def viterbi_lex_pallas_wide_lattice(nll_tub, plan: LexPlan, n_frames,
     # end-slice arc lanes -> leaf-slot order: gather the (small) leaf
     # subset FIRST ([T, B, L] written once), then transpose to [T, L, B]
     leaf_cols = plan.ends_soa - (su - 1) * a_pad  # [L] arc positions
-    ends_cost = jnp.transpose(endc[:t_len, :, leaf_cols], (0, 2, 1))
-    ends_tau = jnp.transpose(endt[:t_len, :, leaf_cols], (0, 2, 1))
+    ends_cost = jnp.transpose(endc[:t_len, :b_in, leaf_cols], (0, 2, 1))
+    ends_tau = jnp.transpose(endt[:t_len, :b_in, leaf_cols], (0, 2, 1))
     return ends_cost, ends_tau
 
 
