@@ -459,3 +459,24 @@ def test_lattice_words_device_matches_host(rng):
     nw = np.asarray(n_words)
     got = [lw[lr[: nw[i], i][::-1]].tolist() for i in range(B)]
     assert got == words
+
+
+def test_hq_sweep_accumulator_variants_exact(rng):
+    """The ring-sweep kernel's independent-accumulator split (round 5)
+    is bit-exact vs the XLA masked sum-reduce reference for every
+    n_acc, including a dmax that is not a multiple of n_acc."""
+    from speech_recognition_tpu.ops.lattice import _hq_sweep_pallas
+    from speech_recognition_tpu.utils.numerics import POS_INF
+
+    dmax, f, b, lp = 12, 4, 8, 256
+    ring = rng.uniform(0, 50, (dmax + 2 * f, b, lp)).astype(np.float32)
+    slotm = rng.integers(0, dmax + 1, (f, b, lp)).astype(np.int32)
+    iota_d = np.arange(dmax)[:, None, None, None]
+    sel = iota_d == slotm[None]
+    ref = np.where(sel.any(0), (ring[:dmax, None] * sel).sum(0), POS_INF)
+    for na in (1, 2, 4, 5):
+        out = np.asarray(_hq_sweep_pallas(
+            jnp.asarray(ring), jnp.asarray(slotm), dmax, interpret=True,
+            n_acc=na))
+        np.testing.assert_array_equal(out, ref.astype(np.float32),
+                                      err_msg=f"n_acc={na}")
